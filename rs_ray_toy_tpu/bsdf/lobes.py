@@ -1,0 +1,210 @@
+"""Material -> lobe-table compilation.
+
+The reference assembles a per-hit Vec<Arc<dyn BxDF>> inside each material's
+compute_scattering_functions (matte.rs:35-61, plastic.rs, metal.rs, glass.rs,
+translucent.rs, mirror.rs, mixmat.rs, debug_material.rs).  On TPU that
+dynamic lobe list becomes a *static* per-material recipe compiled at scene
+load into fixed-width SoA rows:
+
+    materials[m] -> up to MAX_LOBES lobes, each with a type code, BxDF flag
+    bits, two spectra, and four scalar params.
+
+Shading then evaluates lobes data-parallel with masked type dispatch
+(bsdf/eval.py), gathering rows by per-hit material id.  Texture-driven
+params carry a texture id (-1 = the constant stored inline), resolved by
+scene/textures.py at hit time.
+"""
+
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..config import DTYPE
+
+MAX_LOBES = 8  # reference MAX_BXDFS (reflection.rs:202)
+
+# BxDF flag bits (reflection.rs:415-423)
+BXDF_REFLECTION = 1 << 0
+BXDF_TRANSMISSION = 1 << 1
+BXDF_DIFFUSE = 1 << 2
+BXDF_GLOSSY = 1 << 3
+BXDF_SPECULAR = 1 << 4
+BXDF_ALL = (
+    BXDF_REFLECTION | BXDF_TRANSMISSION | BXDF_DIFFUSE | BXDF_GLOSSY | BXDF_SPECULAR
+)
+BXDF_NONE = 0
+
+# lobe type codes
+LOBE_NONE = 0
+LOBE_LAMBERT_REFL = 1
+LOBE_OREN_NAYAR = 2
+LOBE_LAMBERT_TRANS = 3
+LOBE_SPEC_REFL = 4
+LOBE_SPEC_TRANS = 5
+LOBE_FRESNEL_SPEC = 6
+LOBE_MF_REFL = 7
+LOBE_MF_TRANS = 8
+LOBE_FRESNEL_BLEND = 9
+LOBE_DEBUG_DIFFUSE = 10
+LOBE_DEBUG_SPECULAR = 11
+# Disney lobes (material/disney.rs) — wired in a later phase
+LOBE_DISNEY_DIFFUSE = 12
+LOBE_DISNEY_FAKE_SS = 13
+LOBE_DISNEY_RETRO = 14
+LOBE_DISNEY_SHEEN = 15
+LOBE_DISNEY_CLEARCOAT = 16
+LOBE_DISNEY_MICROFACET_REFL = 17
+
+LOBE_FLAGS = {
+    LOBE_NONE: BXDF_NONE,
+    LOBE_LAMBERT_REFL: BXDF_DIFFUSE | BXDF_REFLECTION,
+    LOBE_OREN_NAYAR: BXDF_DIFFUSE | BXDF_REFLECTION,
+    LOBE_LAMBERT_TRANS: BXDF_DIFFUSE | BXDF_TRANSMISSION,
+    LOBE_SPEC_REFL: BXDF_SPECULAR | BXDF_REFLECTION,
+    LOBE_SPEC_TRANS: BXDF_SPECULAR | BXDF_TRANSMISSION,
+    LOBE_FRESNEL_SPEC: BXDF_SPECULAR | BXDF_ALL,  # reflection.rs:801-803
+    LOBE_MF_REFL: BXDF_GLOSSY | BXDF_REFLECTION,
+    LOBE_MF_TRANS: BXDF_GLOSSY | BXDF_TRANSMISSION,
+    LOBE_FRESNEL_BLEND: BXDF_GLOSSY | BXDF_REFLECTION,
+    LOBE_DEBUG_DIFFUSE: BXDF_DIFFUSE | BXDF_REFLECTION,
+    LOBE_DEBUG_SPECULAR: BXDF_SPECULAR | BXDF_REFLECTION,
+    LOBE_DISNEY_DIFFUSE: BXDF_DIFFUSE | BXDF_REFLECTION,
+    LOBE_DISNEY_FAKE_SS: BXDF_DIFFUSE | BXDF_REFLECTION,
+    LOBE_DISNEY_RETRO: BXDF_DIFFUSE | BXDF_REFLECTION,
+    LOBE_DISNEY_SHEEN: BXDF_DIFFUSE | BXDF_REFLECTION,
+    LOBE_DISNEY_CLEARCOAT: BXDF_GLOSSY | BXDF_REFLECTION,
+    LOBE_DISNEY_MICROFACET_REFL: BXDF_GLOSSY | BXDF_REFLECTION,
+}
+
+# fresnel codes (reflection.rs:565-619)
+FRESNEL_NOOP = 0
+FRESNEL_DIELECTRIC = 1
+FRESNEL_CONDUCTOR = 2
+FRESNEL_DISNEY = 3
+
+# microfacet distribution codes (microfacet.rs)
+DIST_TROWBRIDGE_REITZ = 0
+DIST_BECKMANN = 1
+DIST_DISNEY_GTR1 = 2
+
+
+@dataclass
+class Lobe:
+    """One host-side lobe row before packing."""
+
+    kind: int
+    s0: np.ndarray = field(default_factory=lambda: np.zeros(3))  # R/T/Rd
+    s1: np.ndarray = field(default_factory=lambda: np.zeros(3))  # T/Rs/k
+    s2: np.ndarray = field(default_factory=lambda: np.zeros(3))  # conductor eta
+    # scalars: meaning per lobe kind
+    #  spec/fresnel: f0=eta_a, f1=eta_b
+    #  microfacet:   f0=rough_u, f1=rough_v (pre-remap), f2=eta_a, f3=eta_b
+    #  oren-nayar:   f0=sigma (degrees)
+    f0: float = 0.0
+    f1: float = 0.0
+    f2: float = 0.0
+    f3: float = 0.0
+    fresnel: int = FRESNEL_NOOP
+    dist: int = DIST_TROWBRIDGE_REITZ
+    remap_roughness: bool = False
+    sample_visible: bool = True
+    # texture indirection (-1 == use inline constant)
+    s0_tex: int = -1
+    rough_u_tex: int = -1
+    rough_v_tex: int = -1
+    sigma_tex: int = -1
+    # mix-material scale (ScaledBxdf, reflection.rs:516-563)
+    scale: np.ndarray = field(default_factory=lambda: np.ones(3))
+    scale_tex: int = -1
+    scale_one_minus: bool = False  # second half of MixMaterial uses 1-s
+
+
+@dataclass
+class HostMaterial:
+    name: str
+    eta: float  # Bsdf::eta (reflection.rs:205-216); 1.0 for opaque
+    lobes: List[Lobe]
+    bump_tex: int = -1
+
+
+class MaterialTableBuilder:
+    def __init__(self):
+        self.materials: List[HostMaterial] = []
+
+    def add(self, mat: HostMaterial) -> int:
+        assert len(mat.lobes) <= MAX_LOBES
+        self.materials.append(mat)
+        return len(self.materials) - 1
+
+    def pack(self):
+        """Pack to device arrays: dict of (M, MAX_LOBES, ...) tables."""
+        m = max(1, len(self.materials))
+        kind = np.zeros((m, MAX_LOBES), np.int32)
+        flags = np.zeros((m, MAX_LOBES), np.int32)
+        s0 = np.zeros((m, MAX_LOBES, 3), np.float32)
+        s1 = np.zeros((m, MAX_LOBES, 3), np.float32)
+        s2 = np.zeros((m, MAX_LOBES, 3), np.float32)
+        fparams = np.zeros((m, MAX_LOBES, 4), np.float32)
+        fresnel = np.zeros((m, MAX_LOBES), np.int32)
+        dist = np.zeros((m, MAX_LOBES), np.int32)
+        remap = np.zeros((m, MAX_LOBES), bool)
+        sample_vis = np.zeros((m, MAX_LOBES), bool)
+        s0_tex = np.full((m, MAX_LOBES), -1, np.int32)
+        rough_u_tex = np.full((m, MAX_LOBES), -1, np.int32)
+        rough_v_tex = np.full((m, MAX_LOBES), -1, np.int32)
+        sigma_tex = np.full((m, MAX_LOBES), -1, np.int32)
+        scale = np.ones((m, MAX_LOBES, 3), np.float32)
+        scale_tex = np.full((m, MAX_LOBES), -1, np.int32)
+        scale_one_minus = np.zeros((m, MAX_LOBES), bool)
+        n_lobes = np.zeros((m,), np.int32)
+        eta = np.ones((m,), np.float32)
+        bump_tex = np.full((m,), -1, np.int32)
+
+        for i, mat in enumerate(self.materials):
+            n_lobes[i] = len(mat.lobes)
+            eta[i] = mat.eta
+            bump_tex[i] = mat.bump_tex
+            for j, lb in enumerate(mat.lobes):
+                kind[i, j] = lb.kind
+                flags[i, j] = LOBE_FLAGS[lb.kind]
+                s0[i, j] = lb.s0
+                s1[i, j] = lb.s1
+                s2[i, j] = lb.s2
+                fparams[i, j] = [lb.f0, lb.f1, lb.f2, lb.f3]
+                fresnel[i, j] = lb.fresnel
+                dist[i, j] = lb.dist
+                remap[i, j] = lb.remap_roughness
+                sample_vis[i, j] = lb.sample_visible
+                s0_tex[i, j] = lb.s0_tex
+                rough_u_tex[i, j] = lb.rough_u_tex
+                rough_v_tex[i, j] = lb.rough_v_tex
+                sigma_tex[i, j] = lb.sigma_tex
+                scale[i, j] = lb.scale
+                scale_tex[i, j] = lb.scale_tex
+                scale_one_minus[i, j] = lb.scale_one_minus
+
+        as_j = lambda a: jnp.asarray(a)
+        return {
+            "kind": as_j(kind),
+            "flags": as_j(flags),
+            "s0": as_j(s0),
+            "s1": as_j(s1),
+            "s2": as_j(s2),
+            "fparams": as_j(fparams),
+            "fresnel": as_j(fresnel),
+            "dist": as_j(dist),
+            "remap": as_j(remap),
+            "sample_visible": as_j(sample_vis),
+            "s0_tex": as_j(s0_tex),
+            "rough_u_tex": as_j(rough_u_tex),
+            "rough_v_tex": as_j(rough_v_tex),
+            "sigma_tex": as_j(sigma_tex),
+            "scale": as_j(scale),
+            "scale_tex": as_j(scale_tex),
+            "scale_one_minus": as_j(scale_one_minus),
+            "n_lobes": as_j(n_lobes),
+            "eta": as_j(eta),
+            "bump_tex": as_j(bump_tex),
+        }

@@ -1,0 +1,50 @@
+"""Counter-based uniform generator.
+
+The reference's samplers fall back to stateful `thread_rng()`
+(samplers/mod.rs:205-227), which is nondeterministic across runs.  Here every
+uniform is a pure function of (pixel_id, sample_index, dimension, seed) via a
+PCG-style integer hash — bit-stable across runs and devices, and cheap on the
+VPU (a handful of integer ops, no threefry rounds).
+"""
+
+import jax.numpy as jnp
+
+_U32 = jnp.uint32
+
+
+def hash_u32(x):
+    """lowbias32 finalizer-style avalanche hash on uint32."""
+    x = x.astype(_U32)
+    x ^= x >> 16
+    x *= _U32(0x7FEB352D)
+    x ^= x >> 15
+    x *= _U32(0x846CA68B)
+    x ^= x >> 16
+    return x
+
+
+def hash_combine(a, b):
+    """Combine two u32 streams (boost-style mix, then avalanche)."""
+    a = a.astype(_U32)
+    b = b.astype(_U32)
+    return hash_u32(a ^ (b + _U32(0x9E3779B9) + (a << 6) + (a >> 2)))
+
+
+def uniform_u32(pixel_id, sample_index, dim, seed=0):
+    """One u32 per (pixel, sample, dim, seed)."""
+    h = hash_combine(
+        jnp.asarray(pixel_id), jnp.asarray(sample_index).astype(_U32)
+    )
+    h = hash_combine(h, jnp.asarray(dim).astype(_U32))
+    h = hash_combine(h, jnp.asarray(seed).astype(_U32))
+    return h
+
+
+def uniform_float(pixel_id, sample_index, dim, seed=0):
+    """Uniform in [0, 1) with 24-bit resolution (exact in f32)."""
+    u = uniform_u32(pixel_id, sample_index, dim, seed)
+    return (u >> 8).astype(jnp.float32) * jnp.float32(2.0**-24)
+
+
+def uniform_float_from_u32(u):
+    return (u.astype(_U32) >> 8).astype(jnp.float32) * jnp.float32(2.0**-24)
