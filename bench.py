@@ -1,0 +1,50 @@
+"""Benchmark: render samples/scene.json and report Mrays/s on this chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline (BASELINE.json north star): 50 Mrays/s on one v5e chip.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+BASELINE_MRAYS = 50.0
+SCENE = "/root/reference/samples/scene.json"
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from rs_ray_toy_tpu.scene.loader import load_scene
+    from rs_ray_toy_tpu.render import render_job
+
+    spp = int(os.environ.get("BENCH_SPP", "16"))
+    job = load_scene(SCENE)
+    # benchmark the full 640x360 frame at the configured spp
+    pupil = 1 << int(os.environ.get("BENCH_PUPIL_LOG2", "18"))
+    res = render_job(job, spp_override=spp, pupil_samples=pupil)
+    value = res["mrays_per_s"]
+    out_png = os.environ.get("BENCH_OUT", "")
+    if out_png:
+        from rs_ray_toy_tpu.film.film import write_png
+
+        write_png(res["rgb_srgb_input"], out_png)
+    print(
+        json.dumps(
+            {
+                "metric": "camera_mrays_per_s_scene_json_debug",
+                "value": round(float(value), 3),
+                "unit": "Mrays/s",
+                "vs_baseline": round(float(value) / BASELINE_MRAYS, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,293 @@
+"""Batched ray-primitive intersection (shape/triangle.rs, shape/sphere.rs).
+
+All tests are data-parallel: a ray batch against primitive tables.  The
+brute-force closest-hit here (vmapped all-pairs, fine for small scenes like
+samples/scene.json's 36 triangles) shares its Hit layout with the BVH
+traversal kernel so integrators are oblivious to the accelerator.
+
+Parity notes:
+- Möller-Trumbore with the reference's epsilons (triangle.rs:167-180:
+  determinant cutoff 1e-7, t cutoff 1e-7).  Unlike the reference's
+  Shape::intersect (which ignores r.t_max — a §2.7-class quirk), we honour
+  t_max, which is required for correct closest-hit in batch form and matches
+  PBRT semantics.
+- Sphere: quadratic in object space, z/phi clipping with the second-root
+  retry (sphere.rs: the reference tests the clip on uninitialized state —
+  quirk; we implement the PBRT-intended clip).
+"""
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from ..config import DTYPE
+from ..core import vec
+from ..core.math import quadratic
+from ..scene.types import SphereSoA, TriangleSoA
+
+PRIM_NONE = -1
+PRIM_TRI = 0
+PRIM_SPHERE = 1
+
+TRI_EPS = 1e-7
+
+
+class Hit(NamedTuple):
+    t: jnp.ndarray  # (N,) hit distance (t_max where no hit)
+    kind: jnp.ndarray  # (N,) int32 PRIM_*
+    index: jnp.ndarray  # (N,) int32 row in the table
+    valid: jnp.ndarray  # (N,) bool
+
+
+class SurfaceHit(NamedTuple):
+    """Gathered shading geometry (interaction.rs SurfaceInteraction SoA)."""
+
+    p: jnp.ndarray  # (N,3)
+    ng: jnp.ndarray  # geometric normal
+    ns: jnp.ndarray  # shading normal
+    uv: jnp.ndarray  # (N,2)
+    dpdu: jnp.ndarray  # (N,3)
+    dpdv: jnp.ndarray
+    wo: jnp.ndarray
+    mat: jnp.ndarray  # (N,) int32
+    area_light: jnp.ndarray  # (N,) int32
+    valid: jnp.ndarray
+
+
+def intersect_triangles(tri: TriangleSoA, o, d, t_max):
+    """All-pairs Möller-Trumbore; returns per-ray closest (t, idx, hit).
+
+    o,d: (N,3); t_max: (N,).  Memory: O(N*T); callers chunk N.
+    """
+    if tri.count == 0:
+        n = o.shape[0]
+        inf = jnp.full((n,), jnp.inf, DTYPE)
+        return inf, jnp.full((n,), -1, jnp.int32), jnp.zeros((n,), bool)
+    e1 = (tri.p1 - tri.p0)[None]  # (1,T,3)
+    e2 = (tri.p2 - tri.p0)[None]
+    ob = o[:, None, :]  # (N,1,3)
+    db = d[:, None, :]
+    pv = jnp.cross(db, e2)  # (N,T,3)
+    det = jnp.sum(e1 * pv, axis=-1)  # (N,T)
+    ok = jnp.abs(det) >= TRI_EPS
+    inv = 1.0 / jnp.where(ok, det, 1.0)
+    tv = ob - tri.p0[None]
+    u = jnp.sum(tv * pv, axis=-1) * inv
+    ok &= (u >= 0.0) & (u <= 1.0)
+    qv = jnp.cross(tv, e1)
+    v = jnp.sum(db * qv, axis=-1) * inv
+    ok &= (v >= 0.0) & (u + v <= 1.0)
+    t = jnp.sum(e2 * qv, axis=-1) * inv
+    ok &= (t >= TRI_EPS) & (t < t_max[:, None])
+    t = jnp.where(ok, t, jnp.inf)
+    idx = jnp.argmin(t, axis=-1).astype(jnp.int32)
+    tbest = jnp.take_along_axis(t, idx[:, None], axis=-1)[:, 0]
+    hit = jnp.isfinite(tbest)
+    return tbest, jnp.where(hit, idx, -1), hit
+
+
+def intersect_triangles_any(tri: TriangleSoA, o, d, t_max):
+    """Shadow-ray any-hit (triangle.rs IntersectP semantics, corrected
+    edge basis)."""
+    t, _, hit = intersect_triangles(tri, o, d, t_max)
+    return hit
+
+
+def _sphere_ray_object(sph: SphereSoA, o, d):
+    """Transform rays into each sphere's object space: (N,S,3) pair."""
+    w2o = sph.w2o  # (S,4,4)
+    oo = jnp.einsum("sij,nj->nsi", w2o[:, :3, :3], o) + w2o[None, :, :3, 3]
+    od = jnp.einsum("sij,nj->nsi", w2o[:, :3, :3], d)
+    return oo, od
+
+
+def intersect_spheres(sph: SphereSoA, o, d, t_max):
+    """Quadratic + partial-sphere clip (sphere.rs:50-108 intent)."""
+    if sph.count == 0:
+        n = o.shape[0]
+        inf = jnp.full((n,), jnp.inf, DTYPE)
+        return inf, jnp.full((n,), -1, jnp.int32), jnp.zeros((n,), bool)
+    oo, od = _sphere_ray_object(sph, o, d)  # (N,S,3)
+    a = jnp.sum(od * od, axis=-1)
+    b = 2.0 * jnp.sum(od * oo, axis=-1)
+    c = jnp.sum(oo * oo, axis=-1) - (sph.radius**2)[None]
+    ok, t0, t1 = quadratic(a, b, c)
+
+    def clip_ok(t):
+        p = oo + od * t[..., None]
+        # avoid exact-zero xy for phi
+        z = jnp.clip(p[..., 2], -sph.radius[None], sph.radius[None])
+        phi = jnp.arctan2(p[..., 1], p[..., 0])
+        phi = jnp.where(phi < 0.0, phi + 2.0 * jnp.pi, phi)
+        zok = (z >= sph.z_min[None] - 1e-6) & (z <= sph.z_max[None] + 1e-6)
+        return zok & (phi <= sph.phi_max[None] + 1e-6)
+
+    eps = 1e-4
+    t0_ok = ok & (t0 > eps) & (t0 < t_max[:, None]) & clip_ok(t0)
+    t1_ok = ok & (t1 > eps) & (t1 < t_max[:, None]) & clip_ok(t1)
+    t = jnp.where(t0_ok, t0, jnp.where(t1_ok, t1, jnp.inf))
+    idx = jnp.argmin(t, axis=-1).astype(jnp.int32)
+    tbest = jnp.take_along_axis(t, idx[:, None], axis=-1)[:, 0]
+    hit = jnp.isfinite(tbest)
+    return tbest, jnp.where(hit, idx, -1), hit
+
+
+def intersect_brute(tri: TriangleSoA, sph: SphereSoA, o, d, t_max):
+    """Closest hit across all primitive tables."""
+    tt, ti, th = intersect_triangles(tri, o, d, t_max)
+    st, si, sh = intersect_spheres(sph, o, d, t_max)
+    use_s = st < tt
+    return Hit(
+        t=jnp.minimum(tt, st),
+        kind=jnp.where(use_s, PRIM_SPHERE, jnp.where(th, PRIM_TRI, PRIM_NONE)),
+        index=jnp.where(use_s, si, ti),
+        valid=th | sh,
+    )
+
+
+def occluded_brute(tri: TriangleSoA, sph: SphereSoA, o, d, t_max):
+    hit = intersect_brute(tri, sph, o, d, t_max)
+    return hit.valid
+
+
+def surface_interaction(
+    tri: TriangleSoA, sph: SphereSoA, hit: Hit, o, d
+) -> SurfaceHit:
+    """Gather shading geometry for hits (triangle.rs:220-320 /
+    sphere.rs Shape::intersect equivalents, SoA)."""
+    n = hit.t.shape[0]
+    idx = jnp.maximum(hit.index, 0)
+    t_safe = jnp.where(hit.valid, hit.t, 0.0)
+    p_hit = o + d * t_safe[:, None]
+
+    # --- triangle branch ---
+    if tri.count > 0:
+        ti = jnp.clip(idx, 0, tri.count - 1)
+        p0, p1, p2 = tri.p0[ti], tri.p1[ti], tri.p2[ti]
+        uv0, uv1, uv2 = tri.uv0[ti], tri.uv1[ti], tri.uv2[ti]
+        # recompute barycentrics from the stored hit (cheaper than carrying
+        # u,v through the traversal kernel)
+        e1 = p1 - p0
+        e2 = p2 - p0
+        pv = jnp.cross(d, e2)
+        det = jnp.sum(e1 * pv, axis=-1)
+        inv = 1.0 / jnp.where(jnp.abs(det) < TRI_EPS, 1.0, det)
+        tv = o - p0
+        ub = jnp.sum(tv * pv, axis=-1) * inv
+        qv = jnp.cross(tv, e1)
+        vb = jnp.sum(d * qv, axis=-1) * inv
+        w = 1.0 - ub - vb
+        uv_hit_t = uv0 * w[:, None] + uv1 * ub[:, None] + uv2 * vb[:, None]
+        # partial derivatives (triangle.rs:276-299)
+        duv02 = uv0 - uv2
+        duv12 = uv1 - uv2
+        dp02 = p0 - p2
+        dp12 = p1 - p2
+        deter = duv02[:, 0] * duv12[:, 1] - duv02[:, 1] * duv12[:, 0]
+        degen = jnp.abs(deter) < 1e-8
+        idet = 1.0 / jnp.where(degen, 1.0, deter)
+        dpdu_t = (dp02 * duv12[:, 1:2] - dp12 * duv02[:, 1:2]) * idet[:, None]
+        dpdv_t = (-dp02 * duv12[:, 0:1] + dp12 * duv02[:, 0:1]) * idet[:, None]
+        ng_t = vec.normalize(jnp.cross(dp02, dp12))
+        fb1, fb2 = vec.coordinate_system(ng_t)
+        dpdu_t = jnp.where(degen[:, None], fb1, dpdu_t)
+        dpdv_t = jnp.where(degen[:, None], fb2, dpdv_t)
+        # shading normal (triangle.rs:301+): interpolate + faceforward ng
+        ns_raw = (
+            tri.n0[ti] * w[:, None] + tri.n1[ti] * ub[:, None] + tri.n2[ti] * vb[:, None]
+        )
+        has_n = tri.has_n[ti] & (vec.length_squared(ns_raw) > 0.0)
+        ns_t = jnp.where(has_n[:, None], vec.normalize(ns_raw), ng_t)
+        # align geometric normal with shading normal (PBRT convention the
+        # reference keeps via assert dot(n, ns) >= 0)
+        ng_t = vec.faceforward(ng_t, ns_t)
+        mat_t = tri.mat[ti]
+        al_t = tri.area_light[ti]
+    else:
+        z3 = jnp.zeros((n, 3), DTYPE)
+        uv_hit_t = jnp.zeros((n, 2), DTYPE)
+        dpdu_t = dpdv_t = ng_t = ns_t = z3
+        mat_t = jnp.full((n,), -1, jnp.int32)
+        al_t = jnp.full((n,), -1, jnp.int32)
+
+    # --- sphere branch ---
+    if sph.count > 0:
+        si = jnp.clip(idx, 0, sph.count - 1)
+        w2o = sph.w2o[si]
+        o2w = sph.o2w[si]
+        po = jnp.einsum("nij,nj->ni", w2o[:, :3, :3], p_hit) + w2o[:, :3, 3]
+        radius = sph.radius[si]
+        # reproject (sphere.rs does p_hit *= radius / |p_hit|)
+        po = po * (radius / jnp.maximum(vec.length(po), 1e-30))[:, None]
+        phi = jnp.arctan2(po[:, 1], po[:, 0])
+        phi = jnp.where(phi < 0, phi + 2 * jnp.pi, phi)
+        theta = jnp.arccos(jnp.clip(po[:, 2] / radius, -1.0, 1.0))
+        phi_max = sph.phi_max[si]
+        # NOTE theta_min corresponds to z_min (theta decreasing in z)
+        th_min = sph.theta_min[si]
+        th_max = sph.theta_max[si]
+        u_s = phi / phi_max
+        v_s = (theta - th_min) / jnp.where(th_max == th_min, 1.0, th_max - th_min)
+        uv_hit_s = jnp.stack([u_s, v_s], axis=-1)
+        z_r = jnp.sqrt(jnp.maximum(po[:, 0] ** 2 + po[:, 1] ** 2, 1e-20))
+        inv_zr = 1.0 / z_r
+        cos_phi = po[:, 0] * inv_zr
+        sin_phi = po[:, 1] * inv_zr
+        dpdu_o = jnp.stack(
+            [-phi_max * po[:, 1], phi_max * po[:, 0], jnp.zeros_like(phi)], axis=-1
+        )
+        dth = th_max - th_min
+        dpdv_o = (
+            jnp.stack(
+                [po[:, 2] * cos_phi, po[:, 2] * sin_phi, -radius * jnp.sin(theta)],
+                axis=-1,
+            )
+            * dth[:, None]
+        )
+        dpdu_s = jnp.einsum("nij,nj->ni", o2w[:, :3, :3], dpdu_o)
+        dpdv_s = jnp.einsum("nij,nj->ni", o2w[:, :3, :3], dpdv_o)
+        # normal: object-space position transformed as a normal
+        ng_s = vec.normalize(
+            jnp.einsum("nji,nj->ni", w2o[:, :3, :3], po)
+        )
+        mat_s = sph.mat[si]
+        al_s = sph.area_light[si]
+    else:
+        z3 = jnp.zeros((n, 3), DTYPE)
+        uv_hit_s = jnp.zeros((n, 2), DTYPE)
+        dpdu_s = dpdv_s = ng_s = z3
+        mat_s = jnp.full((n,), -1, jnp.int32)
+        al_s = jnp.full((n,), -1, jnp.int32)
+
+    is_sph = (hit.kind == PRIM_SPHERE)[:, None]
+    uv = jnp.where(is_sph, uv_hit_s, uv_hit_t)
+    dpdu = jnp.where(is_sph, dpdu_s, dpdu_t)
+    dpdv = jnp.where(is_sph, dpdv_s, dpdv_t)
+    ng = jnp.where(is_sph, ng_s, ng_t)
+    ns = jnp.where(is_sph, ng_s, ns_t)
+    mat = jnp.where(hit.kind == PRIM_SPHERE, mat_s, mat_t)
+    al = jnp.where(hit.kind == PRIM_SPHERE, al_s, al_t)
+
+    return SurfaceHit(
+        p=p_hit,
+        ng=ng,
+        ns=ns,
+        uv=uv,
+        dpdu=dpdu,
+        dpdv=dpdv,
+        wo=-d,
+        mat=jnp.where(hit.valid, mat, -1),
+        area_light=jnp.where(hit.valid, al, -1),
+        valid=hit.valid,
+    )
+
+
+def offset_ray_origin(p, n, w):
+    """Spawn-ray origin offsetting.  The reference offsets along the normal
+    by an error-bound distance (geometry.rs:721-749); with f32 device math a
+    fixed scaled epsilon on top of the position magnitude is the standard
+    robust equivalent."""
+    mag = jnp.sum(jnp.abs(p), axis=-1, keepdims=True)
+    eps = (1e-4 + 1e-5 * mag)
+    off = jnp.where(vec.dot(w, n)[:, None] < 0.0, -eps, eps)
+    return p + n * off

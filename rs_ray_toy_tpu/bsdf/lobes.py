@@ -139,8 +139,12 @@ class MaterialTableBuilder:
         return len(self.materials) - 1
 
     def pack(self):
-        """Pack to device arrays: dict of (M, MAX_LOBES, ...) tables."""
+        """Pack to device arrays: dict of (M, L, ...) tables with L trimmed
+        to the scene's actual max lobe count (smaller unrolled loops)."""
         m = max(1, len(self.materials))
+        MAX_LOBES = max(
+            [1] + [len(mat.lobes) for mat in self.materials]
+        )
         kind = np.zeros((m, MAX_LOBES), np.int32)
         flags = np.zeros((m, MAX_LOBES), np.int32)
         s0 = np.zeros((m, MAX_LOBES, 3), np.float32)

@@ -1,0 +1,384 @@
+"""RealisticCamera: full lens-element tracing (camera.rs).
+
+Structure:
+- lens table build + thick-lens focus solve on host in numpy f64
+  (camera.rs:66-135, 322-379).  The reference also runs a binary-search
+  focus whose result is printed and *discarded* (camera.rs:111-121); we
+  skip that dead work.
+- exit-pupil bounds: 64 radial bins x n_samples QMC rays traced *vectorized
+  on device* (camera.rs:123-133, 442-488 runs the same million-ray loop per
+  bin on rayon threads; here it is one batched trace per bin).
+- per-sample ray generation (camera.rs:534-580) is pure batched math under
+  jit: a static Python loop over the ~13 lens elements, each step a masked
+  sphere-intersect + refract over the whole ray batch — no divergence
+  beyond the kill mask, ideal VPU shape.
+
+The lens trace is written array-module-agnostic so the same code runs in
+f64 numpy (host focus solve) and f32 jnp (device megabatch).
+"""
+
+from dataclasses import dataclass
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import DTYPE
+from ..core.lowdiscrepancy import radical_inverse_base
+from ..scene.loader import CameraSpec, FilmSpec
+
+
+@dataclass
+class LensSystem:
+    """Element tables, rear-to-front order as stored (index 0 = nearest the
+    scene, last = nearest the film), matching lens_data row order."""
+
+    curvature: np.ndarray  # (E,) meters
+    thickness: np.ndarray  # (E,)
+    eta: np.ndarray  # (E,)
+    aperture_radius: np.ndarray  # (E,)
+
+    @property
+    def rear_z(self):
+        return float(self.thickness[-1])
+
+    @property
+    def front_z(self):
+        return float(np.sum(self.thickness))
+
+    @property
+    def rear_radius(self):
+        return float(self.aperture_radius[-1])
+
+
+def build_lens_system(lens_data, aperture_diameter_mm):
+    """(camera.rs:77-98): rows of (curvature, thickness, eta, aperture_diam)
+    in mm -> meters; stop rows (curvature==0) clamp to aperture_diameter."""
+    rows = np.asarray(lens_data, np.float64).reshape(-1, 4)
+    aperture = rows[:, 3].copy()
+    stop = rows[:, 0] == 0.0
+    aperture[stop & (aperture_diameter_mm <= rows[:, 3])] = aperture_diameter_mm
+    return LensSystem(
+        curvature=rows[:, 0] * 0.001,
+        thickness=rows[:, 1] * 0.001,
+        eta=rows[:, 2],
+        aperture_radius=aperture * 0.001 / 2.0,
+    )
+
+
+def _refract_dir(xp, wi, n, eta):
+    """Batched refract (reflection.rs:122-134); wi away from surface."""
+    cos_i = xp.sum(n * wi, axis=-1)
+    sin2_i = xp.maximum(0.0, 1.0 - cos_i * cos_i)
+    sin2_t = eta * eta * sin2_i
+    ok = sin2_t < 1.0
+    cos_t = xp.sqrt(xp.maximum(0.0, 1.0 - sin2_t))
+    wt = -wi * eta + n * (eta * cos_i - cos_t)[..., None]
+    return wt, ok
+
+
+def _sphere_element_t(xp, o, d, radius, z_center):
+    """(camera.rs:220-253): ray vs spherical lens element."""
+    oc = o - xp.asarray([0.0, 0.0, 1.0]) * z_center
+    a = xp.sum(d * d, axis=-1)
+    b = 2.0 * xp.sum(d * oc, axis=-1)
+    c = xp.sum(oc * oc, axis=-1) - radius * radius
+    discrim = b * b - 4 * a * c
+    ok = discrim >= 0.0
+    root = xp.sqrt(xp.maximum(discrim, 0.0))
+    q = xp.where(b < 0.0, -0.5 * (b - root), -0.5 * (b + root))
+    t0 = q / a
+    t1 = c / xp.where(q == 0.0, 1.0, q)
+    lo = xp.minimum(t0, t1)
+    hi = xp.maximum(t0, t1)
+    use_closer = (d[..., 2] > 0.0) != (radius < 0.0)
+    t = xp.where(use_closer, lo, hi)
+    ok = ok & (t >= 0.0)
+    p = oc + d * t[..., None]
+    n = p / xp.sqrt(xp.maximum(xp.sum(p * p, axis=-1), 1e-30))[..., None]
+    # faceforward(n, -d)
+    flip = xp.sum(n * d, axis=-1) > 0.0
+    n = xp.where(flip[..., None], -n, n)
+    return t, n, ok
+
+
+def trace_lenses_from_film(lens: LensSystem, o, d, xp=jnp):
+    """(camera.rs:156-219): trace film-side rays (camera space, z toward
+    scene negative... the lens space flips z) through all elements.
+
+    o, d: (...,3) in CAMERA space.  Returns (o_out, d_out, alive).
+    """
+    # camera -> lens space: z *= -1 (camera.rs:161)
+    flip = xp.asarray([1.0, 1.0, -1.0])
+    o = o * flip
+    d = d * flip
+    alive = xp.ones(o.shape[:-1], bool)
+    element_z = 0.0
+    E = len(lens.curvature)
+    for i in reversed(range(E)):
+        element_z -= lens.thickness[i]
+        is_stop = lens.curvature[i] == 0.0
+        if is_stop:
+            ok = d[..., 2] < 0.0
+            t = (element_z - o[..., 2]) / xp.where(ok, d[..., 2], -1.0)
+            n = None
+        else:
+            t, n, ok = _sphere_element_t(
+                xp, o, d, lens.curvature[i], element_z + lens.curvature[i]
+            )
+        p = o + d * t[..., None]
+        r2 = p[..., 0] ** 2 + p[..., 1] ** 2
+        ok = ok & (r2 < lens.aperture_radius[i] ** 2)
+        alive = alive & ok
+        o = xp.where(alive[..., None], p, o)
+        if not is_stop:
+            eta_i = lens.eta[i]
+            eta_t = (
+                lens.eta[i - 1]
+                if (i > 0 and lens.eta[i - 1] != 0.0)
+                else 1.0
+            )
+            wi = -d / xp.sqrt(xp.maximum(xp.sum(d * d, axis=-1), 1e-30))[..., None]
+            wt, rok = _refract_dir(xp, wi, n, eta_i / eta_t)
+            alive = alive & rok
+            d = xp.where(alive[..., None], wt, d)
+    return o * flip, d * flip, alive
+
+
+def trace_lenses_from_scene(lens: LensSystem, o, d, xp=jnp):
+    """(camera.rs:254-312): scene-side trace, front to rear."""
+    flip = xp.asarray([1.0, 1.0, -1.0])
+    o = o * flip
+    d = d * flip
+    alive = xp.ones(o.shape[:-1], bool)
+    element_z = -lens.front_z
+    E = len(lens.curvature)
+    for i in range(E):
+        is_stop = lens.curvature[i] == 0.0
+        if is_stop:
+            t = (element_z - o[..., 2]) / d[..., 2]
+            ok = xp.ones(o.shape[:-1], bool)
+            n = None
+        else:
+            t, n, ok = _sphere_element_t(
+                xp, o, d, lens.curvature[i], element_z + lens.curvature[i]
+            )
+        p = o + d * t[..., None]
+        r2 = p[..., 0] ** 2 + p[..., 1] ** 2
+        ok = ok & (r2 < lens.aperture_radius[i] ** 2)
+        alive = alive & ok
+        o = xp.where(alive[..., None], p, o)
+        if not is_stop:
+            eta_i = (
+                1.0 if (i == 0 or lens.eta[i - 1] == 0.0) else lens.eta[i - 1]
+            )
+            eta_t = lens.eta[i] if lens.eta[i] != 0.0 else 1.0
+            wi = -d / xp.sqrt(xp.maximum(xp.sum(d * d, axis=-1), 1e-30))[..., None]
+            wt, rok = _refract_dir(xp, wi, n, eta_i / eta_t)
+            alive = alive & rok
+            d = xp.where(alive[..., None], wt, d)
+        element_z += lens.thickness[i]
+    return o * flip, d * flip, alive
+
+
+# ---- focus solve (host, f64) ----
+
+
+def _cardinal_points(o_in, o_out, d_out):
+    """(camera.rs:323-330)"""
+    tf = -o_out[0] / d_out[0]
+    fz = -(o_out[2] + tf * d_out[2])
+    tp = (o_in[0] - o_out[0]) / d_out[0]
+    pz = -(o_out[2] + tp * d_out[2])
+    return pz, fz
+
+
+def focus_thick_lens(lens: LensSystem, focus_distance, diagonal_m):
+    """(camera.rs:331-379): returns the new rear thickness."""
+    x = 0.001 * diagonal_m
+    # scene-side parallel ray -> film
+    o = np.array([[x, 0.0, lens.front_z + 1.0]])
+    d = np.array([[0.0, 0.0, -1.0]])
+    o_out, d_out, ok = trace_lenses_from_scene(lens, o, d, xp=np)
+    if not ok[0]:
+        raise RuntimeError("thick lens: scene-side ray blocked")
+    pz0, fz0 = _cardinal_points(o[0], o_out[0], d_out[0])
+    # film-side parallel ray -> scene
+    o = np.array([[x, 0.0, lens.rear_z - 1.0]])
+    d = np.array([[0.0, 0.0, 1.0]])
+    o_out, d_out, ok = trace_lenses_from_film(lens, o, d, xp=np)
+    if not ok[0]:
+        raise RuntimeError("thick lens: film-side ray blocked")
+    pz1, fz1 = _cardinal_points(o[0], o_out[0], d_out[0])
+
+    f = fz0 - pz0
+    z = -focus_distance
+    c = (pz1 - z - pz0) * (pz1 - z - 4.0 * f - pz0)
+    if c <= 0.0:
+        raise RuntimeError(
+            f"focus distance {focus_distance} too short for this lens"
+        )
+    delta = 0.5 * (pz1 - z + pz0 - np.sqrt(c))
+    return lens.thickness[-1] + delta
+
+
+# ---- exit pupil (device, batched QMC) ----
+
+
+def bound_exit_pupil(lens: LensSystem, diagonal_m, n_bins=64, n_samples=1 << 20):
+    """(camera.rs:123-133, 442-488): per-radial-bin conservative pupil AABBs.
+
+    One batched device trace per bin over (0,2)-sequence rear-plane samples.
+    Returns (n_bins, 4) [x0, y0, x1, y1] float32.
+    """
+    rear_r = lens.rear_radius
+    proj = 1.5 * rear_r
+    idx = jnp.arange(n_samples)
+    u0 = radical_inverse_base(2, idx)
+    u1 = radical_inverse_base(3, idx)
+    rx = (-proj + 2.0 * proj * u0).astype(DTYPE)
+    ry = (-proj + 2.0 * proj * u1).astype(DTYPE)
+    rear_z = jnp.asarray(lens.rear_z, DTYPE)
+    half_diag = diagonal_m / 2.0
+
+    @jax.jit
+    def one_bin(r0, r1):
+        frac = (jnp.arange(n_samples) + 0.5) / n_samples
+        fx = (r0 * (1.0 - frac) + r1 * frac).astype(DTYPE)
+        o = jnp.stack([fx, jnp.zeros_like(fx), jnp.zeros_like(fx)], axis=-1)
+        p_rear = jnp.stack([rx, ry, jnp.broadcast_to(rear_z, rx.shape)], axis=-1)
+        d = p_rear - o
+        _, _, alive = trace_lenses_from_film(lens, o, d, xp=jnp)
+        big = jnp.float32(1e9)
+        x0 = jnp.min(jnp.where(alive, rx, big))
+        y0 = jnp.min(jnp.where(alive, ry, big))
+        x1 = jnp.max(jnp.where(alive, rx, -big))
+        y1 = jnp.max(jnp.where(alive, ry, -big))
+        count = jnp.sum(alive)
+        return x0, y0, x1, y1, count
+
+    bounds = np.zeros((n_bins, 4), np.float32)
+    # sample-spacing expansion (camera.rs:484-487)
+    expand = 2.0 * np.hypot(2 * proj, 2 * proj) / np.sqrt(n_samples)
+    for i in range(n_bins):
+        r0 = i / n_bins * half_diag
+        r1 = (i + 1) / n_bins * half_diag
+        x0, y0, x1, y1, count = one_bin(r0, r1)
+        if int(count) == 0:
+            bounds[i] = (-proj, -proj, proj, proj)
+        else:
+            bounds[i] = (
+                float(x0) - expand,
+                float(y0) - expand,
+                float(x1) + expand,
+                float(y1) + expand,
+            )
+    return bounds
+
+
+class RealisticCamera:
+    """Host wrapper owning device-ready tables; generate_rays is jittable."""
+
+    def __init__(
+        self,
+        spec: CameraSpec,
+        film: FilmSpec,
+        pupil_samples: int = 1 << 20,
+        pupil_bins: int = 64,
+    ):
+        self.spec = spec
+        self.film = film
+        self.diagonal_m = film.diagonal_mm * 0.001  # film.rs:178 diagonal*0.001
+        lens = build_lens_system(spec.lens_data, spec.aperture_diameter)
+        # focus (camera.rs:110-121): thick-lens result is what sticks
+        new_rear = focus_thick_lens(lens, spec.focus_distance, self.diagonal_m)
+        lens.thickness[-1] = new_rear
+        self.lens = lens
+        self.exit_pupil_bounds = bound_exit_pupil(
+            lens, self.diagonal_m, pupil_bins, pupil_samples
+        )  # (bins,4) numpy f32
+        self.pupil_bins = pupil_bins
+        self.cam_to_world = jnp.asarray(spec.cam_to_world.m, DTYPE)
+        # physical film extent (film.rs:200-208)
+        aspect = film.yres / film.xres
+        x = np.sqrt(self.diagonal_m**2 / (1.0 + aspect * aspect))
+        y = aspect * x
+        self.extent = np.array([x, y])
+
+    # -- device-side ray generation (camera.rs:534-580) --
+    def generate_rays(self, p_film_raster, u_lens, time_u=None):
+        """p_film_raster: (N,2) raster-space film points (x right, y down);
+        u_lens: (N,2) in [0,1)^2.  Returns (o_world, d_world, weight)."""
+        ext = jnp.asarray(self.extent, DTYPE)
+        res = jnp.asarray([self.film.xres, self.film.yres], DTYPE)
+        s = p_film_raster / res
+        # physical extent lerp (film.rs:200-208), then x negated
+        # (camera.rs:542 pFilm = (-p.x, p.y, 0))
+        p_phys = (s - 0.5) * ext
+        p_film = jnp.stack(
+            [-p_phys[..., 0], p_phys[..., 1], jnp.zeros_like(p_phys[..., 0])],
+            axis=-1,
+        )
+
+        p_rear, pupil_area = self._sample_exit_pupil(p_film[..., :2], u_lens)
+        d = p_rear - p_film
+        o_out, d_out, alive = trace_lenses_from_film(self.lens, p_film, d, xp=jnp)
+
+        # to world + normalize
+        m = self.cam_to_world
+        o_world = o_out @ m[:3, :3].T + m[:3, 3]
+        d_world = d_out @ m[:3, :3].T
+        d_world = d_world / jnp.maximum(
+            jnp.linalg.norm(d_world, axis=-1, keepdims=True), 1e-30
+        )
+
+        # weight (camera.rs:569-579), simple_weighting path
+        dn = d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-30)
+        cos_theta = dn[..., 2]
+        cos4 = (cos_theta * cos_theta) ** 2
+        area0 = self._bin_area(0)
+        if self.spec.simple_weighting:
+            weight = cos4 * pupil_area / area0
+        else:
+            weight = (
+                (self.spec.shutter_close - self.spec.shutter_open)
+                * (cos4 * pupil_area)
+                / self.lens.rear_z
+                * self.lens.rear_z
+            )
+        weight = jnp.where(alive, weight, 0.0)
+        return o_world, d_world, weight.astype(DTYPE)
+
+    def _bin_area(self, i):
+        b = self.exit_pupil_bounds[i]
+        return float((b[2] - b[0]) * (b[3] - b[1]))
+
+    def _sample_exit_pupil(self, p_film_xy, u_lens):
+        """(camera.rs:492-521).  PBRT-intended bin indexing:
+        r_index = floor(r_film / (diag/2) * n_bins).  (The reference casts
+        before multiplying (camera.rs:496) which pins the index to 0 — a
+        SURVEY §2.7-class quirk we fix.)"""
+        bounds = jnp.asarray(self.exit_pupil_bounds)  # (B,4)
+        r_film = jnp.sqrt(p_film_xy[..., 0] ** 2 + p_film_xy[..., 1] ** 2)
+        r_index = jnp.clip(
+            (r_film / (self.diagonal_m / 2.0) * self.pupil_bins).astype(jnp.int32),
+            0,
+            self.pupil_bins - 1,
+        )
+        b = bounds[r_index]  # (N,4)
+        px = b[..., 0] + u_lens[..., 0] * (b[..., 2] - b[..., 0])
+        py = b[..., 1] + u_lens[..., 1] * (b[..., 3] - b[..., 1])
+        area = (b[..., 2] - b[..., 0]) * (b[..., 3] - b[..., 1])
+        safe_r = jnp.where(r_film == 0.0, 1.0, r_film)
+        sin_t = jnp.where(r_film != 0.0, p_film_xy[..., 1] / safe_r, 0.0)
+        cos_t = jnp.where(r_film != 0.0, p_film_xy[..., 0] / safe_r, 1.0)
+        p_rear = jnp.stack(
+            [
+                cos_t * px - sin_t * py,
+                sin_t * px + cos_t * py,
+                jnp.full_like(px, self.lens.rear_z),
+            ],
+            axis=-1,
+        )
+        return p_rear, area

@@ -1,0 +1,118 @@
+"""Debug and DirectLighting integrators as wavefront level loops.
+
+The reference's recursive li + specular_reflect/specular_transmit tree
+(intersect_debug.rs:56-89, directlighting.rs:17-133,
+integrator/mod.rs:150-301) becomes an iterative loop over depth levels:
+each level carries a ray array with per-ray throughput beta; specular
+reflection and transmission branches *double* the next level's ray array
+(both children of every tree node), with dead branches masked by beta=0.
+Small scenes keep 2^depth modest; compaction is a later perf phase.
+"""
+
+import jax.numpy as jnp
+
+from ..config import DTYPE
+from ..core import vec
+from ..accel import geometry as geom
+from ..bsdf import eval as beval
+from ..bsdf.lobes import BXDF_REFLECTION, BXDF_SPECULAR, BXDF_TRANSMISSION
+from .common import (
+    SceneCtx,
+    uniform_sample_all_lights,
+    uniform_sample_one_light,
+)
+
+
+def li_levels(ctx: SceneCtx, o, d, cam_weight, sampler, pixel_id, s_idx, spec):
+    """Evaluate radiance for camera rays under Debug / DirectLighting.
+
+    Returns (N,3) radiance.  spec: IntegratorSpec (kind in debug|direct).
+    """
+    n = o.shape[0]
+    max_depth = spec.max_depth
+    debug = spec.kind == "debug"
+    strategy_all = debug or spec.light_strategy == "all"
+
+    L = jnp.zeros((n, 3), DTYPE)
+    # level state
+    lo, ld_, beta = o, d, jnp.ones((n, 3), DTYPE)
+    beta = beta * (cam_weight > 0.0)[:, None]
+    lpix, lsamp = pixel_id, s_idx
+    # per-ray dimension salt: tree branches at the same (pixel, sample) get
+    # decorrelated sampler streams (the reference's sequential consumption
+    # differs per branch the same way)
+    branch = jnp.zeros((n,), jnp.int32)
+    dim_off = 8  # dims 0-7 reserved for camera sample use
+    depth = 1
+    while True:
+        dim_base = dim_off + branch * 257
+        t_max = jnp.full(lo.shape[:-1], jnp.inf, DTYPE)
+        active = jnp.any(beta != 0.0, axis=-1)
+        hit = ctx.intersect(lo, ld_, t_max)
+        si = ctx.surface(hit, lo, ld_)
+        si = si._replace(valid=si.valid & active)
+        params = ctx.shade_params(si)
+        frame = ctx.frame(si)
+
+        level_l = jnp.zeros_like(beta)
+        if debug:
+            # flat base on any hit (intersect_debug.rs:69-72)
+            level_l = level_l + jnp.where(
+                si.valid[:, None], jnp.full((1, 3), 0.1, DTYPE), 0.0
+            )
+        if strategy_all:
+            s_l, dim_base = uniform_sample_all_lights(
+                ctx, si, params, frame, sampler, lpix, lsamp, dim_base
+            )
+        else:
+            s_l, dim_base = uniform_sample_one_light(
+                ctx, si, params, frame, sampler, lpix, lsamp, dim_base
+            )
+        level_l = level_l + s_l
+        L = _accumulate(L, n, beta * level_l)
+
+        if depth + 1 >= max_depth:
+            break
+        # specular reflect + transmit children (integrator/mod.rs:150-301)
+        children = []
+        for ci, flags in enumerate(
+            (
+                BXDF_SPECULAR | BXDF_REFLECTION,
+                BXDF_SPECULAR | BXDF_TRANSMISSION,
+            )
+        ):
+            u = sampler.get_2d(lpix, lsamp, dim_base + ci)
+            bs = beval.bsdf_sample(params, frame, si.wo, u, flags)
+            contrib_ok = (
+                si.valid
+                & bs.valid
+                & (vec.absdot(bs.wi_world, frame.ns) != 0.0)
+            )
+            child_beta = (
+                beta
+                * bs.f
+                * (vec.absdot(bs.wi_world, frame.ns) / jnp.maximum(bs.pdf, 1e-20))[
+                    :, None
+                ]
+            )
+            child_beta = jnp.where(contrib_ok[:, None], child_beta, 0.0)
+            child_o = geom.offset_ray_origin(si.p, si.ng, bs.wi_world)
+            children.append((child_o, bs.wi_world, child_beta))
+        lo = jnp.concatenate([c[0] for c in children])
+        ld_ = jnp.concatenate([c[1] for c in children])
+        beta = jnp.concatenate([c[2] for c in children])
+        lpix = jnp.concatenate([lpix, lpix])
+        lsamp = jnp.concatenate([lsamp, lsamp])
+        # unique tree-node ids for sampler decorrelation
+        branch = jnp.concatenate([branch * 2 + 1, branch * 2 + 2])
+        depth += 1
+
+    return L
+
+
+def _accumulate(L, n, contrib):
+    """Fold a level's (k*n,3) contributions back onto the n camera rays."""
+    k = contrib.shape[0] // n
+    if k == 1:
+        return L + contrib
+    return L + jnp.sum(contrib.reshape(k, n, 3), axis=0)

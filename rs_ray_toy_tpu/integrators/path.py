@@ -1,0 +1,105 @@
+"""Wavefront unidirectional path tracer (integrator/path.rs).
+
+The recursive bounce loop (path.rs:51-226) becomes a masked megabatch loop:
+all rays advance one bounce per iteration with an active mask; emitted-light
+rules (bounce-0/specular), NEE with the uniform light distribution
+(path.rs:47-49), throughput update, etaScale-corrected Russian roulette
+after bounce 3 (path.rs:212-222) all match the reference estimator.
+
+Notes:
+- isect.le() is always zero in the reference because the aggregate never
+  links area lights into primitives (renderprocess.rs:1192); escaped rays
+  collect infinite_lights le (none wired yet -> zero contribution).
+- BSSRDF branch lands with the Disney/BSSRDF phase.
+- Stream compaction/sorting is a perf phase; the mask form is estimator-
+  exact already.
+"""
+
+import jax.numpy as jnp
+
+from ..config import DTYPE
+from ..core import vec
+from ..accel import geometry as geom
+from ..bsdf import eval as beval
+from ..bsdf.lobes import BXDF_ALL, BXDF_SPECULAR, BXDF_TRANSMISSION
+from .common import SceneCtx, uniform_sample_one_light
+
+
+def li_path(ctx: SceneCtx, o, d, cam_weight, sampler, pixel_id, s_idx, spec):
+    n = o.shape[0]
+    L = jnp.zeros((n, 3), DTYPE)
+    beta = jnp.ones((n, 3), DTYPE) * (cam_weight > 0.0)[:, None]
+    active = cam_weight > 0.0
+    specular_bounce = jnp.zeros((n,), bool)
+    eta_scale = jnp.ones((n,), DTYPE)
+    ro, rd = o, d
+
+    DIMS_PER_BOUNCE = 8
+    for bounces in range(spec.max_depth + 1):
+        dim0 = 8 + bounces * DIMS_PER_BOUNCE
+        t_max = jnp.full((n,), jnp.inf, DTYPE)
+        hit = ctx.intersect(ro, rd, t_max)
+        found = hit.valid & active
+
+        # emitted light at vertex 0 / after specular (path.rs:79-88):
+        # surface le is identically zero (module docstring); infinite-light
+        # le accumulates here once the env-map phase lands.
+
+        # terminate: escaped or depth exhausted (path.rs:91-93)
+        active = active & found & (bounces < spec.max_depth)
+        if bounces == spec.max_depth:
+            break
+
+        si = ctx.surface(hit, ro, rd)
+        si = si._replace(valid=si.valid & active)
+        params = ctx.shade_params(si)
+        frame = ctx.frame(si)
+
+        # NEE unless the BSDF is purely specular (path.rs:108-122)
+        n_nonspec = beval.num_components(params, BXDF_ALL & ~BXDF_SPECULAR)
+        si_nee = si._replace(valid=si.valid & (n_nonspec > 0))
+        ld, _ = uniform_sample_one_light(
+            ctx, si_nee, params, frame, sampler, pixel_id, s_idx, dim0
+        )
+        L = L + beta * ld
+
+        # sample BSDF for the next direction (path.rs:125-148)
+        u_bsdf = sampler.get_2d(pixel_id, s_idx, dim0 + 3)
+        bs = beval.bsdf_sample(params, frame, si.wo, u_bsdf, BXDF_ALL)
+        ok = active & bs.valid & jnp.any(bs.f != 0.0, axis=-1) & (bs.pdf > 0.0)
+        beta_next = (
+            beta
+            * bs.f
+            * (vec.absdot(bs.wi_world, frame.ns) / jnp.maximum(bs.pdf, 1e-20))[:, None]
+        )
+        beta = jnp.where(ok[:, None], beta_next, beta)
+        active = active & ok
+        specular_bounce = (bs.sampled_flags & BXDF_SPECULAR) != 0
+
+        # etaScale tracking (path.rs:150-163)
+        is_spec_trans = (
+            ((bs.sampled_flags & BXDF_SPECULAR) != 0)
+            & ((bs.sampled_flags & BXDF_TRANSMISSION) != 0)
+        )
+        eta = params["eta"]
+        entering = vec.dot(si.wo, si.ng) > 0.0
+        eta_fac = jnp.where(entering, eta * eta, 1.0 / jnp.maximum(eta * eta, 1e-20))
+        eta_scale = jnp.where(active & is_spec_trans, eta_scale * eta_fac, eta_scale)
+
+        ro = jnp.where(
+            active[:, None], geom.offset_ray_origin(si.p, si.ng, bs.wi_world), ro
+        )
+        rd = jnp.where(active[:, None], bs.wi_world, rd)
+
+        # Russian roulette (path.rs:212-222)
+        rr_beta_max = jnp.max(beta * eta_scale[:, None], axis=-1)
+        do_rr = active & (rr_beta_max < spec.rr_threshold) & (bounces > 3)
+        q = jnp.maximum(0.05, 1.0 - rr_beta_max)
+        u_rr = sampler.get_1d(pixel_id, s_idx, dim0 + 4)
+        killed = do_rr & (u_rr < q)
+        active = active & ~killed
+        beta = jnp.where(
+            (do_rr & ~killed)[:, None], beta / jnp.maximum(1.0 - q, 1e-9)[:, None], beta
+        )
+
+    return L

@@ -1,0 +1,106 @@
+"""Top-level render driver: the deploy_render equivalent.
+
+`deploy_render(scene.json, out.png)` (renderprocess.rs:92-105 / main.rs)
+loads the scene, builds the camera, and runs the configured integrator as a
+jitted per-sample megabatch pass: every pixel's s-th sample is one device
+batch (raygen -> li -> film scatter-add), replacing the reference's
+rayon 16x16 tile loop (integrator/mod.rs:48-139).  The film is carried
+through `lax`-style functional updates with donated buffers.
+"""
+
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .config import DTYPE
+from .camera.realistic import RealisticCamera
+from .film import film as fmod
+from .integrators.common import SceneCtx, scrub_radiance
+from .integrators.direct import li_levels
+from .sampler.stratified import StratifiedSampler
+from .scene.loader import RenderJob, load_scene
+
+
+def deploy_render(scene_path, save_to, spp_override=None, pupil_samples=1 << 20):
+    job = load_scene(scene_path)
+    result = render_job(job, spp_override=spp_override, pupil_samples=pupil_samples)
+    colored = fmod.write_png(result["rgb_srgb_input"], save_to)
+    print(
+        f"Total pixels: {job.film.xres * job.film.yres}. Colored Pixels: {colored}"
+    )
+    return result
+
+
+def render_job(job: RenderJob, spp_override=None, pupil_samples=1 << 20, seed=0):
+    film_spec = job.film
+    cam = RealisticCamera(job.camera, film_spec, pupil_samples=pupil_samples)
+    ctx = SceneCtx(job.scene)
+    spp = spp_override if spp_override is not None else job.sampler.spp
+    if job.sampler.kind == "halton":
+        from .sampler.halton import HaltonSampler
+
+        job.sampler.nsamp = spp
+        sampler = HaltonSampler(job.sampler, film_spec.xres, film_spec.yres, seed=seed)
+    else:
+        sampler = StratifiedSampler(job.sampler, seed=seed)
+        if spp_override is not None:
+            # keep stratification consistent with an overridden spp
+            side = max(1, int(np.sqrt(spp)))
+            sampler.xs = side
+            sampler.ys = max(1, spp // side)
+            sampler.spp = sampler.xs * sampler.ys
+            spp = sampler.spp
+
+    h, w = film_spec.yres, film_spec.xres
+    ys, xs = np.mgrid[0:h, 0:w]
+    pixel_xy = jnp.asarray(
+        np.stack([xs.ravel(), ys.ravel()], axis=-1), DTYPE
+    )  # raster (x, y)
+    pixel_id = jnp.asarray((ys * w + xs).ravel(), jnp.uint32)
+
+    integrator = job.integrator
+
+    def li_fn(o, d, weight, s_idx_arr):
+        if integrator.kind in ("debug", "direct"):
+            return li_levels(ctx, o, d, weight, sampler, pixel_id, s_idx_arr, integrator)
+        elif integrator.kind == "path":
+            from .integrators.path import li_path
+
+            return li_path(ctx, o, d, weight, sampler, pixel_id, s_idx_arr, integrator)
+        elif integrator.kind == "ao":
+            from .integrators.ao import li_ao
+
+            return li_ao(ctx, o, d, weight, sampler, pixel_id, s_idx_arr, integrator)
+        raise NotImplementedError(integrator.kind)
+
+    @jax.jit
+    def sample_pass(film, s_idx):
+        s_idx_arr = jnp.full(pixel_id.shape, s_idx, jnp.uint32)
+        # camera sample (samplers/mod.rs:28-34): film jitter + lens + time
+        u_film = sampler.get_2d(pixel_id, s_idx_arr, 0)
+        u_lens = sampler.get_2d(pixel_id, s_idx_arr, 1)
+        p_film = pixel_xy + u_film
+        o, d, weight = cam.generate_rays(p_film, u_lens)
+        l = li_fn(o, d, weight, s_idx_arr)
+        l = scrub_radiance(l)
+        l = jnp.where((weight > 0.0)[:, None], l, 0.0)
+        return fmod.add_samples(film, film_spec, p_film, l, weight)
+
+    film = fmod.make_film(film_spec)
+    t0 = time.time()
+    for s in range(spp):
+        film = sample_pass(film, jnp.uint32(s))
+    jax.block_until_ready(film)
+    elapsed = time.time() - t0
+
+    rgb = fmod.to_rgb(film, film_spec, splat_scale=1.0)
+    n_rays = w * h * spp
+    return {
+        "film": film,
+        "rgb_srgb_input": rgb,
+        "elapsed_s": elapsed,
+        "camera_rays": n_rays,
+        "mrays_per_s": n_rays / max(elapsed, 1e-9) / 1e6,
+    }
