@@ -84,7 +84,86 @@ def primitive_bounds(tri, sph):
     )
 
 
+_NATIVE = None
+
+
+def _native_lib():
+    """Load the C++ builder (csrc/bvh_builder.cpp) via ctypes."""
+    global _NATIVE
+    if _NATIVE is not None:
+        return _NATIVE or None
+    import ctypes
+    import os
+
+    so = os.path.join(os.path.dirname(__file__), "..", "..", "csrc", "libbvh.so")
+    try:
+        lib = ctypes.CDLL(os.path.abspath(so))
+    except OSError:
+        _NATIVE = False
+        return None
+    c_dp = np.ctypeslib.ndpointer(np.float64, flags="C")
+    c_fp = np.ctypeslib.ndpointer(np.float32, flags="C")
+    c_ip = np.ctypeslib.ndpointer(np.int32, flags="C")
+    lib.bvh_build_sah.argtypes = [
+        c_dp, c_dp, np.ctypeslib.ctypes.c_int, np.ctypeslib.ctypes.c_int,
+        c_fp, c_fp, c_ip, c_ip, c_ip, c_ip,
+    ]
+    lib.bvh_build_sah.restype = np.ctypeslib.ctypes.c_int
+    _NATIVE = lib
+    return lib
+
+
+def _build_flat_native(lo, hi, max_prims_in_node):
+    """Run the native SAH builder; returns flat arrays or None."""
+    lib = _native_lib()
+    if lib is None:
+        return None
+    n = lo.shape[0]
+    cap = 2 * n
+    node_min = np.zeros((cap, 3), np.float32)
+    node_max = np.zeros((cap, 3), np.float32)
+    offset = np.zeros(cap, np.int32)
+    nprims = np.zeros(cap, np.int32)
+    axis = np.zeros(cap, np.int32)
+    order = np.zeros(n, np.int32)
+    m = lib.bvh_build_sah(
+        np.ascontiguousarray(lo, np.float64),
+        np.ascontiguousarray(hi, np.float64),
+        n,
+        max_prims_in_node,
+        node_min,
+        node_max,
+        offset,
+        nprims,
+        axis,
+        order,
+    )
+    if m <= 0:
+        return None
+    return node_min[:m], node_max[:m], offset[:m], nprims[:m], axis[:m], order
+
+
 def build_bvh(tri, sph, max_prims_in_node=4) -> FlatBVH:
+    lo, hi, kinds, index = primitive_bounds(tri, sph)
+    if lo.shape[0] > 0:
+        native = _build_flat_native(lo, hi, max_prims_in_node)
+        if native is not None:
+            nmin, nmax, offs, nprims, axes, order = native
+            return FlatBVH(
+                bounds_min=jnp.asarray(nmin),
+                bounds_max=jnp.asarray(nmax),
+                offset=jnp.asarray(offs),
+                n_prims=jnp.asarray(nprims),
+                axis=jnp.asarray(axes),
+                prim_kind=jnp.asarray(kinds[order], jnp.int32),
+                prim_index=jnp.asarray(index[order], jnp.int32),
+                max_leaf=max_prims_in_node,
+            )
+    return build_bvh_py(tri, sph, max_prims_in_node)
+
+
+def build_bvh_py(tri, sph, max_prims_in_node=4) -> FlatBVH:
+    """Pure-python fallback builder (same layout)."""
     lo, hi, kinds, index = primitive_bounds(tri, sph)
     n = lo.shape[0]
     if n == 0:

@@ -89,6 +89,8 @@ def render_job(job: RenderJob, spp_override=None, pupil_samples=1 << 20, seed=0)
         return fmod.add_samples(film, film_spec, p_film, l, weight)
 
     film = fmod.make_film(film_spec)
+    # warm-up pass: trigger (remote) compilation outside the timed region
+    jax.block_until_ready(sample_pass(film, jnp.uint32(0)))
     t0 = time.time()
     for s in range(spp):
         film = sample_pass(film, jnp.uint32(s))
