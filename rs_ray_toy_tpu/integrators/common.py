@@ -41,7 +41,25 @@ class SceneCtx:
         self.mats = bundle.materials
         self.registry = bundle.registry
         self.dev_images = bundle.dev_images
+        self.infinite_envs = bundle.infinite
         self.n_lights = int(self.lights.count)
+        if bundle.mediums:
+            from ..scene.medium import pack_mediums
+
+            self.mediums = pack_mediums(bundle.mediums)
+        else:
+            self.mediums = None
+        self.camera_medium = bundle.camera_medium
+        # power light distribution, built eagerly (outside any trace)
+        if self.n_lights:
+            from ..core.sampling import Distribution1D
+            from ..lights import lights as _lm
+
+            self._power_distribution = Distribution1D(
+                np.asarray(_lm.power(self.lights))
+            ).as_device()
+        else:
+            self._power_distribution = None
         # static facts about the material table (compile-time pruning)
         self.static_kinds = frozenset(np.unique(np.asarray(self.mats["kind"])))
         self.uses_textures = bool(
@@ -126,7 +144,7 @@ def estimate_direct(ctx: SceneCtx, si, params, frame, light_idx, u_light, u_scat
     integrator/mod.rs:413-417).
     """
     flags = BXDF_ALL & ~BXDF_SPECULAR
-    ls = lmod.sample_li(ctx.lights, light_idx, si.p, u_light)
+    ls = lmod.sample_li(ctx.lights, ctx.infinite_envs, light_idx, si.p, u_light)
     ld = jnp.zeros_like(si.p)
 
     # --- light-sampling branch ---
@@ -149,7 +167,6 @@ def estimate_direct(ctx: SceneCtx, si, params, frame, light_idx, u_light, u_scat
     ld = ld + li * f * (weight / jnp.maximum(ls.pdf, 1e-20))[..., None]
 
     # --- BSDF-sampling branch (non-delta lights only) ---
-    any_nondelta = bool(ctx.n_lights) and True  # cheap static check below
     # static skip: if the light table holds only delta kinds, the branch is
     # dead (see module docstring re: area-light identity check).
     import numpy as np
@@ -159,7 +176,9 @@ def estimate_direct(ctx: SceneCtx, si, params, frame, light_idx, u_light, u_scat
         bs = beval.bsdf_sample(params, frame, si.wo, u_scatter, flags)
         f2 = bs.f * vec.absdot(bs.wi_world, frame.ns)[..., None]
         sampled_spec = (bs.sampled_flags & BXDF_SPECULAR) != 0
-        light_pdf2 = lmod.pdf_li(ctx.lights, light_idx, si.p, bs.wi_world)
+        light_pdf2 = lmod.pdf_li(
+            ctx.lights, ctx.infinite_envs, light_idx, si.p, bs.wi_world
+        )
         w2 = jnp.where(
             sampled_spec, 1.0, power_heuristic(1, bs.pdf, 1, light_pdf2)
         )
@@ -173,9 +192,22 @@ def estimate_direct(ctx: SceneCtx, si, params, frame, light_idx, u_light, u_scat
         origin = geom.offset_ray_origin(si.p, si.ng, bs.wi_world)
         big = jnp.full(origin.shape[:-1], jnp.inf, DTYPE)
         hit2 = ctx.intersect(origin, bs.wi_world, big)
-        # escaped rays: infinite-light le (none wired yet -> zero); hits:
-        # the aggregate has no emissive prims (see docstring).
+        # hits never identify the sampled area light (aggregate carries no
+        # emissive prims, see docstring); escaped rays collect the sampled
+        # light's own le — nonzero only for infinite lights.
         li2 = jnp.zeros_like(f2)
+        lkind = ctx.lights.kind[light_idx]
+        for env_id, env in enumerate(ctx.infinite_envs):
+            sel = (
+                (lkind == lmod.LIGHT_INFINITE)
+                & (ctx.lights.shape_index[light_idx] == env_id)
+                & ~hit2.valid
+            )
+            if not bool(np.any(np.asarray(ctx.lights.shape_index) == env_id)):
+                continue
+            li2 = jnp.where(
+                sel[..., None], lmod._env_lookup(env, bs.wi_world), li2
+            )
         ld = ld + jnp.where(
             live2[..., None],
             li2 * f2 * (w2 / jnp.maximum(bs.pdf, 1e-20))[..., None],

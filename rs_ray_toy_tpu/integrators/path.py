@@ -42,8 +42,17 @@ def li_path(ctx: SceneCtx, o, d, cam_weight, sampler, pixel_id, s_idx, spec):
         found = hit.valid & active
 
         # emitted light at vertex 0 / after specular (path.rs:79-88):
-        # surface le is identically zero (module docstring); infinite-light
-        # le accumulates here once the env-map phase lands.
+        # surface le is identically zero (module docstring); escaped rays
+        # collect infinite-light le.
+        if ctx.infinite_envs:
+            from ..lights.lights import le_escape
+
+            collect = active & ~found
+            if bounces > 0:
+                collect = collect & specular_bounce
+            L = L + jnp.where(
+                collect[:, None], beta * le_escape(ctx.infinite_envs, rd), 0.0
+            )
 
         # terminate: escaped or depth exhausted (path.rs:91-93)
         active = active & found & (bounces < spec.max_depth)

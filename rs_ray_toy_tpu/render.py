@@ -69,13 +69,19 @@ def render_job(job: RenderJob, spp_override=None, pupil_samples=1 << 20, seed=0)
             from .integrators.path import li_path
 
             return li_path(ctx, o, d, weight, sampler, pixel_id, s_idx_arr, integrator)
+        elif integrator.kind == "volpath":
+            from .integrators.volpath import li_volpath
+
+            return li_volpath(
+                ctx, o, d, weight, sampler, pixel_id, s_idx_arr, integrator,
+                camera_medium=ctx.camera_medium,
+            )
         elif integrator.kind == "ao":
             from .integrators.ao import li_ao
 
             return li_ao(ctx, o, d, weight, sampler, pixel_id, s_idx_arr, integrator)
         raise NotImplementedError(integrator.kind)
 
-    @jax.jit
     def sample_pass(film, s_idx):
         s_idx_arr = jnp.full(pixel_id.shape, s_idx, jnp.uint32)
         # camera sample (samplers/mod.rs:28-34): film jitter + lens + time
@@ -88,12 +94,19 @@ def render_job(job: RenderJob, spp_override=None, pupil_samples=1 << 20, seed=0)
         l = jnp.where((weight > 0.0)[:, None], l, 0.0)
         return fmod.add_samples(film, film_spec, p_film, l, weight)
 
-    film = fmod.make_film(film_spec)
-    # warm-up pass: trigger (remote) compilation outside the timed region
-    jax.block_until_ready(sample_pass(film, jnp.uint32(0)))
+    # one dispatch for the whole render: spp passes under a fori_loop —
+    # the per-call host<->device round trip would otherwise dominate
+    @jax.jit
+    def render_all(film):
+        return jax.lax.fori_loop(
+            0, spp, lambda s, f: sample_pass(f, s.astype(jnp.uint32)), film
+        )
+
+    film0 = fmod.make_film(film_spec)
+    # AOT-compile outside the timed region (no extra execution)
+    compiled = render_all.lower(film0).compile()
     t0 = time.time()
-    for s in range(spp):
-        film = sample_pass(film, jnp.uint32(s))
+    film = compiled(film0)
     jax.block_until_ready(film)
     elapsed = time.time() - t0
 

@@ -291,6 +291,11 @@ def load_scene(path: str) -> RenderJob:
         mediums=mediums,
     )
 
+    cam_medium_spec = _parse_medium((cfg.get("Camera", {}) or {}).get("medium"))
+    if cam_medium_spec is not None:
+        mediums.append(cam_medium_spec)
+        bundle.camera_medium = len(mediums) - 1
+
     film = _make_film_spec(cfg.get("Film", {}))
     camera = _make_camera_spec(cfg.get("Camera", {}))
     sampler = _make_sampler_spec(cfg.get("Sampler", {}))
@@ -515,6 +520,8 @@ class _TriInstance:
     uv: Optional[np.ndarray]  # (3,2) or None
     mat: int
     area_light: int = -1
+    med_in: int = -1
+    med_out: int = -1
 
 
 @dataclass
@@ -526,6 +533,8 @@ class _SphereInstance:
     phi_max_deg: float
     mat: int
     area_light: int = -1
+    med_in: int = -1
+    med_out: int = -1
 
 
 def _sphere_from_cfg(cfg, extra_to_world: Optional[Transform] = None):
@@ -601,10 +610,26 @@ def _make_aggregate(cfg, meshes, mat_ids):
     tris: List[_TriInstance] = []
     sphs: List[_SphereInstance] = []
     mediums: List[MediumSpec] = []
+    def parse_mi(prim):
+        """Per-primitive medium interface (renderprocess.rs:1193-1207)."""
+        mi_cfg = prim.get("medium_interface")
+        med_in = med_out = -1
+        if isinstance(mi_cfg, dict):
+            mspec = _parse_medium(mi_cfg.get("inside"))
+            if mspec is not None:
+                mediums.append(mspec)
+                med_in = len(mediums) - 1
+            mspec = _parse_medium(mi_cfg.get("outside"))
+            if mspec is not None:
+                mediums.append(mspec)
+                med_out = len(mediums) - 1
+        return med_in, med_out
+
     for prim in agg.get("primitives", []) or []:
         ptype = read_string(prim, "primitive_type", "")
         mat_name = read_string(prim, "material_name", "DefaultMaterialName")
         mat_id = mat_ids.get(mat_name, -1)
+        med_in, med_out = parse_mi(prim)
         if ptype == "sphere":
             if mat_id < 0:
                 continue
@@ -614,22 +639,28 @@ def _make_aggregate(cfg, meshes, mat_ids):
                 for inst in instances:
                     s = _sphere_from_cfg(prim, make_to_world(inst))
                     s.mat = mat_id
+                    s.med_in, s.med_out = med_in, med_out
                     sphs.append(s)
             else:
                 base.mat = mat_id
+                base.med_in, base.med_out = med_in, med_out
                 sphs.append(base)
         elif ptype == "triangle":
             obj_name = read_string(prim, "obj_name", "DefaultObjName")
             if obj_name not in meshes or mat_id < 0:
                 continue
             instances = prim.get("instances")
+            new_tris = []
             if isinstance(instances, list):
                 for inst in instances:
-                    tris.extend(
+                    new_tris.extend(
                         _expand_mesh(meshes[obj_name], make_to_world(inst), mat_id)
                     )
             else:
-                tris.extend(_expand_mesh(meshes[obj_name], None, mat_id))
+                new_tris.extend(_expand_mesh(meshes[obj_name], None, mat_id))
+            for t in new_tris:
+                t.med_in, t.med_out = med_in, med_out
+            tris.extend(new_tris)
     return tris, sphs, mediums
 
 
@@ -652,6 +683,8 @@ def _pack_triangles(tris: List[_TriInstance]) -> TriangleSoA:
         has_n=jnp.asarray(has_n),
         mat=jnp.asarray([x.mat for x in tris], jnp.int32),
         area_light=jnp.asarray([x.area_light for x in tris], jnp.int32),
+        med_in=jnp.asarray([x.med_in for x in tris], jnp.int32),
+        med_out=jnp.asarray([x.med_out for x in tris], jnp.int32),
     )
 
 
@@ -675,6 +708,8 @@ def _pack_spheres(sphs: List[_SphereInstance]) -> SphereSoA:
         theta_min=f32(theta_min), theta_max=f32(theta_max), phi_max=f32(phi_max),
         mat=jnp.asarray([s.mat for s in sphs], jnp.int32),
         area_light=jnp.asarray([s.area_light for s in sphs], jnp.int32),
+        med_in=jnp.asarray([s.med_in for s in sphs], jnp.int32),
+        med_out=jnp.asarray([s.med_out for s in sphs], jnp.int32),
     )
 
 
@@ -709,6 +744,10 @@ def _make_lights(cfg, meshes, world_bound, root_dir, registry):
     radius = float(np.linalg.norm(world_bound[1] - center))
 
     def parse_one(lcfg, is_infinite_section):
+        # "infinite_lights"-section lights are escape-le only; "lights"-
+        # section lights are what NEE samples (scene.rs keeps two vecs;
+        # uniform_sample_* reads scene.lights, path.rs escape reads
+        # scene.infinite_lights)
         ltype = read_string(lcfg, "light_type", "")
         to_world = make_to_world(lcfg)
         if ltype == "point":
@@ -736,6 +775,9 @@ def _make_lights(cfg, meshes, world_bound, root_dir, registry):
             stype = read_string(shape_cfg, "shape_type", "")
             if stype == "sphere":
                 sph = _sphere_from_cfg(shape_cfg)
+                # full-sphere area; partial-sphere lights are clipped at
+                # sampling time (rare; sphere.rs area() uses full formula)
+                area = 4.0 * np.pi * sph.radius**2
                 entries.append(
                     dict(
                         kind=LIGHT_DIFFUSE_AREA,
@@ -743,6 +785,7 @@ def _make_lights(cfg, meshes, world_bound, root_dir, registry):
                         n_samples=n_samples,
                         shape_kind=AREA_SHAPE_SPHERE,
                         sphere=sph,
+                        area=area,
                     )
                 )
             elif stype == "triangle":
@@ -750,6 +793,9 @@ def _make_lights(cfg, meshes, world_bound, root_dir, registry):
                 tri_num = read_i64(shape_cfg, "tri_num", 0)
                 mesh_entry = meshes[obj_name]
                 tri = _expand_mesh(mesh_entry, None, -1)[tri_num]
+                area = 0.5 * np.linalg.norm(
+                    np.cross(tri.p[1] - tri.p[0], tri.p[2] - tri.p[0])
+                )
                 entries.append(
                     dict(
                         kind=LIGHT_DIFFUSE_AREA,
@@ -757,6 +803,7 @@ def _make_lights(cfg, meshes, world_bound, root_dir, registry):
                         n_samples=n_samples,
                         shape_kind=AREA_SHAPE_TRIANGLE,
                         tri=tri,
+                        area=area,
                     )
                 )
         elif ltype == "infinite":
@@ -764,15 +811,24 @@ def _make_lights(cfg, meshes, world_bound, root_dir, registry):
             sc = make_spectrum(lcfg, "scale", 1.0)
             texmap = read_string(lcfg, "mapname", "")
             n_samples = read_i64(lcfg, "n_samples", 1)
-            entries.append(
-                dict(
-                    kind=LIGHT_INFINITE,
-                    emit=l * sc,
-                    n_samples=n_samples,
-                    texmap=os.path.join(root_dir, texmap) if texmap else "",
-                    to_world=to_world,
-                )
+            env = _build_env_map(
+                os.path.join(root_dir, texmap) if texmap else "", to_world
             )
+            env["escape_le"] = is_infinite_section
+            if is_infinite_section:
+                # escape-le only (scene.infinite_lights; path.rs:84-87)
+                infinite_dev.append(env)
+            else:
+                env_id = len(infinite_dev)
+                infinite_dev.append(env)
+                entries.append(
+                    dict(
+                        kind=LIGHT_INFINITE,
+                        emit=l * sc,
+                        n_samples=n_samples,
+                        env_id=env_id,
+                    )
+                )
 
     for lcfg in cfg.get("lights", []) or []:
         parse_one(lcfg, False)
@@ -780,6 +836,40 @@ def _make_lights(cfg, meshes, world_bound, root_dir, registry):
         parse_one(lcfg, True)
 
     return _pack_lights(entries, center, radius, infinite_dev), infinite_dev
+
+
+def _build_env_map(texmap_path, to_world: Transform):
+    """InfiniteAreaLight construction (lights/infinite.rs:34-112): 8-bit
+    PNG -> reflectance spectra (rows flipped), MIPMap, and a Distribution2D
+    over luminance * sin(theta) at 2x map resolution."""
+    from ..core.sampling import Distribution2D
+    from .mipmap import build_mipmap
+
+    if texmap_path and os.path.exists(texmap_path):
+        img = _load_image(texmap_path, gamma=True)
+    else:
+        img = np.ones((8, 8, 3), np.float64)
+    mip = build_mipmap(img, wrap=0)
+    h2, w2 = 2 * mip.height, 2 * mip.width
+    # luminance * sin(theta) at the distribution resolution
+    base = mip.levels[0].astype(np.float64)
+    vs = (np.arange(h2) + 0.5) / h2
+    us = (np.arange(w2) + 0.5) / w2
+    # nearest-sample the base level (fwidth lookup in the reference is a
+    # mip-filtered read; the 2x oversampling makes the difference moot)
+    vi = np.clip((vs * base.shape[0]).astype(int), 0, base.shape[0] - 1)
+    ui = np.clip((us * base.shape[1]).astype(int), 0, base.shape[1] - 1)
+    lum = (
+        0.212671 * base[..., 0] + 0.715160 * base[..., 1] + 0.072169 * base[..., 2]
+    )
+    func = lum[np.ix_(vi, ui)] * np.sin(np.pi * vs)[:, None]
+    dist = Distribution2D(func.ravel(), w2, h2)
+    return {
+        "mipmap": mip.as_device(),
+        "dist": dist.as_device(),
+        "to_world": jnp.asarray(to_world.m, DTYPE),
+        "to_local": jnp.asarray(to_world.m_inv, DTYPE),
+    }
 
 
 def _pack_lights(entries, center, radius, infinite_dev):
@@ -791,22 +881,32 @@ def _pack_lights(entries, center, radius, infinite_dev):
     shape_kind = np.full(L, AREA_SHAPE_NONE, np.int32)
     shape_index = np.full(L, -1, np.int32)
     n_samples = np.ones(L, np.int32)
-    # area light shapes are appended to dedicated tables later (diffuse area
-    # phase); for now record the packed sphere params inline.
+    sph_o2w = np.tile(np.eye(4), (L, 1, 1))
+    sph_w2o = np.tile(np.eye(4), (L, 1, 1))
+    sph_radius = np.ones(L)
+    tri_p = np.zeros((L, 3, 3))
+    area = np.ones(L)
     from .types import LightSoA
 
     for i, e in enumerate(entries):
         kind[i] = e["kind"]
         emit[i] = e["emit"]
+        n_samples[i] = e.get("n_samples", 1)
         if e["kind"] == LIGHT_POINT:
             p[i] = e["p"]
         elif e["kind"] == LIGHT_DISTANT:
             w[i] = e["w"]
         elif e["kind"] == LIGHT_DIFFUSE_AREA:
             shape_kind[i] = e["shape_kind"]
-            n_samples[i] = e.get("n_samples", 1)
+            area[i] = e["area"]
+            if e["shape_kind"] == AREA_SHAPE_SPHERE:
+                sph_o2w[i] = e["sphere"].o2w
+                sph_w2o[i] = np.linalg.inv(e["sphere"].o2w)
+                sph_radius[i] = e["sphere"].radius
+            else:
+                tri_p[i] = e["tri"].p
         elif e["kind"] == LIGHT_INFINITE:
-            n_samples[i] = e.get("n_samples", 1)
+            shape_index[i] = e.get("env_id", -1)
 
     f32 = lambda a: jnp.asarray(a, DTYPE)
     return LightSoA(
@@ -820,6 +920,11 @@ def _pack_lights(entries, center, radius, infinite_dev):
         shape_index=jnp.asarray(shape_index),
         n_samples=jnp.asarray(n_samples),
         two_sided=jnp.zeros(L, bool),
+        sph_o2w=f32(sph_o2w),
+        sph_w2o=f32(sph_w2o),
+        sph_radius=f32(sph_radius),
+        tri_p=f32(tri_p),
+        area=f32(area),
     )
 
 

@@ -50,6 +50,8 @@ class TriangleSoA:
     has_n: jnp.ndarray  # (T,) bool
     mat: jnp.ndarray  # (T,) int32 material ids
     area_light: jnp.ndarray  # (T,) int32 light id or -1
+    med_in: jnp.ndarray  # (T,) int32 medium id inside or -1
+    med_out: jnp.ndarray  # (T,) int32 medium id outside or -1
 
     @property
     def count(self):
@@ -68,6 +70,8 @@ class SphereSoA:
     phi_max: jnp.ndarray  # radians
     mat: jnp.ndarray  # (S,) int32
     area_light: jnp.ndarray  # (S,) int32 light id or -1
+    med_in: jnp.ndarray  # (S,) int32 medium id inside or -1
+    med_out: jnp.ndarray  # (S,) int32 medium id outside or -1
 
     @property
     def count(self):
@@ -91,6 +95,13 @@ class LightSoA:
     shape_index: jnp.ndarray  # (L,) int32 row in sphere/triangle table
     n_samples: jnp.ndarray  # (L,) int32
     two_sided: jnp.ndarray  # (L,) bool (reference DiffuseAreaLight is 1-sided)
+    # area-light shape payload (diffuse lights own their shape,
+    # lights/diffuse.rs; it is NOT part of the aggregate)
+    sph_o2w: jnp.ndarray  # (L,4,4)
+    sph_w2o: jnp.ndarray  # (L,4,4)
+    sph_radius: jnp.ndarray  # (L,)
+    tri_p: jnp.ndarray  # (L,3,3) triangle vertices (world)
+    area: jnp.ndarray  # (L,) shape surface area
 
     @property
     def count(self):
@@ -102,11 +113,11 @@ def empty_triangles():
     z2 = jnp.zeros((0, 2), DTYPE)
     zi = jnp.zeros((0,), jnp.int32)
     zb = jnp.zeros((0,), bool)
-    return TriangleSoA(z3, z3, z3, z3, z3, z3, z2, z2, z2, zb, zi, zi)
+    return TriangleSoA(z3, z3, z3, z3, z3, z3, z2, z2, z2, zb, zi, zi, zi, zi)
 
 
 def empty_spheres():
     z = jnp.zeros((0,), DTYPE)
     zi = jnp.zeros((0,), jnp.int32)
     m = jnp.zeros((0, 4, 4), DTYPE)
-    return SphereSoA(m, m, z, z, z, z, z, z, zi, zi)
+    return SphereSoA(m, m, z, z, z, z, z, z, zi, zi, zi, zi)

@@ -23,6 +23,8 @@ def _random_tris(n, seed=0, spread=10.0):
         has_n=jnp.zeros(n, bool),
         mat=jnp.zeros(n, jnp.int32),
         area_light=jnp.full(n, -1, jnp.int32),
+        med_in=jnp.full(n, -1, jnp.int32),
+        med_out=jnp.full(n, -1, jnp.int32),
     )
 
 
