@@ -89,12 +89,47 @@ class SceneCtx:
             if n_prims > BRUTE_FORCE_CUTOFF
             else None
         )
+        # Pallas brute-force kernel on TPU (memory-bound otherwise)
+        import jax
+
+        self.use_pallas = (
+            self.bvh is None
+            and int(self.tri.count) > 0
+            and jax.default_backend() not in ("cpu",)
+        )
+        if self.use_pallas or int(self.tri.count) > 0:
+            from ..ops.intersect_pallas import pack_triangles
+
+            self.tri_packed = pack_triangles(
+                np.asarray(self.tri.p0), np.asarray(self.tri.p1), np.asarray(self.tri.p2)
+            )
 
     def intersect(self, o, d, t_max):
         if self.bvh is not None:
             from ..accel.traverse import intersect_bvh
 
             return intersect_bvh(self.bvh, self.tri, self.sph, o, d, t_max)
+        if self.use_pallas:
+            from ..ops.intersect_pallas import intersect_triangles_pallas
+
+            tt, ti, th = intersect_triangles_pallas(self.tri_packed, o, d, t_max)
+            if int(self.sph.count) > 0:
+                st, si_, sh = geom.intersect_spheres(self.sph, o, d, t_max)
+                use_s = st < tt
+                return geom.Hit(
+                    t=jnp.minimum(tt, st),
+                    kind=jnp.where(
+                        use_s, geom.PRIM_SPHERE, jnp.where(th, geom.PRIM_TRI, geom.PRIM_NONE)
+                    ),
+                    index=jnp.where(use_s, si_, ti),
+                    valid=th | sh,
+                )
+            return geom.Hit(
+                t=tt,
+                kind=jnp.where(th, geom.PRIM_TRI, geom.PRIM_NONE),
+                index=ti,
+                valid=th,
+            )
         return geom.intersect_brute(self.tri, self.sph, o, d, t_max)
 
     def surface(self, hit, o, d):
@@ -105,6 +140,9 @@ class SceneCtx:
             from ..accel.traverse import occluded_bvh
 
             return occluded_bvh(self.bvh, self.tri, self.sph, o, d, t_max)
+        if self.use_pallas:
+            hit = self.intersect(o, d, t_max)
+            return hit.valid
         return geom.occluded_brute(self.tri, self.sph, o, d, t_max)
 
     def shade_params(self, si: geom.SurfaceHit):

@@ -23,6 +23,40 @@ from .sampler.stratified import StratifiedSampler
 from .scene.loader import RenderJob, load_scene
 
 
+def _render_sppm_job(job, cam, ctx, seed):
+    """SPPM driver (integrator/sppm.rs render): bypasses the sampler-
+    integrator film machinery, writing radiance directly (set_image)."""
+    import time as _time
+
+    from .integrators.sppm import render_sppm
+    from .sampler.halton import HaltonSampler
+    from .scene.loader import SamplerSpec
+
+    spec = job.integrator
+    sampler = HaltonSampler(
+        SamplerSpec(kind="halton", nsamp=spec.n_iters, sample_at_center=True),
+        job.film.xres,
+        job.film.yres,
+        seed=seed,
+    )
+    t0 = _time.time()
+    img = render_sppm(ctx, cam, sampler, job.film, spec)
+    jax.block_until_ready(img)
+    elapsed = _time.time() - t0
+    film = fmod.set_image(fmod.make_film(job.film), img)
+    rgb = fmod.to_rgb(film, job.film, splat_scale=1.0)
+    n_rays = job.film.xres * job.film.yres * spec.n_iters + (
+        spec.n_iters * spec.photons_per_iter
+    )
+    return {
+        "film": film,
+        "rgb_srgb_input": rgb,
+        "elapsed_s": elapsed,
+        "camera_rays": n_rays,
+        "mrays_per_s": n_rays / max(elapsed, 1e-9) / 1e6,
+    }
+
+
 def deploy_render(scene_path, save_to, spp_override=None, pupil_samples=1 << 20):
     job = load_scene(scene_path)
     result = render_job(job, spp_override=spp_override, pupil_samples=pupil_samples)
@@ -33,7 +67,14 @@ def deploy_render(scene_path, save_to, spp_override=None, pupil_samples=1 << 20)
     return result
 
 
-def render_job(job: RenderJob, spp_override=None, pupil_samples=1 << 20, seed=0):
+def render_job(
+    job: RenderJob,
+    spp_override=None,
+    pupil_samples=1 << 20,
+    seed=0,
+    resume_from=None,
+    checkpoint_to=None,
+):
     film_spec = job.film
     cam = RealisticCamera(job.camera, film_spec, pupil_samples=pupil_samples)
     ctx = SceneCtx(job.scene)
@@ -52,6 +93,9 @@ def render_job(job: RenderJob, spp_override=None, pupil_samples=1 << 20, seed=0)
             sampler.ys = max(1, spp // side)
             sampler.spp = sampler.xs * sampler.ys
             spp = sampler.spp
+
+    if job.integrator.kind == "sppm":
+        return _render_sppm_job(job, cam, ctx, seed)
 
     h, w = film_spec.yres, film_spec.xres
     ys, xs = np.mgrid[0:h, 0:w]
@@ -97,25 +141,48 @@ def render_job(job: RenderJob, spp_override=None, pupil_samples=1 << 20, seed=0)
     # one dispatch for the whole render: spp passes under a fori_loop —
     # the per-call host<->device round trip would otherwise dominate
     @jax.jit
-    def render_all(film):
+    def render_range(film, s_begin, s_end):
         return jax.lax.fori_loop(
-            0, spp, lambda s, f: sample_pass(f, s.astype(jnp.uint32)), film
+            s_begin, s_end, lambda s, f: sample_pass(f, s.astype(jnp.uint32)), film
         )
 
-    film0 = fmod.make_film(film_spec)
+    from .utils.observability import (
+        RenderStats,
+        load_checkpoint,
+        maybe_profile,
+        save_checkpoint,
+    )
+
+    s_start = 0
+    if resume_from:
+        film0, s_start = load_checkpoint(resume_from)
+    else:
+        film0 = fmod.make_film(film_spec)
     # AOT-compile outside the timed region (no extra execution)
-    compiled = render_all.lower(film0).compile()
+    compiled = render_range.lower(
+        film0, jnp.int32(0), jnp.int32(0)
+    ).compile()
     t0 = time.time()
-    film = compiled(film0)
-    jax.block_until_ready(film)
+    with maybe_profile():
+        film = compiled(film0, jnp.int32(s_start), jnp.int32(spp))
+        jax.block_until_ready(film)
     elapsed = time.time() - t0
 
+    if checkpoint_to:
+        save_checkpoint(checkpoint_to, film, spp)
+
     rgb = fmod.to_rgb(film, film_spec, splat_scale=1.0)
-    n_rays = w * h * spp
+    n_rays = w * h * (spp - s_start)
+    stats = RenderStats(
+        camera_rays=n_rays,
+        elapsed_s=elapsed,
+        mrays_per_s=n_rays / max(elapsed, 1e-9) / 1e6,
+    )
     return {
         "film": film,
         "rgb_srgb_input": rgb,
         "elapsed_s": elapsed,
         "camera_rays": n_rays,
-        "mrays_per_s": n_rays / max(elapsed, 1e-9) / 1e6,
+        "mrays_per_s": stats.mrays_per_s,
+        "stats": stats,
     }
