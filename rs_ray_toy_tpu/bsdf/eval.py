@@ -26,6 +26,14 @@ from ..core import vec
 from ..core.sampling import cosine_sample_hemisphere
 from . import microfacet as mf
 from .lobes import (
+    DIST_DISNEY_SEPARABLE_G,
+    FRESNEL_DISNEY,
+    LOBE_DISNEY_CLEARCOAT,
+    LOBE_DISNEY_DIFFUSE,
+    LOBE_DISNEY_FAKE_SS,
+    LOBE_DISNEY_MICROFACET_REFL,
+    LOBE_DISNEY_RETRO,
+    LOBE_DISNEY_SHEEN,
     BXDF_ALL,
     BXDF_REFLECTION,
     BXDF_SPECULAR,
@@ -121,6 +129,11 @@ def fr_conductor(cos_i, eta, k):
     return 0.5 * (rp + rs)
 
 
+def _schlick_weight(cos_t):
+    m = jnp.clip(1.0 - cos_t, 0.0, 1.0)
+    return (m * m) * (m * m) * m
+
+
 def _fresnel_eval(params, cos_i):
     """Dispatch on fresnel code: returns (N,3)."""
     fr_d = fr_dielectric(cos_i, params["eta_a"], params["eta_b"])[..., None]
@@ -128,11 +141,21 @@ def _fresnel_eval(params, cos_i):
     fr_c = fr_conductor(cos_i, params["s2"], params["s1"])
     one = jnp.ones_like(fr_d)
     code = params["fresnel"][..., None]
-    return jnp.where(
+    out = jnp.where(
         code == FRESNEL_DIELECTRIC,
         fr_d,
         jnp.where(code == FRESNEL_CONDUCTOR, fr_c, one),
     )
+    if params.get("_kinds") is None or LOBE_DISNEY_MICROFACET_REFL in params["_kinds"]:
+        # DisneyFresnel (disney.rs:310-333): lerp(metallic,
+        # dielectric(1,eta), schlick(c_spec0)); metallic lives in eta_a,
+        # eta in eta_b for this lobe kind
+        metallic = params["eta_a"][..., None]
+        fr_diel = fr_dielectric(cos_i, 1.0, params["eta_b"])[..., None]
+        schlick = params["s1"] + (1.0 - params["s1"]) * _schlick_weight(cos_i)[..., None]
+        fr_dis = (1.0 - metallic) * fr_diel + metallic * schlick
+        out = jnp.where(code == FRESNEL_DISNEY, fr_dis, out)
+    return out
 
 
 # ---- local-frame helpers ----
@@ -275,6 +298,15 @@ def _oren_nayar_f(p, wo, wi):
     return (p["s0"] / PI) * (A + B * max_cos * sin_alpha * tan_beta)[..., None]
 
 
+def _mf_g(p, lam_o, lam_i):
+    """G: height-correlated (microfacet.rs g()) or Disney separable
+    G1*G1 (disney.rs:357-360)."""
+    g = mf.g2(lam_o, lam_i)
+    return jnp.where(
+        p["dist"] == DIST_DISNEY_SEPARABLE_G, mf.g1(lam_o) * mf.g1(lam_i), g
+    )
+
+
 def _mf_refl_f(p, wo, wi):
     """(reflection.rs:969-989)"""
     co = _abs_cos(wo)
@@ -287,7 +319,7 @@ def _mf_refl_f(p, wo, wi):
     whf = jnp.where(wh[..., 2:3] < 0.0, -wh, wh)
     fr = _fresnel_eval(p, vec.dot(wi, whf))
     d_val = _dist_d(p, wh)
-    g_val = mf.g2(_dist_lambda(p, wo), _dist_lambda(p, wi))
+    g_val = _mf_g(p, _dist_lambda(p, wo), _dist_lambda(p, wi))
     f = p["s0"] * fr * (d_val * g_val / jnp.maximum(4.0 * ci * co, 1e-20))[..., None]
     return jnp.where(ok[..., None], f, 0.0)
 
@@ -305,7 +337,7 @@ def _mf_trans_f(p, wo, wi, mode_radiance=True):
     sqrt_denom = vec.dot(wo, wh) + eta * vec.dot(wi, wh)
     factor = jnp.where(mode_radiance, 1.0 / eta, 1.0)
     d_val = _dist_d(p, wh)
-    g_val = mf.g2(_dist_lambda(p, wo), _dist_lambda(p, wi))
+    g_val = _mf_g(p, _dist_lambda(p, wo), _dist_lambda(p, wi))
     mag = jnp.abs(
         d_val
         * g_val
@@ -370,8 +402,9 @@ def lobe_f(p, wo, wi):
         )
     if _has_kind(p, LOBE_OREN_NAYAR):
         f = jnp.where((kind == LOBE_OREN_NAYAR)[..., None], _oren_nayar_f(p, wo, wi), f)
-    if _has_kind(p, LOBE_MF_REFL):
-        f = jnp.where((kind == LOBE_MF_REFL)[..., None], _mf_refl_f(p, wo, wi), f)
+    if _has_kind(p, LOBE_MF_REFL) or _has_kind(p, LOBE_DISNEY_MICROFACET_REFL):
+        is_mfr = (kind == LOBE_MF_REFL) | (kind == LOBE_DISNEY_MICROFACET_REFL)
+        f = jnp.where(is_mfr[..., None], _mf_refl_f(p, wo, wi), f)
     if _has_kind(p, LOBE_MF_TRANS):
         f = jnp.where((kind == LOBE_MF_TRANS)[..., None], _mf_trans_f(p, wo, wi), f)
     if _has_kind(p, LOBE_FRESNEL_BLEND):
@@ -381,7 +414,91 @@ def lobe_f(p, wo, wi):
     if _has_kind(p, LOBE_DEBUG_DIFFUSE):
         dbg_d = jnp.broadcast_to(jnp.asarray([0.0, 1.0, 0.0], DTYPE), wo.shape)
         f = jnp.where((kind == LOBE_DEBUG_DIFFUSE)[..., None], dbg_d, f)
+    # ---- Disney lobes (disney.rs) ----
+    if _has_kind(p, LOBE_DISNEY_DIFFUSE):
+        fo = _schlick_weight(_abs_cos(wo))
+        fi = _schlick_weight(_abs_cos(wi))
+        dd = p["s0"] / PI * ((1.0 - fo / 2.0) * (1.0 - fi / 2.0))[..., None]
+        f = jnp.where((kind == LOBE_DISNEY_DIFFUSE)[..., None], dd, f)
+    if (
+        _has_kind(p, LOBE_DISNEY_FAKE_SS)
+        or _has_kind(p, LOBE_DISNEY_RETRO)
+        or _has_kind(p, LOBE_DISNEY_SHEEN)
+    ):
+        wh = wi + wo
+        wh_zero = vec.length_squared(wh) == 0.0
+        whn = vec.normalize(jnp.where(wh_zero[..., None], jnp.ones_like(wh), wh))
+        cos_d = vec.dot(wi, whn)
+        fo = _schlick_weight(_abs_cos(wo))
+        fi = _schlick_weight(_abs_cos(wi))
+        rough = p["alpha_u"]  # f0 slot carries Disney roughness
+        if _has_kind(p, LOBE_DISNEY_FAKE_SS):
+            fss90 = cos_d * cos_d * rough
+            fss = (1.0 + fo * (fss90 - 1.0)) * (1.0 + fi * (fss90 - 1.0))
+            ss = 1.25 * (
+                fss * (1.0 / jnp.maximum(_abs_cos(wo) + _abs_cos(wi), 1e-9) - 0.5) + 0.5
+            )
+            v = p["s0"] / PI * ss[..., None]
+            v = jnp.where(wh_zero[..., None], 0.0, v)
+            f = jnp.where((kind == LOBE_DISNEY_FAKE_SS)[..., None], v, f)
+        if _has_kind(p, LOBE_DISNEY_RETRO):
+            rr = 2.0 * rough * cos_d * cos_d
+            v = p["s0"] / PI * (rr * (fo + fi + fo * fi * (rr - 1.0)))[..., None]
+            v = jnp.where(wh_zero[..., None], 0.0, v)
+            f = jnp.where((kind == LOBE_DISNEY_RETRO)[..., None], v, f)
+        if _has_kind(p, LOBE_DISNEY_SHEEN):
+            v = p["s0"] * _schlick_weight(cos_d)[..., None]
+            v = jnp.where(wh_zero[..., None], 0.0, v)
+            f = jnp.where((kind == LOBE_DISNEY_SHEEN)[..., None], v, f)
+    if _has_kind(p, LOBE_DISNEY_CLEARCOAT):
+        v = _clearcoat_f(p, wo, wi)
+        f = jnp.where((kind == LOBE_DISNEY_CLEARCOAT)[..., None], v, f)
     return f * p["scale"]
+
+
+def _gtr1(cos_theta, alpha):
+    """(disney.rs:20-24): note the reference's log10 (PBRT uses ln) —
+    replicated for estimator parity since both D and pdf share it."""
+    a2 = alpha * alpha
+    return (a2 - 1.0) / (
+        PI
+        * jnp.log10(jnp.maximum(a2, 1e-9))
+        * (1.0 + (a2 - 1.0) * cos_theta * cos_theta)
+    )
+
+
+def _smith_g_ggx(cos_theta, alpha):
+    a2 = alpha * alpha
+    c2 = cos_theta * cos_theta
+    return 1.0 / jnp.maximum(
+        cos_theta + jnp.sqrt(jnp.maximum(a2 + c2 - a2 * c2, 0.0)), 1e-9
+    )
+
+
+def _clearcoat_f(p, wo, wi):
+    """(disney.rs DisneyClearcoat::f): weight in f0, gloss in f1 — mapped
+    to alpha_u/alpha_v slots."""
+    weight = p["alpha_u"]
+    gloss = p["alpha_v"]
+    wh = wi + wo
+    wh_zero = vec.length_squared(wh) == 0.0
+    whn = vec.normalize(jnp.where(wh_zero[..., None], jnp.ones_like(wh), wh))
+    dr = _gtr1(_abs_cos(whn), gloss)
+    fr = 0.04 + (1.0 - 0.04) * _schlick_weight(vec.dot(wo, whn))
+    gr = _smith_g_ggx(_abs_cos(wo), 0.25) * _smith_g_ggx(_abs_cos(wi), 0.25)
+    v = (weight * gr * fr * dr / 4.0)[..., None] * jnp.ones((1, 3), DTYPE)
+    return jnp.where(wh_zero[..., None], 0.0, v)
+
+
+def _clearcoat_pdf(p, wo, wi):
+    gloss = p["alpha_v"]
+    same = _same_hemisphere(wo, wi)
+    wh = wi + wo
+    wh_zero = vec.length_squared(wh) == 0.0
+    whn = vec.normalize(jnp.where(wh_zero[..., None], jnp.ones_like(wh), wh))
+    dr = _gtr1(_abs_cos(whn), gloss)
+    pdf = dr * _abs_cos(whn) / jnp.maximum(4.0 * vec.dot(wo, whn), 1e-9)
+    return jnp.where(same & ~wh_zero, pdf, 0.0)
 
 
 def lobe_pdf(p, wo, wi):
@@ -394,14 +511,24 @@ def lobe_pdf(p, wo, wi):
         (kind == LOBE_LAMBERT_REFL)
         | (kind == LOBE_OREN_NAYAR)
         | (kind == LOBE_DEBUG_DIFFUSE)
-        | (kind == LOBE_DEBUG_SPECULAR),
+        | (kind == LOBE_DEBUG_SPECULAR)
+        | (kind == LOBE_DISNEY_DIFFUSE)
+        | (kind == LOBE_DISNEY_FAKE_SS)
+        | (kind == LOBE_DISNEY_RETRO)
+        | (kind == LOBE_DISNEY_SHEEN),
         cos_pdf,
         pdf,
     )
+    if _has_kind(p, LOBE_DISNEY_CLEARCOAT):
+        pdf = jnp.where(kind == LOBE_DISNEY_CLEARCOAT, _clearcoat_pdf(p, wo, wi), pdf)
     if _has_kind(p, LOBE_LAMBERT_TRANS):
         cos_pdf_trans = jnp.where(~same, _abs_cos(wi) / PI, 0.0)
         pdf = jnp.where(kind == LOBE_LAMBERT_TRANS, cos_pdf_trans, pdf)
-    need_mf_r = _has_kind(p, LOBE_MF_REFL) or _has_kind(p, LOBE_FRESNEL_BLEND)
+    need_mf_r = (
+        _has_kind(p, LOBE_MF_REFL)
+        or _has_kind(p, LOBE_FRESNEL_BLEND)
+        or _has_kind(p, LOBE_DISNEY_MICROFACET_REFL)
+    )
     if need_mf_r or _has_kind(p, LOBE_MF_TRANS):
         lam_o = _dist_lambda(p, wo)
     if need_mf_r:
@@ -411,7 +538,9 @@ def lobe_pdf(p, wo, wi):
         mf_r = jnp.where(
             same, pdf_wh / jnp.maximum(4.0 * vec.dot(wo, wh_r), 1e-20), 0.0
         )
-        pdf = jnp.where(kind == LOBE_MF_REFL, mf_r, pdf)
+        pdf = jnp.where(
+            (kind == LOBE_MF_REFL) | (kind == LOBE_DISNEY_MICROFACET_REFL), mf_r, pdf
+        )
         # fresnel blend pdf (reflection.rs:1226-1233)
         fb = jnp.where(
             same,
@@ -523,8 +652,13 @@ def _lobe_sample(p, wo, u, mode_radiance=True):
         or _has_kind(p, LOBE_FRESNEL_SPEC)
         or _has_kind(p, LOBE_MF_TRANS)
     )
-    need_mf = _has_kind(p, LOBE_MF_REFL) or _has_kind(p, LOBE_MF_TRANS)
+    need_mf = (
+        _has_kind(p, LOBE_MF_REFL)
+        or _has_kind(p, LOBE_MF_TRANS)
+        or _has_kind(p, LOBE_DISNEY_MICROFACET_REFL)
+    )
     need_fb = _has_kind(p, LOBE_FRESNEL_BLEND)
+    need_cc = _has_kind(p, LOBE_DISNEY_CLEARCOAT)
 
     # specular transmission (reflection.rs:686-715)
     entering = wo[..., 2] > 0.0
@@ -602,12 +736,37 @@ def _lobe_sample(p, wo, u, mode_radiance=True):
         wi_fb = jnp.zeros_like(wo)
         fb_ok = jnp.zeros((n,), bool)
 
+    # clearcoat GTR1 wh sampling (disney.rs DisneyClearcoat::sample_f)
+    if need_cc:
+        gloss = p["alpha_v"]
+        a2 = gloss * gloss
+        # reference literal form: (1 - a2^(1-u)) / sqrt(max(1-a2, 0))
+        cc_cos = (1.0 - jnp.power(jnp.maximum(a2, 1e-9), 1.0 - u[..., 0])) / jnp.sqrt(
+            jnp.maximum(1.0 - a2, 1e-9)
+        )
+        cc_cos = jnp.clip(cc_cos, -1.0, 1.0)
+        cc_sin = jnp.sqrt(jnp.maximum(0.0, 1.0 - cc_cos * cc_cos))
+        cc_phi = 2.0 * PI * u[..., 1]
+        wh_cc = vec.spherical_direction(cc_sin, cc_cos, cc_phi)
+        wh_cc = jnp.where(
+            _same_hemisphere(wo, wh_cc)[..., None], wh_cc, -wh_cc
+        )
+        wi_cc = vec.reflect(wo, wh_cc)
+        cc_ok = _same_hemisphere(wo, wi_cc) & (wo[..., 2] != 0.0)
+    else:
+        wi_cc = jnp.zeros_like(wo)
+        cc_ok = jnp.zeros((n,), bool)
+
     # --- select wi by kind ---
     is_cosine_kind = (
         (kind == LOBE_LAMBERT_REFL)
         | (kind == LOBE_OREN_NAYAR)
         | (kind == LOBE_DEBUG_DIFFUSE)
         | (kind == LOBE_DEBUG_SPECULAR)
+        | (kind == LOBE_DISNEY_DIFFUSE)
+        | (kind == LOBE_DISNEY_FAKE_SS)
+        | (kind == LOBE_DISNEY_RETRO)
+        | (kind == LOBE_DISNEY_SHEEN)
     )
     wi = jnp.where(is_cosine_kind[..., None], wi_cos, jnp.zeros_like(wo))
     wi = jnp.where((kind == LOBE_LAMBERT_TRANS)[..., None], wi_lt, wi)
@@ -618,7 +777,12 @@ def _lobe_sample(p, wo, u, mode_radiance=True):
         jnp.where(fs_reflect[..., None], wi_sr, wi_st),
         wi,
     )
-    wi = jnp.where((kind == LOBE_MF_REFL)[..., None], wi_mr, wi)
+    wi = jnp.where(
+        ((kind == LOBE_MF_REFL) | (kind == LOBE_DISNEY_MICROFACET_REFL))[..., None],
+        wi_mr,
+        wi,
+    )
+    wi = jnp.where((kind == LOBE_DISNEY_CLEARCOAT)[..., None], wi_cc, wi)
     wi = jnp.where((kind == LOBE_MF_TRANS)[..., None], wi_mt, wi)
     wi = jnp.where((kind == LOBE_FRESNEL_BLEND)[..., None], wi_fb, wi)
 
@@ -635,7 +799,11 @@ def _lobe_sample(p, wo, u, mode_radiance=True):
         mr_pdf = mf.mf_pdf(
             _dist_d(p, wh), lam_o, wo, wh, p["sample_visible"]
         ) / jnp.maximum(4.0 * vec.dot(wo, wh), 1e-20)
-        pdf = jnp.where(kind == LOBE_MF_REFL, jnp.where(mr_ok, mr_pdf, 0.0), pdf)
+        pdf = jnp.where(
+            (kind == LOBE_MF_REFL) | (kind == LOBE_DISNEY_MICROFACET_REFL),
+            jnp.where(mr_ok, mr_pdf, 0.0),
+            pdf,
+        )
     if _has_kind(p, LOBE_MF_TRANS):
         pdf = jnp.where(
             kind == LOBE_MF_TRANS, jnp.where(mt_ok, lobe_pdf(p, wo, wi), 0.0), pdf
@@ -644,6 +812,12 @@ def _lobe_sample(p, wo, u, mode_radiance=True):
         pdf = jnp.where(
             kind == LOBE_FRESNEL_BLEND,
             jnp.where(fb_ok, lobe_pdf(p, wo, wi), 0.0),
+            pdf,
+        )
+    if need_cc:
+        pdf = jnp.where(
+            kind == LOBE_DISNEY_CLEARCOAT,
+            jnp.where(cc_ok, _clearcoat_pdf(p, wo, wi), 0.0),
             pdf,
         )
 
@@ -678,7 +852,8 @@ def _lobe_sample(p, wo, u, mode_radiance=True):
     sampled_flags = jnp.where(kind == LOBE_FRESNEL_SPEC, fs_flags, flags)
 
     bad = (
-        ((kind == LOBE_MF_REFL) & ~mr_ok)
+        (((kind == LOBE_MF_REFL) | (kind == LOBE_DISNEY_MICROFACET_REFL)) & ~mr_ok)
+        | ((kind == LOBE_DISNEY_CLEARCOAT) & ~cc_ok)
         | ((kind == LOBE_MF_TRANS) & ~mt_ok)
         | ((kind == LOBE_SPEC_TRANS) & ~st_ok)
         | ((kind == LOBE_FRESNEL_BLEND) & ~fb_ok)

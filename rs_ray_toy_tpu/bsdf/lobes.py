@@ -88,6 +88,9 @@ FRESNEL_DISNEY = 3
 DIST_TROWBRIDGE_REITZ = 0
 DIST_BECKMANN = 1
 DIST_DISNEY_GTR1 = 2
+# TR D/lambda but Disney's separable masking-shadowing G = G1(wo)G1(wi)
+# (DisneyMicrofacetDistribution, disney.rs:345-360)
+DIST_DISNEY_SEPARABLE_G = 3
 
 
 @dataclass
@@ -127,6 +130,10 @@ class HostMaterial:
     eta: float  # Bsdf::eta (reflection.rs:205-216); 1.0 for opaque
     lobes: List[Lobe]
     bump_tex: int = -1
+    # Disney BSSRDF profile (disney.rs:585-601); None when absent
+    bssrdf_R: object = None
+    bssrdf_d: object = None
+    bssrdf_eta: float = 1.0
 
 
 class MaterialTableBuilder:

@@ -21,6 +21,7 @@ from typing import Optional
 import numpy as np
 
 from .lobes import (
+    DIST_DISNEY_SEPARABLE_G,
     DIST_TROWBRIDGE_REITZ,
     FRESNEL_CONDUCTOR,
     FRESNEL_DIELECTRIC,
@@ -37,6 +38,13 @@ from .lobes import (
     LOBE_OREN_NAYAR,
     LOBE_SPEC_REFL,
     LOBE_SPEC_TRANS,
+    LOBE_DISNEY_DIFFUSE,
+    LOBE_DISNEY_FAKE_SS,
+    LOBE_DISNEY_RETRO,
+    LOBE_DISNEY_SHEEN,
+    LOBE_DISNEY_CLEARCOAT,
+    LOBE_DISNEY_MICROFACET_REFL,
+    FRESNEL_DISNEY,
 )
 
 
@@ -345,3 +353,140 @@ def debug(name) -> HostMaterial:
             Lobe(LOBE_DEBUG_SPECULAR, s0=np.array([0.0, 0.0, 1.0])),
         ],
     )
+
+
+def disney(
+    name,
+    color: RGBParam,
+    metallic: FloatParam,
+    eta: FloatParam,
+    roughness: FloatParam,
+    specular_tint: FloatParam,
+    anisotropic: FloatParam,
+    sheen: FloatParam,
+    sheen_tint: FloatParam,
+    clearcoat: FloatParam,
+    clearcoat_gloss: FloatParam,
+    spec_trans: FloatParam,
+    scatter_distance: RGBParam,
+    thin: bool,
+    flatness: FloatParam,
+    diff_trans: FloatParam,
+    bump_tex=-1,
+) -> HostMaterial:
+    """Disney BSDF lobe assembly (disney.rs:530-676).
+
+    Built from constant texture values (the overwhelmingly common case);
+    texture-driven Disney params fall back to their constants for now.
+    scatter_distance > 0 (non-thin) marks the material for BSSRDF handling
+    (disney.rs:585-601): the diffuse lobe is replaced by a specular
+    transmission lobe and the material carries the BSSRDF profile params.
+    """
+    lobes = []
+    c = np.clip(color.value, 0.0, np.inf)
+    mw = metallic.value
+    e = eta.value
+    strans = spec_trans.value
+    dt = diff_trans.value
+    # NOTE: diff_trans defaults to 1.0 in the loader (renderprocess.rs:836);
+    # the Burley convention divides usage by 2 only for thin surfaces.
+    diffuse_weight = (1.0 - mw) * (1.0 - strans)
+    rough = roughness.value
+    lum = float(0.212671 * c[0] + 0.715160 * c[1] + 0.072169 * c[2])
+    c_tint = c / lum if lum > 0 else np.ones(3)
+    sheen_w = sheen.value
+    c_sheen = (
+        (1.0 - sheen_tint.value) * np.ones(3) + sheen_tint.value * c_tint
+        if sheen_w > 0
+        else np.zeros(3)
+    )
+    sd = np.clip(scatter_distance.value, 0.0, np.inf)
+    has_bssrdf = (not thin) and np.any(sd > 0.0)
+
+    if diffuse_weight > 0:
+        if thin:
+            flat = flatness.value
+            lobes.append(
+                Lobe(LOBE_DISNEY_DIFFUSE, s0=c * diffuse_weight * (1 - flat) * (1 - dt))
+            )
+            lobes.append(
+                Lobe(
+                    LOBE_DISNEY_FAKE_SS,
+                    s0=c * diffuse_weight * flat * (1 - dt),
+                    f0=rough,
+                )
+            )
+        elif has_bssrdf:
+            lobes.append(Lobe(LOBE_SPEC_TRANS, s0=np.ones(3), f0=1.0, f1=e))
+        else:
+            lobes.append(Lobe(LOBE_DISNEY_DIFFUSE, s0=c * diffuse_weight))
+        lobes.append(Lobe(LOBE_DISNEY_RETRO, s0=c * diffuse_weight, f0=rough))
+        if sheen_w > 0:
+            lobes.append(
+                Lobe(LOBE_DISNEY_SHEEN, s0=c_sheen * sheen_w * diffuse_weight)
+            )
+
+    aspect = np.sqrt(1.0 - anisotropic.value * 0.9)
+    ax = max(rough**2 / aspect, 0.001)
+    ay = max(rough**2 * aspect, 0.001)
+    st = specular_tint.value
+    r0_eta = ((e - 1.0) / (e + 1.0)) ** 2
+    c_spec0 = (1.0 - mw) * (
+        ((1.0 - st) * np.ones(3) + st * c_tint) * r0_eta
+    ) + mw * c
+    lobes.append(
+        Lobe(
+            LOBE_DISNEY_MICROFACET_REFL,
+            s0=np.ones(3),
+            s1=c_spec0,
+            f0=ax,
+            f1=ay,
+            f2=mw,  # metallic for DisneyFresnel
+            f3=e,
+            fresnel=FRESNEL_DISNEY,
+            dist=DIST_DISNEY_SEPARABLE_G,
+            sample_visible=True,
+        )
+    )
+    cc = clearcoat.value
+    if cc > 0:
+        gloss = (1.0 - clearcoat_gloss.value) * 0.1 + clearcoat_gloss.value * 0.001
+        lobes.append(Lobe(LOBE_DISNEY_CLEARCOAT, f0=cc, f1=gloss))
+    if strans > 0:
+        t = np.sqrt(np.maximum(c, 0.0)) * strans
+        if thin:
+            rs = (0.65 * e - 0.35) * rough
+            axs = max(rs**2 / aspect, 0.001)
+            ays = max(rs**2 * aspect, 0.001)
+            lobes.append(
+                Lobe(
+                    LOBE_MF_TRANS,
+                    s0=t,
+                    f0=axs,
+                    f1=ays,
+                    f2=1.0,
+                    f3=e,
+                    dist=DIST_TROWBRIDGE_REITZ,
+                    sample_visible=True,
+                )
+            )
+        else:
+            lobes.append(
+                Lobe(
+                    LOBE_MF_TRANS,
+                    s0=t,
+                    f0=ax,
+                    f1=ay,
+                    f2=1.0,
+                    f3=e,
+                    dist=DIST_DISNEY_SEPARABLE_G,
+                    sample_visible=True,
+                )
+            )
+    if thin:
+        lobes.append(Lobe(LOBE_LAMBERT_TRANS, s0=c * dt))
+    mat = HostMaterial(name, 1.0, lobes, bump_tex)
+    mat.bssrdf_R = c * diffuse_weight if has_bssrdf else None
+    mat.bssrdf_d = sd * 0.2 if has_bssrdf else None
+    mat.bssrdf_eta = e
+    return mat

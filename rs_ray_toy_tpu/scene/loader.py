@@ -502,9 +502,25 @@ def _make_material(cfg, registry, float_tex, rgb_tex, host_mats, allow_multiple_
             return None
         return recipes.mix(name, m1, m2, R("scale", 0.5))
     if mtype == "DisneyMaterial":
-        # Disney lobe set lands in the BSSRDF/Disney phase; a matte stand-in
-        # keeps scenes loadable until then.
-        return recipes.matte(name, R("color", 0.5), FloatParam(0.0, -1), bump_tex)
+        return recipes.disney(
+            name,
+            R("color", 0.5),
+            F("metallic", 0.0),
+            F("eta", 1.5),
+            F("roughness", 0.5),
+            F("specular_tint", 0.0),
+            F("anisotropic", 0.0),
+            F("sheen", 0.0),
+            F("sheen_tint", 0.5),
+            F("clearcoat", 0.0),
+            F("clearcoat_gloss", 1.0),
+            F("spec_trans", 0.0),
+            R("scatter_distance", 0.0),
+            read_bool(cfg, "thin", False),
+            F("flatness", 0.0),
+            F("diff_trans", 1.0),
+            bump_tex,
+        )
     if mtype == "Debug":
         return recipes.debug(name)
     return None

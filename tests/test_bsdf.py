@@ -158,3 +158,58 @@ def test_tr_sample_wh_visible_unit():
     u = jnp.asarray(np.random.default_rng(4).uniform(size=(1000, 2)), jnp.float32)
     wh = mf.tr_sample_wh_visible(wo, jnp.full((1000,), 0.3), jnp.full((1000,), 0.3), u)
     assert np.allclose(np.asarray(vec.length(wh)), 1.0, atol=1e-4)
+
+
+def test_disney_lobes_sane():
+    m = recipes.disney(
+        "dis",
+        RGBParam(np.array([0.6, 0.3, 0.2])),
+        FloatParam(0.3),   # metallic
+        FloatParam(1.5),   # eta
+        FloatParam(0.4),   # roughness
+        FloatParam(0.0),   # specular_tint
+        FloatParam(0.0),   # anisotropic
+        FloatParam(0.5),   # sheen
+        FloatParam(0.5),   # sheen_tint
+        FloatParam(0.8),   # clearcoat
+        FloatParam(0.9),   # clearcoat_gloss
+        FloatParam(0.0),   # spec_trans
+        RGBParam(np.zeros(3)),  # scatter_distance
+        False,             # thin
+        FloatParam(0.0),   # flatness
+        FloatParam(1.0),   # diff_trans
+    )
+    # diffuse + retro + sheen + microfacet + clearcoat
+    assert len(m.lobes) == 5
+    mats = _mats(m)
+    n = 20000
+    fr = _flat_frame(n)
+    p = _params(mats, n)
+    wo = vec.normalize(jnp.tile(jnp.array([[0.2, 0.1, 0.9]]), (n, 1)))
+    wi = vec.normalize(jnp.tile(jnp.array([[-0.3, 0.2, 0.8]]), (n, 1)))
+    f = beval.bsdf_f(p, fr, wo, wi, BXDF_ALL)
+    assert np.all(np.isfinite(np.asarray(f))) and float(f[0].sum()) > 0
+    pdf = beval.bsdf_pdf(p, fr, wo, wi, BXDF_ALL)
+    assert np.all(np.asarray(pdf) > 0)
+    # sampling produces finite bounded-energy estimates
+    u = jnp.asarray(np.random.default_rng(9).uniform(size=(n, 2)), jnp.float32)
+    bs = beval.bsdf_sample(p, fr, wo, u, BXDF_ALL)
+    est = bs.f * vec.absdot(bs.wi_world, fr.ns)[:, None] / jnp.maximum(bs.pdf, 1e-9)[:, None]
+    est = np.asarray(jnp.where(bs.valid[:, None], est, 0.0))
+    assert np.all(np.isfinite(est))
+    mean = est.mean(axis=0)
+    assert np.all(mean > 0.0) and np.all(mean < 3.0)
+
+
+def test_disney_thin_has_transmission():
+    m = recipes.disney(
+        "thin",
+        RGBParam(np.array([0.5, 0.5, 0.5])),
+        FloatParam(0.0), FloatParam(1.5), FloatParam(0.5),
+        FloatParam(0.0), FloatParam(0.0), FloatParam(0.0), FloatParam(0.5),
+        FloatParam(0.0), FloatParam(1.0), FloatParam(0.3),
+        RGBParam(np.zeros(3)), True, FloatParam(0.4), FloatParam(0.6),
+    )
+    from rs_ray_toy_tpu.bsdf.lobes import LOBE_LAMBERT_TRANS, LOBE_MF_TRANS
+    kinds = [lb.kind for lb in m.lobes]
+    assert LOBE_LAMBERT_TRANS in kinds and LOBE_MF_TRANS in kinds
