@@ -172,11 +172,20 @@ class MaterialTableBuilder:
         n_lobes = np.zeros((m,), np.int32)
         eta = np.ones((m,), np.float32)
         bump_tex = np.full((m,), -1, np.int32)
+        has_bssrdf = np.zeros((m,), bool)
+        bssrdf_R = np.zeros((m, 3), np.float32)
+        bssrdf_d = np.full((m, 3), 1.0, np.float32)
+        bssrdf_eta = np.ones((m,), np.float32)
 
         for i, mat in enumerate(self.materials):
             n_lobes[i] = len(mat.lobes)
             eta[i] = mat.eta
             bump_tex[i] = mat.bump_tex
+            if mat.bssrdf_R is not None:
+                has_bssrdf[i] = True
+                bssrdf_R[i] = mat.bssrdf_R
+                bssrdf_d[i] = np.maximum(mat.bssrdf_d, 1e-6)
+                bssrdf_eta[i] = mat.bssrdf_eta
             for j, lb in enumerate(mat.lobes):
                 kind[i, j] = lb.kind
                 flags[i, j] = LOBE_FLAGS[lb.kind]
@@ -218,4 +227,8 @@ class MaterialTableBuilder:
             "n_lobes": as_j(n_lobes),
             "eta": as_j(eta),
             "bump_tex": as_j(bump_tex),
+            "has_bssrdf": as_j(has_bssrdf),
+            "bssrdf_R": as_j(bssrdf_R),
+            "bssrdf_d": as_j(bssrdf_d),
+            "bssrdf_eta": as_j(bssrdf_eta),
         }

@@ -17,7 +17,7 @@ Notes:
 
 import jax.numpy as jnp
 
-from ..config import DTYPE
+from ..config import DTYPE, PI
 from ..core import vec
 from ..accel import geometry as geom
 from ..bsdf import eval as beval
@@ -99,6 +99,74 @@ def li_path(ctx: SceneCtx, o, d, cam_weight, sampler, pixel_id, s_idx, spec):
             active[:, None], geom.offset_ray_origin(si.p, si.ng, bs.wi_world), ro
         )
         rd = jnp.where(active[:, None], bs.wi_world, rd)
+
+        # BSSRDF branch (path.rs:166-210): specular-transmission bounces
+        # into a subsurface material re-emerge at a profile-sampled exit
+        # point with the Sw adapter BSDF.
+        import numpy as np
+
+        if bool(np.any(np.asarray(ctx.mats["has_bssrdf"]))):
+            from ..bsdf import bssrdf as bss
+            from ..lights.lights import is_delta as _is_delta, sample_li as _sample_li
+            from .common import shadow_unoccluded
+
+            is_trans = (
+                ((bs.sampled_flags & BXDF_TRANSMISSION) != 0)
+                & active
+                & ctx.mats["has_bssrdf"][jnp.maximum(si.mat, 0)]
+            )
+            u1 = sampler.get_1d(pixel_id, s_idx, dim0 + 5)
+            u2 = sampler.get_2d(pixel_id, s_idx, dim0 + 6)
+            si_b = si._replace(valid=is_trans)
+            bsample = bss.sample_bssrdf(ctx, si_b, frame, u1, u2)
+            got = is_trans & bsample.valid
+            beta = jnp.where(
+                got[:, None],
+                beta * bsample.sp / jnp.maximum(bsample.pdf, 1e-20)[:, None],
+                beta,
+            )
+            active = jnp.where(is_trans, got, active)
+            eta_b = ctx.mats["bssrdf_eta"][jnp.maximum(si.mat, 0)]
+
+            # direct subsurface component: one-light NEE with Sw adapter
+            if ctx.n_lights:
+                u_pick = sampler.get_1d(pixel_id, s_idx, dim0 + 7)
+                lidx = jnp.minimum(
+                    (u_pick * ctx.n_lights).astype(jnp.int32), ctx.n_lights - 1
+                )
+                u_l = sampler.get_2d(pixel_id, s_idx, dim0 + 7)
+                ls = _sample_li(ctx.lights, ctx.infinite_envs, lidx, bsample.pi.p, u_l)
+                cos_wi = vec.dot(ls.wi, bsample.pi.ns)
+                f_sw = bss.sw_f(eta_b, cos_wi)[:, None] * jnp.abs(cos_wi)[:, None]
+                unocc = shadow_unoccluded(ctx, bsample.pi, ls.p_light)
+                nee_ok = got & unocc & (ls.pdf > 0.0)
+                L = L + jnp.where(
+                    nee_ok[:, None],
+                    beta * ls.li * f_sw * (float(ctx.n_lights) / jnp.maximum(ls.pdf, 1e-20))[:, None],
+                    0.0,
+                )
+
+            # indirect: cosine-sample the Sw adapter at the exit point
+            u_out = sampler.get_2d(pixel_id, s_idx, dim0 + 7 + 13)
+            from ..core.sampling import cosine_sample_hemisphere
+
+            w_loc = cosine_sample_hemisphere(u_out)
+            a1, a2 = vec.coordinate_system(bsample.pi.ns)
+            w_out = (
+                a1 * w_loc[:, 0:1] + a2 * w_loc[:, 1:2] + bsample.pi.ns * w_loc[:, 2:3]
+            )
+            cos_o = jnp.maximum(w_loc[:, 2], 1e-9)
+            # f * cos / pdf with pdf = cos/pi -> Sw * pi
+            beta = jnp.where(
+                got[:, None], beta * (bss.sw_f(eta_b, cos_o) * PI)[:, None], beta
+            )
+            ro = jnp.where(
+                got[:, None],
+                geom.offset_ray_origin(bsample.pi.p, bsample.pi.ng, w_out),
+                ro,
+            )
+            rd = jnp.where(got[:, None], w_out, rd)
+            specular_bounce = jnp.where(got, False, specular_bounce)
 
         # Russian roulette (path.rs:212-222)
         rr_beta_max = jnp.max(beta * eta_scale[:, None], axis=-1)

@@ -54,8 +54,13 @@ def main():
     f_surf = jax.jit(lambda hit, o, d: ctx.surface(hit, o, d))
     si = timeit("surface_interaction", f_surf, hit, o, d)
 
-    f_shade = jax.jit(lambda si: ctx.shade_params(si))
+    def _shade(si):
+        prm = dict(ctx.shade_params(si))
+        prm.pop("_kinds", None)
+        return prm
+    f_shade = jax.jit(_shade)
     params = timeit("shade_params", f_shade, si)
+    params["_kinds"] = ctx.static_kinds
 
     frame = ctx.frame(si)
     u = sampler.get_2d(pixel_id, s_idx, 5)
