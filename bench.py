@@ -23,9 +23,13 @@ def main():
     from rs_ray_toy_tpu.scene.loader import load_scene
     from rs_ray_toy_tpu.render import render_job
 
-    spp = int(os.environ.get("BENCH_SPP", "16"))
+    spp = int(os.environ.get("BENCH_SPP", "64"))
     job = load_scene(SCENE)
-    # benchmark the full 640x360 frame at the configured spp
+    # benchmark the full 640x360 frame at the configured spp with the Path
+    # integrator (BASELINE config 2; scene.json itself configures Debug —
+    # override via BENCH_INTEGRATOR=debug to bench that instead)
+    kind = os.environ.get("BENCH_INTEGRATOR", "path")
+    job.integrator.kind = kind
     pupil = 1 << int(os.environ.get("BENCH_PUPIL_LOG2", "18"))
     res = render_job(job, spp_override=spp, pupil_samples=pupil)
     value = res["mrays_per_s"]
@@ -37,7 +41,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "camera_mrays_per_s_scene_json_debug",
+                "metric": f"camera_mrays_per_s_scene_json_{kind}",
                 "value": round(float(value), 3),
                 "unit": "Mrays/s",
                 "vs_baseline": round(float(value) / BASELINE_MRAYS, 4),

@@ -62,13 +62,42 @@ def _filter_eval(spec: FilmSpec, dx, dy):
     return jnp.where(inside, w, 0.0)
 
 
-def add_samples(film: FilmState, spec: FilmSpec, p_film, radiance, sample_weight):
+def add_samples(
+    film: FilmState, spec: FilmSpec, p_film, radiance, sample_weight, aligned=False
+):
     """FilmTile::add_sample batched (film.rs:77-130).
 
     p_film: (N,2) raster positions; radiance: (N,3) RGB; sample_weight: (N,)
     camera-ray weights.  Returns updated FilmState.
+
+    aligned=True: the batch is exactly the full pixel grid in row-major
+    order with a box filter of radius <= 0.5 — every sample lands on its
+    own pixel, so the scatter-add collapses to a reshape-add (TPU scatters
+    serialize; this is the hot path for per-pixel sample passes).
     """
     h, w = film.weight.shape
+    rx, ry_ = float(spec.filter_radius[0]), float(spec.filter_radius[1])
+    if (
+        aligned
+        and spec.filter_type == "BoxFilter"
+        and rx <= 0.5
+        and ry_ <= 0.5
+        and p_film.shape[0] == h * w
+    ):
+        if np.isfinite(spec.max_sample_luminance):
+            y = luminance(radiance)
+            s = jnp.where(
+                y > spec.max_sample_luminance,
+                spec.max_sample_luminance / jnp.maximum(y, 1e-20),
+                1.0,
+            )
+            radiance = radiance * s[..., None]
+        xyz = rgb_to_xyz(radiance) * sample_weight[..., None]
+        return FilmState(
+            xyz=film.xyz + xyz.reshape(h, w, 3),
+            weight=film.weight + jnp.ones((h, w), film.weight.dtype),
+            splat_xyz=film.splat_xyz,
+        )
     # luminance clamp (film.rs:83-85)
     if np.isfinite(spec.max_sample_luminance):
         y = luminance(radiance)

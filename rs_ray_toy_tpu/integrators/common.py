@@ -162,7 +162,50 @@ class SceneCtx:
         return params
 
     def frame(self, si: geom.SurfaceHit):
+        si = self.apply_bump(si)
         return beval.make_frame(si.ns, si.ng, si.dpdu)
+
+    def apply_bump(self, si: geom.SurfaceHit):
+        """Bump mapping (material/mod.rs:22-62) via displacement-texture
+        finite differences.  Camera paths here carry no ray differentials,
+        so the reference's no-differential fallback offsets du = dv =
+        0.0005 apply (material/mod.rs:31-40)."""
+        import numpy as np
+
+        bump_ids = np.asarray(self.mats["bump_tex"])
+        if not (bump_ids >= 0).any() or not self.registry.records:
+            return si
+        mat_id = jnp.maximum(si.mat, 0)
+        btex = self.mats["bump_tex"][mat_id]
+        has = (btex >= 0) & si.valid
+        du = dv = 5e-4
+        tex0 = tex.eval_all(self.registry, self.dev_images, si.uv, si.p)
+        texu = tex.eval_all(
+            self.registry,
+            self.dev_images,
+            si.uv + jnp.asarray([du, 0.0], DTYPE),
+            si.p + si.dpdu * du,
+        )
+        texv = tex.eval_all(
+            self.registry,
+            self.dev_images,
+            si.uv + jnp.asarray([0.0, dv], DTYPE),
+            si.p + si.dpdv * dv,
+        )
+        rows = jnp.arange(mat_id.shape[0])
+        bsafe = jnp.maximum(btex, 0)
+        disp = tex0[bsafe, rows, 0]
+        disp_u = texu[bsafe, rows, 0]
+        disp_v = texv[bsafe, rows, 0]
+        dpdu2 = si.dpdu + ((disp_u - disp) / du)[:, None] * si.ns
+        dpdv2 = si.dpdv + ((disp_v - disp) / dv)[:, None] * si.ns
+        ns2 = vec.normalize(vec.cross(dpdu2, dpdv2))
+        ns2 = vec.faceforward(ns2, si.ns)
+        return si._replace(
+            dpdu=jnp.where(has[:, None], dpdu2, si.dpdu),
+            dpdv=jnp.where(has[:, None], dpdv2, si.dpdv),
+            ns=jnp.where(has[:, None], ns2, si.ns),
+        )
 
 
 def shadow_unoccluded(ctx: SceneCtx, si: geom.SurfaceHit, p_light):

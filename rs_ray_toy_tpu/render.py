@@ -136,7 +136,7 @@ def render_job(
         l = li_fn(o, d, weight, s_idx_arr)
         l = scrub_radiance(l)
         l = jnp.where((weight > 0.0)[:, None], l, 0.0)
-        return fmod.add_samples(film, film_spec, p_film, l, weight)
+        return fmod.add_samples(film, film_spec, p_film, l, weight, aligned=True)
 
     # one dispatch for the whole render: spp passes under a fori_loop —
     # the per-call host<->device round trip would otherwise dominate

@@ -119,3 +119,45 @@ def test_le_escape_uses_only_infinite_section():
     env2["escape_le"] = False
     out2 = le_escape([env2], d)
     assert np.all(np.asarray(out2) == 0.0)
+
+
+def test_bump_mapping_perturbs_normals():
+    import jax.numpy as jnp
+    from rs_ray_toy_tpu.scene import textures as tex
+    from rs_ray_toy_tpu.scene.loader import SceneBundle
+    from rs_ray_toy_tpu.bsdf.lobes import MaterialTableBuilder
+    from rs_ray_toy_tpu.bsdf import recipes
+    from rs_ray_toy_tpu.bsdf.recipes import FloatParam, RGBParam
+    from rs_ray_toy_tpu.integrators.common import SceneCtx
+    from rs_ray_toy_tpu.scene.types import empty_triangles, empty_spheres
+    from rs_ray_toy_tpu.accel.geometry import SurfaceHit
+
+    reg = tex.TextureRegistry()
+    wid = reg.add(tex.TexRecord(kind=tex.TEX_WINDY, is_rgb=False))
+    b = MaterialTableBuilder()
+    m = recipes.matte("bumpy", RGBParam(np.ones(3) * 0.5), FloatParam(0.0), bump_tex=wid)
+    b.add(m)
+    bundle = SceneBundle(
+        triangles=empty_triangles(), spheres=empty_spheres(),
+        lights=_table([dict(kind=LIGHT_POINT, p=np.zeros(3), emit=np.ones(3))]),
+        materials=b.pack(), registry=reg, dev_images=[], infinite=[],
+        world_bound=np.array([[0.0,0,0],[1,1,1]]), max_prims_in_node=4,
+    )
+    ctx = SceneCtx(bundle)
+    n = 16
+    rng = np.random.default_rng(4)
+    z3 = jnp.zeros((n, 3))
+    si = SurfaceHit(
+        p=jnp.asarray(rng.uniform(0, 5, size=(n, 3)), jnp.float32),
+        ng=z3.at[:, 2].set(1.0), ns=z3.at[:, 2].set(1.0),
+        uv=jnp.asarray(rng.uniform(size=(n, 2)), jnp.float32),
+        dpdu=z3.at[:, 0].set(1.0), dpdv=z3.at[:, 1].set(1.0),
+        wo=z3.at[:, 2].set(1.0),
+        mat=jnp.zeros(n, jnp.int32), area_light=jnp.full(n, -1, jnp.int32),
+        valid=jnp.ones(n, bool),
+    )
+    si2 = ctx.apply_bump(si)
+    ns = np.asarray(si2.ns)
+    assert np.allclose(np.linalg.norm(ns, axis=-1), 1.0, atol=1e-5)
+    # windy noise is nonconstant -> most normals tilt away from +z
+    assert (np.abs(ns[:, 2] - 1.0) > 1e-6).mean() > 0.5
