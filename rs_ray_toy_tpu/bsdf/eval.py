@@ -178,22 +178,25 @@ def gather_lobes(mats, tex_vals, mat_id, static_kinds=None):
     tex_vals: (n_tex, N, 3) from textures.eval_all, or None.
     Resolves texture indirection for s0 / roughness / sigma / scale.
     """
-    g = lambda k: mats[k][mat_id]  # (N, L, ...)
+    # two fused gathers for all per-lobe tables
+    pf = mats["packed_f"][mat_id]  # (N, L, 16)
+    pi_ = mats["packed_i"][mat_id]  # (N, L, 12)
+    g = lambda k: mats[k][mat_id]  # (N, L, ...) fallback for scalar tables
     out = {
         "_kinds": static_kinds,
-        "kind": g("kind"),
-        "flags": g("flags"),
-        "s0": g("s0"),
-        "s1": g("s1"),
-        "s2": g("s2"),
-        "fresnel": g("fresnel"),
-        "dist": g("dist"),
-        "sample_visible": g("sample_visible"),
-        "scale": g("scale"),
+        "kind": pi_[..., 0],
+        "flags": pi_[..., 1],
+        "s0": pf[..., 0:3],
+        "s1": pf[..., 3:6],
+        "s2": pf[..., 6:9],
+        "fresnel": pi_[..., 2],
+        "dist": pi_[..., 3],
+        "sample_visible": pi_[..., 5] != 0,
+        "scale": pf[..., 13:16],
         "n_lobes": mats["n_lobes"][mat_id],
         "eta": mats["eta"][mat_id],
     }
-    fp = g("fparams")
+    fp = pf[..., 9:13]
     rough_u = fp[..., 0]
     rough_v = fp[..., 1]
     sigma = fp[..., 0]
@@ -209,23 +212,23 @@ def gather_lobes(mats, tex_vals, mat_id, static_kinds=None):
         def tex_gather_f(tex_id):
             return tex_gather(tex_id)[..., 0]
 
-        s0_tex = g("s0_tex")
+        s0_tex = pi_[..., 6]
         out["s0"] = jnp.where((s0_tex >= 0)[..., None], tex_gather(s0_tex), out["s0"])
-        ru_tex = g("rough_u_tex")
+        ru_tex = pi_[..., 7]
         rough_u = jnp.where(ru_tex >= 0, tex_gather_f(ru_tex), rough_u)
-        rv_tex = g("rough_v_tex")
+        rv_tex = pi_[..., 8]
         rough_v = jnp.where(rv_tex >= 0, tex_gather_f(rv_tex), rough_v)
-        sg_tex = g("sigma_tex")
+        sg_tex = pi_[..., 9]
         sigma = jnp.where(sg_tex >= 0, jnp.clip(tex_gather_f(sg_tex), 0.0, 90.0), sigma)
-        sc_tex = g("scale_tex")
+        sc_tex = pi_[..., 10]
         sc = tex_gather(sc_tex)
-        sc = jnp.where(g("scale_one_minus")[..., None], 1.0 - sc, sc)
+        sc = jnp.where((pi_[..., 11] != 0)[..., None], 1.0 - sc, sc)
         out["scale"] = jnp.where(
             (sc_tex >= 0)[..., None], jnp.clip(sc, 0.0, jnp.inf) * out["scale"], out["scale"]
         )
 
     # roughness remap (microfacet.rs:12) applied where flagged
-    remap = g("remap")
+    remap = pi_[..., 4] != 0
     rough_u = jnp.where(remap, mf.roughness_to_alpha(rough_u), rough_u)
     rough_v = jnp.where(remap, mf.roughness_to_alpha(rough_v), rough_v)
     out["alpha_u"] = rough_u

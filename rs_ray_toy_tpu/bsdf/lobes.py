@@ -205,8 +205,25 @@ class MaterialTableBuilder:
                 scale_tex[i, j] = lb.scale_tex
                 scale_one_minus[i, j] = lb.scale_one_minus
 
+        # fused gather layout: one float tensor + one int tensor per lobe
+        # slot (shade-time gathers cost per-array; 2 gathers beat ~20)
+        packed_f = np.concatenate(
+            [s0, s1, s2, fparams, scale], axis=-1
+        ).astype(np.float32)  # (M, L, 16)
+        packed_i = np.stack(
+            [
+                kind, flags, fresnel, dist,
+                remap.astype(np.int32), sample_vis.astype(np.int32),
+                s0_tex, rough_u_tex, rough_v_tex, sigma_tex, scale_tex,
+                scale_one_minus.astype(np.int32),
+            ],
+            axis=-1,
+        ).astype(np.int32)  # (M, L, 12)
+
         as_j = lambda a: jnp.asarray(a)
         return {
+            "packed_f": as_j(packed_f),
+            "packed_i": as_j(packed_i),
             "kind": as_j(kind),
             "flags": as_j(flags),
             "s0": as_j(s0),

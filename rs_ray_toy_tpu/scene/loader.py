@@ -599,7 +599,17 @@ def _parse_medium(mcfg) -> Optional[MediumSpec]:
     if not isinstance(mcfg, dict):
         return None
     mtype = read_string(mcfg, "medium_type", "")
+    # preset lookup (get_medium_scattering_properties,
+    # renderprocess.rs:1108-1133)
     sigma_a, sigma_s = _DEFAULT_SIGMA_A, _DEFAULT_SIGMA_S
+    preset = read_string(mcfg, "preset", "")
+    if preset:
+        from .subsurface_presets import SUBSURFACE_PARAMETER_TABLE
+
+        if preset in SUBSURFACE_PARAMETER_TABLE:
+            ss, sa = SUBSURFACE_PARAMETER_TABLE[preset]
+            sigma_s = np.asarray(ss)
+            sigma_a = np.asarray(sa)
     g = read_f64(mcfg, "g", 0.0)
     to_world = make_to_world(mcfg)
     if mtype == "Homogeneous":
