@@ -291,3 +291,55 @@ def offset_ray_origin(p, n, w):
     eps = (1e-4 + 1e-5 * mag)
     off = jnp.where(vec.dot(w, n)[:, None] < 0.0, -eps, eps)
     return p + n * off
+
+
+def compute_uv_differentials(si: SurfaceHit, diff):
+    """Ray-differential UV footprints (interaction.rs:223-284).
+
+    diff: (rx_o, rx_d, ry_o, ry_d) auxiliary camera rays.  Intersect them
+    with the tangent plane at p, project the offsets onto (dpdu, dpdv) via
+    the least-squares 2x2 solve, return (dudx, dvdx, dudy, dvdy).
+
+    (The reference's ty uses d(n . ry_direction) in place of
+    d(n . ry_origin) — SURVEY §2.7; the PBRT-intended form is used.)
+    """
+    rx_o, rx_d, ry_o, ry_d = diff
+    n = si.ng
+    d_plane = vec.dot(n, si.p)
+
+    def plane_hit(o, dd):
+        denom = vec.dot(n, dd)
+        t = (d_plane - vec.dot(n, o)) / jnp.where(jnp.abs(denom) < 1e-9, 1e-9, denom)
+        return o + dd * t[:, None]
+
+    px = plane_hit(rx_o, rx_d)
+    py = plane_hit(ry_o, ry_d)
+    dpdx = px - si.p
+    dpdy = py - si.p
+
+    # choose the two dominant axes of n for the 2x2 system
+    ax = jnp.abs(n)
+    # dim = argmax |n| excluded
+    kmax = jnp.argmax(ax, axis=-1)
+    dim0 = jnp.where(kmax == 0, 1, 0)
+    dim1 = jnp.where(kmax == 2, 1, 2)
+    rows = jnp.arange(si.p.shape[0])
+
+    def solve(dp):
+        a00 = si.dpdu[rows, dim0]
+        a01 = si.dpdv[rows, dim0]
+        a10 = si.dpdu[rows, dim1]
+        a11 = si.dpdv[rows, dim1]
+        b0 = dp[rows, dim0]
+        b1 = dp[rows, dim1]
+        det = a00 * a11 - a01 * a10
+        ok = jnp.abs(det) >= 1e-10
+        inv = 1.0 / jnp.where(ok, det, 1.0)
+        du = (a11 * b0 - a01 * b1) * inv
+        dv = (a00 * b1 - a10 * b0) * inv
+        return jnp.where(ok, du, 0.0), jnp.where(ok, dv, 0.0)
+
+    dudx, dvdx = solve(dpdx)
+    dudy, dvdy = solve(dpdy)
+    fin = lambda x: jnp.where(jnp.isfinite(x) & si.valid, x, 0.0)
+    return jnp.stack([fin(dudx), fin(dvdx), fin(dudy), fin(dvdy)], axis=-1)

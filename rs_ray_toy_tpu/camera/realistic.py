@@ -306,6 +306,28 @@ class RealisticCamera:
         y = aspect * x
         self.extent = np.array([x, y])
 
+    def generate_ray_differentials(self, p_film_raster, u_lens, spp=1):
+        """(camera.rs:582-628): finite-difference differentials from
+        +0.05px shifted film points (the reference retries with -0.05 on
+        failure; dead differentials are masked instead here), scaled by
+        1/sqrt(spp) (integrator/mod.rs:94-96 scale_differentials)."""
+        o, d, w = self.generate_rays(p_film_raster, u_lens)
+        eps = 0.05
+        ox, dx_, wx = self.generate_rays(
+            p_film_raster + jnp.asarray([eps, 0.0], DTYPE), u_lens
+        )
+        oy, dy_, wy = self.generate_rays(
+            p_film_raster + jnp.asarray([0.0, eps], DTYPE), u_lens
+        )
+        s = 1.0 / float(np.sqrt(max(spp, 1)))
+        okx = (wx > 0.0)[:, None]
+        oky = (wy > 0.0)[:, None]
+        rx_o = jnp.where(okx, o + (ox - o) / eps * s, o)
+        rx_d = jnp.where(okx, d + (dx_ - d) / eps * s, d)
+        ry_o = jnp.where(oky, o + (oy - o) / eps * s, o)
+        ry_d = jnp.where(oky, d + (dy_ - d) / eps * s, d)
+        return o, d, w, (rx_o, rx_d, ry_o, ry_d)
+
     # -- device-side ray generation (camera.rs:534-580) --
     def generate_rays(self, p_film_raster, u_lens, time_u=None):
         """p_film_raster: (N,2) raster-space film points (x right, y down);

@@ -145,11 +145,12 @@ class SceneCtx:
             return hit.valid
         return geom.occluded_brute(self.tri, self.sph, o, d, t_max)
 
-    def shade_params(self, si: geom.SurfaceHit):
-        """Gather per-hit lobe params (texture-resolved)."""
+    def shade_params(self, si: geom.SurfaceHit, duv=None):
+        """Gather per-hit lobe params (texture-resolved; duv enables
+        filtered texture lookups at primary hits)."""
         mat_id = jnp.maximum(si.mat, 0)
         tex_vals = (
-            tex.eval_all(self.registry, self.dev_images, si.uv, si.p)
+            tex.eval_all(self.registry, self.dev_images, si.uv, si.p, duv)
             if (self.registry.records and self.uses_textures)
             else None
         )
@@ -298,19 +299,35 @@ def estimate_direct(ctx: SceneCtx, si, params, frame, light_idx, u_light, u_scat
 
 
 def uniform_sample_all_lights(ctx: SceneCtx, si, params, frame, sampler, pixel_id, s_idx, dim_base):
-    """(integrator/mod.rs:304-355) with n_samples=1 per light (the sampler
-    round_count of point lights' n_samples=1)."""
+    """(integrator/mod.rs:304-355): every light estimated with its
+    round_count(n_samples) sample array and averaged — the reference's
+    requested 2D arrays become extra static sampler dimensions here."""
+    import numpy as np
+
     total = jnp.zeros_like(si.p)
     dim = dim_base
+    n_samples_tbl = np.asarray(ctx.lights.n_samples)
     for j in range(ctx.n_lights):
-        u_light = sampler.get_2d(pixel_id, s_idx, dim)
-        u_scatter = sampler.get_2d(pixel_id, s_idx, dim + 1)
-        dim += 2
+        ns = _round_up_pow2(int(n_samples_tbl[j]))
         idx = jnp.full(pixel_id.shape, j, jnp.int32)
-        total = total + estimate_direct(
-            ctx, si, params, frame, idx, u_light, u_scatter
-        )
+        acc = jnp.zeros_like(si.p)
+        for k in range(ns):
+            u_light = sampler.get_2d(pixel_id, s_idx, dim)
+            u_scatter = sampler.get_2d(pixel_id, s_idx, dim + 1)
+            dim += 2
+            acc = acc + estimate_direct(
+                ctx, si, params, frame, idx, u_light, u_scatter
+            )
+        total = total + acc / ns
     return total, dim
+
+
+def _round_up_pow2(n):
+    """Sampler round_count (misc.rs round_up_pow2 via stratified.rs)."""
+    p = 1
+    while p < max(n, 1):
+        p <<= 1
+    return p
 
 
 def uniform_sample_one_light(

@@ -23,7 +23,7 @@ from .common import (
 )
 
 
-def li_levels(ctx: SceneCtx, o, d, cam_weight, sampler, pixel_id, s_idx, spec):
+def li_levels(ctx: SceneCtx, o, d, cam_weight, sampler, pixel_id, s_idx, spec, diff=None):
     """Evaluate radiance for camera rays under Debug / DirectLighting.
 
     Returns (N,3) radiance.  spec: IntegratorSpec (kind in debug|direct).
@@ -51,7 +51,10 @@ def li_levels(ctx: SceneCtx, o, d, cam_weight, sampler, pixel_id, s_idx, spec):
         hit = ctx.intersect(lo, ld_, t_max)
         si = ctx.surface(hit, lo, ld_)
         si = si._replace(valid=si.valid & active)
-        params = ctx.shade_params(si)
+        duv = None
+        if diff is not None and depth == 1:
+            duv = geom.compute_uv_differentials(si, diff)
+        params = ctx.shade_params(si, duv)
         frame = ctx.frame(si)
 
         level_l = jnp.zeros_like(beta)

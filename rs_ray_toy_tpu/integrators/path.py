@@ -25,7 +25,7 @@ from ..bsdf.lobes import BXDF_ALL, BXDF_SPECULAR, BXDF_TRANSMISSION
 from .common import SceneCtx, uniform_sample_one_light
 
 
-def li_path(ctx: SceneCtx, o, d, cam_weight, sampler, pixel_id, s_idx, spec):
+def li_path(ctx: SceneCtx, o, d, cam_weight, sampler, pixel_id, s_idx, spec, diff=None):
     n = o.shape[0]
     L = jnp.zeros((n, 3), DTYPE)
     beta = jnp.ones((n, 3), DTYPE) * (cam_weight > 0.0)[:, None]
@@ -61,7 +61,10 @@ def li_path(ctx: SceneCtx, o, d, cam_weight, sampler, pixel_id, s_idx, spec):
 
         si = ctx.surface(hit, ro, rd)
         si = si._replace(valid=si.valid & active)
-        params = ctx.shade_params(si)
+        duv = None
+        if diff is not None and bounces == 0:
+            duv = geom.compute_uv_differentials(si, diff)
+        params = ctx.shade_params(si, duv)
         frame = ctx.frame(si)
 
         # NEE unless the BSDF is purely specular (path.rs:108-122)

@@ -37,7 +37,8 @@ def _light_distribution(ctx: SceneCtx):
 
 
 def _estimate_direct_volumetric(
-    ctx, p, is_medium, si, params, frame, wo, g_med, light_idx, u_light, u_scatter, rng_state, valid
+    ctx, p, is_medium, si, params, frame, wo, g_med, light_idx, u_light,
+    u_scatter, rng_state, valid, med_id=None,
 ):
     """estimate_direct with handle_media=true (integrator/mod.rs:403-558):
     phase function instead of BSDF at medium vertices, and transmittance-
@@ -67,23 +68,16 @@ def _estimate_direct_volumetric(
     t_max = jnp.full(seg_len.shape, 1.0 - 1e-4, DTYPE) * seg_len
     occluded = ctx.occluded(origin, d_unit, t_max)
     tr = jnp.ones_like(f)
-    if ctx.mediums is not None and ctx.mediums["n"] > 0:
+    if ctx.mediums is not None and ctx.mediums["n"] > 0 and med_id is not None:
         # transmittance through the current medium along the segment
-        ray_med = jnp.where(is_medium, ctx_medium_of(ctx, si, is_medium), -1)
         tr, rng_state = med.medium_tr(
-            ctx.mediums, ray_med, origin, d_unit, seg_len, rng_state
+            ctx.mediums, med_id, origin, d_unit, seg_len, rng_state
         )
     li = jnp.where((live & ~occluded)[..., None], ls.li * tr, 0.0)
     delta = lmod.is_delta(ctx.lights.kind[light_idx])
     weight = jnp.where(delta, 1.0, power_heuristic(1, ls.pdf, 1, scattering_pdf))
     ld = li * f * (weight / jnp.maximum(ls.pdf, 1e-20))[..., None]
     return jnp.where(valid[..., None], ld, 0.0), rng_state
-
-
-def ctx_medium_of(ctx, si, is_medium):
-    # placeholder: medium id carried separately by the integrator; this
-    # helper exists for the NEE segment (same medium as the vertex)
-    return getattr(ctx, "_current_medium", jnp.full(si.p.shape[:-1], -1, jnp.int32))
 
 
 def li_volpath(ctx: SceneCtx, o, d, cam_weight, sampler, pixel_id, s_idx, spec, camera_medium=-1):
@@ -154,10 +148,10 @@ def li_volpath(ctx: SceneCtx, o, d, cam_weight, sampler, pixel_id, s_idx, spec, 
         u_scatter = sampler.get_2d(pixel_id, s_idx, dim0 + 2)
         n_nonspec = beval.num_components(params, BXDF_ALL & ~BXDF_SPECULAR)
         nee_valid = active & (in_medium | (surf_valid & (n_nonspec > 0)))
-        ctx._current_medium = med_id
         ld, rng_state = _estimate_direct_volumetric(
             ctx, p_vertex, in_medium, si, params, frame, wo, g_med,
             light_idx, u_light, u_scatter, rng_state, nee_valid,
+            med_id=med_id,
         )
         L = L + beta * ld / jnp.maximum(pick_pdf, 1e-20)[..., None]
 

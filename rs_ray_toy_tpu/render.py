@@ -106,13 +106,25 @@ def render_job(
 
     integrator = job.integrator
 
-    def li_fn(o, d, weight, s_idx_arr):
+    # camera ray differentials feed filtered texture lookups at primary
+    # hits; only worth the 3x primary raygen when filtered textures exist
+    from .scene.textures import TEX_CHECKER2D, TEX_IMAGE
+
+    want_diff = ctx.uses_textures and any(
+        r.kind in (TEX_IMAGE, TEX_CHECKER2D) for r in ctx.registry.records
+    )
+
+    def li_fn(o, d, weight, s_idx_arr, diff=None):
         if integrator.kind in ("debug", "direct"):
-            return li_levels(ctx, o, d, weight, sampler, pixel_id, s_idx_arr, integrator)
+            return li_levels(
+                ctx, o, d, weight, sampler, pixel_id, s_idx_arr, integrator, diff=diff
+            )
         elif integrator.kind == "path":
             from .integrators.path import li_path
 
-            return li_path(ctx, o, d, weight, sampler, pixel_id, s_idx_arr, integrator)
+            return li_path(
+                ctx, o, d, weight, sampler, pixel_id, s_idx_arr, integrator, diff=diff
+            )
         elif integrator.kind == "volpath":
             from .integrators.volpath import li_volpath
 
@@ -132,8 +144,14 @@ def render_job(
         u_film = sampler.get_2d(pixel_id, s_idx_arr, 0)
         u_lens = sampler.get_2d(pixel_id, s_idx_arr, 1)
         p_film = pixel_xy + u_film
-        o, d, weight = cam.generate_rays(p_film, u_lens)
-        l = li_fn(o, d, weight, s_idx_arr)
+        if want_diff:
+            o, d, weight, diff = cam.generate_ray_differentials(
+                p_film, u_lens, spp=spp
+            )
+        else:
+            o, d, weight = cam.generate_rays(p_film, u_lens)
+            diff = None
+        l = li_fn(o, d, weight, s_idx_arr, diff)
         l = scrub_radiance(l)
         l = jnp.where((weight > 0.0)[:, None], l, 0.0)
         return fmod.add_samples(film, film_spec, p_film, l, weight, aligned=True)

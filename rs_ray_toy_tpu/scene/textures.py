@@ -98,14 +98,23 @@ class TextureRegistry:
         return [m.as_device() for m in self.images]
 
 
-def eval_all(registry: TextureRegistry, dev_images, uv, p_world):
+def eval_all(registry: TextureRegistry, dev_images, uv, p_world, duv=None):
     """Evaluate every registered texture at each shading point.
 
-    uv: (N,2); p_world: (N,3).  Returns (n_tex, N, 3) stacked values.
-    Runs inside jit; the registry structure is static.
+    uv: (N,2); p_world: (N,3); duv: optional (N,4) = (dudx, dvdx, dudy,
+    dvdy) screen-space footprints for filtered lookups.  Returns
+    (n_tex, N, 3) stacked values.  Runs inside jit; registry is static.
     """
     n = uv.shape[0]
     outputs = []
+
+    def footprint(rec, st_scale=(1.0, 1.0)):
+        """(ds, dt) half-extents of the filter footprint in st space."""
+        if duv is None:
+            return None
+        ds = jnp.maximum(jnp.abs(duv[:, 0]), jnp.abs(duv[:, 2])) * st_scale[0]
+        dt = jnp.maximum(jnp.abs(duv[:, 1]), jnp.abs(duv[:, 3])) * st_scale[1]
+        return ds, dt
 
     def get(idx, const):
         if idx >= 0:
@@ -131,7 +140,11 @@ def eval_all(registry: TextureRegistry, dev_images, uv, p_world):
             )
         elif rec.kind == TEX_IMAGE:
             st = _map_2d(rec, uv, p_world)
-            val = trilinear_lookup(dev_images[rec.image_id], st) * rec.scale
+            fp = footprint(rec, (rec.su, rec.sv)) if rec.mapping == MAP_UV else footprint(rec)
+            width = None
+            if fp is not None:
+                width = 2.0 * jnp.maximum(fp[0], fp[1])
+            val = trilinear_lookup(dev_images[rec.image_id], st, width) * rec.scale
         elif rec.kind == TEX_UV:
             st = _map_2d(rec, uv, p_world)
             val = jnp.stack(
@@ -144,15 +157,40 @@ def eval_all(registry: TextureRegistry, dev_images, uv, p_world):
             )
         elif rec.kind == TEX_CHECKER2D:
             st = _map_2d(rec, uv, p_world)
+            t1v = get(rec.t1, rec.t1_const)
+            t2v = get(rec.t2, rec.t2_const)
             parity = (
                 jnp.floor(st[..., 0]).astype(jnp.int32)
                 + jnp.floor(st[..., 1]).astype(jnp.int32)
             ) % 2
-            val = jnp.where(
-                (parity == 0)[..., None],
-                get(rec.t1, rec.t1_const),
-                get(rec.t2, rec.t2_const),
-            )
+            point = jnp.where((parity == 0)[..., None], t1v, t2v)
+            fp = footprint(rec, (rec.su, rec.sv)) if rec.mapping == MAP_UV else footprint(rec)
+            if fp is None:
+                val = point
+            else:
+                # closed-form box-filtered checkerboard
+                # (texture/checkerboard.rs ClosedForm)
+                ds = jnp.maximum(fp[0], 1e-8)
+                dt = jnp.maximum(fp[1], 1e-8)
+                s0, s1 = st[..., 0] - ds, st[..., 0] + ds
+                t0, t1_ = st[..., 1] - dt, st[..., 1] + dt
+
+                def bump_int(x):
+                    xh = x / 2.0
+                    return jnp.floor(xh) + 2.0 * jnp.maximum(
+                        xh - jnp.floor(xh) - 0.5, 0.0
+                    )
+
+                sint = (bump_int(s1) - bump_int(s0)) / (2.0 * ds)
+                tint = (bump_int(t1_) - bump_int(t0)) / (2.0 * dt)
+                area2 = sint + tint - 2.0 * sint * tint
+                area2 = jnp.where((ds > 1.0) | (dt > 1.0), 0.5, area2)
+                filtered = (1.0 - area2)[..., None] * t1v + area2[..., None] * t2v
+                inside_one = (
+                    (jnp.floor(s0) == jnp.floor(s1))
+                    & (jnp.floor(t0) == jnp.floor(t1_))
+                )
+                val = jnp.where(inside_one[..., None], point, filtered)
         elif rec.kind == TEX_CHECKER3D:
             pt = _apply44(rec.world_to_tex, p_world)
             parity = (
