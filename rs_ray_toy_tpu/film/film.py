@@ -82,7 +82,7 @@ def add_samples(
         and spec.filter_type == "BoxFilter"
         and rx <= 0.5
         and ry_ <= 0.5
-        and p_film.shape[0] == h * w
+        and p_film.shape[0] % (h * w) == 0
     ):
         if np.isfinite(spec.max_sample_luminance):
             y = luminance(radiance)
@@ -93,9 +93,10 @@ def add_samples(
             )
             radiance = radiance * s[..., None]
         xyz = rgb_to_xyz(radiance) * sample_weight[..., None]
+        k = p_film.shape[0] // (h * w)
         return FilmState(
-            xyz=film.xyz + xyz.reshape(h, w, 3),
-            weight=film.weight + jnp.ones((h, w), film.weight.dtype),
+            xyz=film.xyz + xyz.reshape(k, h, w, 3).sum(axis=0),
+            weight=film.weight + jnp.full((h, w), float(k), film.weight.dtype),
             splat_xyz=film.splat_xyz,
         )
     # luminance clamp (film.rs:83-85)

@@ -26,8 +26,9 @@ def li_ao(ctx: SceneCtx, o, d, cam_weight, sampler, pixel_id, s_idx, spec):
     ns = vec.faceforward(si.ns, si.wo)
     frame = beval.make_frame(ns, si.ng, si.dpdu)
 
-    total = jnp.zeros((n,), DTYPE)
-    for k in range(spec.n_samples):
+    from jax import lax
+
+    def body(k, total):
         u = sampler.get_2d(pixel_id, s_idx, 8 + k)
         if spec.cos_sample:
             w_local = cosine_sample_hemisphere(u)
@@ -42,6 +43,8 @@ def li_ao(ctx: SceneCtx, o, d, cam_weight, sampler, pixel_id, s_idx, spec):
         contrib = jnp.where(
             vis, vec.dot(w_world, ns) / jnp.maximum(pdf, 1e-20), 0.0
         )
-        total = total + contrib
+        return total + contrib
+
+    total = lax.fori_loop(0, spec.n_samples, body, jnp.zeros((n,), DTYPE))
     l = jnp.where(valid, total / (spec.n_samples * PI), 0.0)
     return jnp.stack([l, l, l], axis=-1)

@@ -32,6 +32,21 @@ def li_levels(ctx: SceneCtx, o, d, cam_weight, sampler, pixel_id, s_idx, spec, d
     max_depth = spec.max_depth
     debug = spec.kind == "debug"
     strategy_all = debug or spec.light_strategy == "all"
+    # specular recursion only exists if some lobe carries BXDF_SPECULAR
+    # (integrator/mod.rs:150-301 recursion is sample_f over SPECULAR|...)
+    from ..bsdf.lobes import (
+        LOBE_DEBUG_SPECULAR,
+        LOBE_FRESNEL_SPEC,
+        LOBE_SPEC_REFL,
+        LOBE_SPEC_TRANS,
+    )
+
+    has_specular = bool(
+        ctx.static_kinds
+        & {LOBE_SPEC_REFL, LOBE_SPEC_TRANS, LOBE_FRESNEL_SPEC, LOBE_DEBUG_SPECULAR}
+    )
+    if not has_specular:
+        max_depth = min(max_depth, 2)  # no children will ever contribute
 
     L = jnp.zeros((n, 3), DTYPE)
     # level state

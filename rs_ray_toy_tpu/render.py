@@ -8,6 +8,7 @@ rayon 16x16 tile loop (integrator/mod.rs:48-139).  The film is carried
 through `lax`-style functional updates with donated buffers.
 """
 
+import os
 import time
 
 import numpy as np
@@ -99,10 +100,18 @@ def render_job(
 
     h, w = film_spec.yres, film_spec.xres
     ys, xs = np.mgrid[0:h, 0:w]
+    # samples-per-pass: batch k samples of every pixel into one megabatch
+    # (bigger batches amortize per-fusion overhead on the device)
+    k_spp = max(1, int(os.environ.get("RS_SAMPLES_PER_PASS", "4")))
+    while spp % k_spp:
+        k_spp -= 1
     pixel_xy = jnp.asarray(
-        np.stack([xs.ravel(), ys.ravel()], axis=-1), DTYPE
+        np.tile(np.stack([xs.ravel(), ys.ravel()], axis=-1), (k_spp, 1)), DTYPE
     )  # raster (x, y)
-    pixel_id = jnp.asarray((ys * w + xs).ravel(), jnp.uint32)
+    pixel_id = jnp.asarray(np.tile((ys * w + xs).ravel(), k_spp), jnp.uint32)
+    sample_offset = jnp.asarray(
+        np.repeat(np.arange(k_spp), h * w), jnp.uint32
+    )
 
     integrator = job.integrator
 
@@ -138,8 +147,8 @@ def render_job(
             return li_ao(ctx, o, d, weight, sampler, pixel_id, s_idx_arr, integrator)
         raise NotImplementedError(integrator.kind)
 
-    def sample_pass(film, s_idx):
-        s_idx_arr = jnp.full(pixel_id.shape, s_idx, jnp.uint32)
+    def sample_pass(film, s_base):
+        s_idx_arr = s_base.astype(jnp.uint32) + sample_offset
         # camera sample (samplers/mod.rs:28-34): film jitter + lens + time
         u_film = sampler.get_2d(pixel_id, s_idx_arr, 0)
         u_lens = sampler.get_2d(pixel_id, s_idx_arr, 1)
@@ -159,9 +168,12 @@ def render_job(
     # one dispatch for the whole render: spp passes under a fori_loop —
     # the per-call host<->device round trip would otherwise dominate
     @jax.jit
-    def render_range(film, s_begin, s_end):
+    def render_range(film, pass_begin, pass_end):
         return jax.lax.fori_loop(
-            s_begin, s_end, lambda s, f: sample_pass(f, s.astype(jnp.uint32)), film
+            pass_begin,
+            pass_end,
+            lambda i, f: sample_pass(f, (i * k_spp).astype(jnp.uint32)),
+            film,
         )
 
     from .utils.observability import (
@@ -182,7 +194,9 @@ def render_job(
     ).compile()
     t0 = time.time()
     with maybe_profile():
-        film = compiled(film0, jnp.int32(s_start), jnp.int32(spp))
+        film = compiled(
+            film0, jnp.int32(s_start // k_spp), jnp.int32(spp // k_spp)
+        )
         jax.block_until_ready(film)
     elapsed = time.time() - t0
 
