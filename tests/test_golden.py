@@ -65,3 +65,43 @@ def test_golden_direct_all():
         "direct_40x24_2spp",
         _render(_tiny_job("direct", max_depth=3, light_strategy="all"), 2),
     )
+
+
+def _sphere_area_job():
+    import json, shutil, tempfile
+
+    cfg = json.load(open(os.path.join(SAMPLES, "scene.json")))
+    cfg["Film"]["xres"], cfg["Film"]["yres"] = 40, 24
+    cfg["Integrator"] = {"integrator_type": "Path", "max_depth": 3}
+    cfg["Aggregate"]["primitives"] = [
+        {
+            "primitive_type": "sphere",
+            "material_name": "mat_matte",
+            "radius": 2.0,
+            "world_pos": [35.2, 0.0, 0.0],
+        }
+    ]
+    cfg["lights"].append(
+        {
+            "light_type": "diffuse",
+            "spectrum": {"values": [20, 20, 20]},
+            "light_shape": {
+                "shape_type": "sphere",
+                "radius": 1.0,
+                "world_pos": [35.2, 6.0, 0.0],
+            },
+        }
+    )
+    td = tempfile.mkdtemp()
+    shutil.copy(os.path.join(SAMPLES, "cube.obj"), td)
+    path = os.path.join(td, "s.json")
+    json.dump(cfg, open(path, "w"))
+    from rs_ray_toy_tpu.scene.loader import load_scene
+
+    return load_scene(path)
+
+
+def test_golden_sphere_arealight_path():
+    rgb = _render(_sphere_area_job(), 2)
+    assert np.isfinite(rgb).all() and rgb.max() > 0
+    _check("sphere_area_40x24_2spp", rgb)
