@@ -102,7 +102,7 @@ def render_job(
     ys, xs = np.mgrid[0:h, 0:w]
     # samples-per-pass: batch k samples of every pixel into one megabatch
     # (bigger batches amortize per-fusion overhead on the device)
-    k_spp = max(1, int(os.environ.get("RS_SAMPLES_PER_PASS", "4")))
+    k_spp = max(1, int(os.environ.get("RS_SAMPLES_PER_PASS", "1")))
     while spp % k_spp:
         k_spp -= 1
     pixel_xy = jnp.asarray(
