@@ -950,3 +950,27 @@ def bsdf_sample(params, fr: Frame, wo_w, u, flags):
         sampled_flags=jnp.where(valid, sampled_flags, 0),
         valid=valid,
     )
+
+
+def bsdf_f_pdf(params, fr: Frame, wo_w, wi_w, flags):
+    """Fused Bsdf::f + Bsdf::pdf for NEE (one local-frame transform and one
+    lobe-slot sweep instead of two)."""
+    wo = world_to_local(fr, wo_w)
+    wi = world_to_local(fr, wi_w)
+    reflect = (vec.dot(wi_w, fr.ng) * vec.dot(wo_w, fr.ng)) > 0.0
+    f_total = jnp.zeros_like(wo_w)
+    p_total = jnp.zeros(wo.shape[0], DTYPE)
+    count = jnp.zeros(wo.shape[0], jnp.int32)
+    for j in range(params["kind"].shape[1]):
+        p = _slot(params, j)
+        m = _matches(p["flags"], p["kind"], flags)
+        is_refl = (p["flags"] & BXDF_REFLECTION) > 0
+        is_trans = (p["flags"] & BXDF_TRANSMISSION) > 0
+        use_f = m & ((reflect & is_refl) | ((~reflect) & is_trans))
+        f_total = f_total + jnp.where(use_f[..., None], lobe_f(p, wo, wi), 0.0)
+        p_total = p_total + jnp.where(m, lobe_pdf(p, wo, wi), 0.0)
+        count += m.astype(jnp.int32)
+    ok = wo[..., 2] != 0.0
+    f_total = jnp.where(ok[..., None], f_total, 0.0)
+    pdf = jnp.where(ok & (count > 0), p_total / jnp.maximum(count, 1), 0.0)
+    return f_total, pdf

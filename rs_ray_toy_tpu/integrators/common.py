@@ -230,9 +230,8 @@ def estimate_direct(ctx: SceneCtx, si, params, frame, light_idx, u_light, u_scat
     ld = jnp.zeros_like(si.p)
 
     # --- light-sampling branch ---
-    f = beval.bsdf_f(params, frame, si.wo, ls.wi, flags) * vec.absdot(
-        ls.wi, frame.ns
-    )[..., None]
+    f, scattering_pdf = beval.bsdf_f_pdf(params, frame, si.wo, ls.wi, flags)
+    f = f * vec.absdot(ls.wi, frame.ns)[..., None]
     live = (
         si.valid
         & (ls.pdf > 0.0)
@@ -242,7 +241,6 @@ def estimate_direct(ctx: SceneCtx, si, params, frame, light_idx, u_light, u_scat
     unocc = shadow_unoccluded(ctx, si, ls.p_light)
     li = jnp.where((live & unocc)[..., None], ls.li, 0.0)
     delta = lmod.is_delta(ctx.lights.kind[light_idx])
-    scattering_pdf = beval.bsdf_pdf(params, frame, si.wo, ls.wi, flags)
     weight = jnp.where(
         delta, 1.0, power_heuristic(1, ls.pdf, 1, scattering_pdf)
     )
