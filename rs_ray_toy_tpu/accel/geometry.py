@@ -178,20 +178,11 @@ def surface_interaction(
         vb = jnp.sum(d * qv, axis=-1) * inv
         w = 1.0 - ub - vb
         uv_hit_t = uv0 * w[:, None] + uv1 * ub[:, None] + uv2 * vb[:, None]
-        # partial derivatives (triangle.rs:276-299)
-        duv02 = uv0 - uv2
-        duv12 = uv1 - uv2
-        dp02 = p0 - p2
-        dp12 = p1 - p2
-        deter = duv02[:, 0] * duv12[:, 1] - duv02[:, 1] * duv12[:, 0]
-        degen = jnp.abs(deter) < 1e-8
-        idet = 1.0 / jnp.where(degen, 1.0, deter)
-        dpdu_t = (dp02 * duv12[:, 1:2] - dp12 * duv02[:, 1:2]) * idet[:, None]
-        dpdv_t = (-dp02 * duv12[:, 0:1] + dp12 * duv02[:, 0:1]) * idet[:, None]
-        ng_t = vec.normalize(jnp.cross(dp02, dp12))
-        fb1, fb2 = vec.coordinate_system(ng_t)
-        dpdu_t = jnp.where(degen[:, None], fb1, dpdu_t)
-        dpdv_t = jnp.where(degen[:, None], fb2, dpdv_t)
+        # ray-independent partials baked at load (triangle.rs:276-299):
+        # gather instead of recomputing per hit
+        dpdu_t = tri.dpdu[ti]
+        dpdv_t = tri.dpdv[ti]
+        ng_t = tri.ng[ti]
         # shading normal (triangle.rs:301+): interpolate + faceforward ng
         ns_raw = (
             tri.n0[ti] * w[:, None] + tri.n1[ti] * ub[:, None] + tri.n2[ti] * vb[:, None]

@@ -701,6 +701,24 @@ def _pack_triangles(tris: List[_TriInstance]) -> TriangleSoA:
     n = np.stack([x.n if x.n is not None else np.zeros((3, 3)) for x in tris])
     default_uv = np.array([[0.0, 0.0], [1.0, 0.0], [1.0, 1.0]])
     uv = np.stack([x.uv if x.uv is not None else default_uv for x in tris])
+    # bake ray-independent shading geometry (triangle.rs:276-299) in f64
+    dp02 = p[:, 0] - p[:, 2]
+    dp12 = p[:, 1] - p[:, 2]
+    ng = np.cross(dp02, dp12)
+    ng /= np.maximum(np.linalg.norm(ng, axis=-1, keepdims=True), 1e-30)
+    duv02 = uv[:, 0] - uv[:, 2]
+    duv12 = uv[:, 1] - uv[:, 2]
+    deter = duv02[:, 0] * duv12[:, 1] - duv02[:, 1] * duv12[:, 0]
+    degen = np.abs(deter) < 1e-8
+    idet = 1.0 / np.where(degen, 1.0, deter)
+    dpdu = (dp02 * duv12[:, 1:2] - dp12 * duv02[:, 1:2]) * idet[:, None]
+    dpdv = (-dp02 * duv12[:, 0:1] + dp12 * duv02[:, 0:1]) * idet[:, None]
+    # degenerate-uv fallback: coordinate system around ng
+    if degen.any():
+        from ..core import vec as _vec
+        fb1, fb2 = _vec.coordinate_system(jnp.asarray(ng[degen], DTYPE))
+        dpdu[degen] = np.asarray(fb1)
+        dpdv[degen] = np.asarray(fb2)
     f32 = lambda a: jnp.asarray(a, DTYPE)
     return TriangleSoA(
         p0=f32(p[:, 0]), p1=f32(p[:, 1]), p2=f32(p[:, 2]),
@@ -711,6 +729,9 @@ def _pack_triangles(tris: List[_TriInstance]) -> TriangleSoA:
         area_light=jnp.asarray([x.area_light for x in tris], jnp.int32),
         med_in=jnp.asarray([x.med_in for x in tris], jnp.int32),
         med_out=jnp.asarray([x.med_out for x in tris], jnp.int32),
+        ng=f32(ng),
+        dpdu=f32(dpdu),
+        dpdv=f32(dpdv),
     )
 
 

@@ -52,6 +52,13 @@ class TriangleSoA:
     area_light: jnp.ndarray  # (T,) int32 light id or -1
     med_in: jnp.ndarray  # (T,) int32 medium id inside or -1
     med_out: jnp.ndarray  # (T,) int32 medium id outside or -1
+    # precomputed ray-independent shading geometry (host f64 -> f32):
+    # geometric normal and uv-parameterization partials
+    # (triangle.rs:276-299 computes these per hit; they only depend on the
+    # triangle, so we bake them at load)
+    ng: jnp.ndarray  # (T,3)
+    dpdu: jnp.ndarray  # (T,3)
+    dpdv: jnp.ndarray  # (T,3)
 
     @property
     def count(self):
@@ -113,7 +120,7 @@ def empty_triangles():
     z2 = jnp.zeros((0, 2), DTYPE)
     zi = jnp.zeros((0,), jnp.int32)
     zb = jnp.zeros((0,), bool)
-    return TriangleSoA(z3, z3, z3, z3, z3, z3, z2, z2, z2, zb, zi, zi, zi, zi)
+    return TriangleSoA(z3, z3, z3, z3, z3, z3, z2, z2, z2, zb, zi, zi, zi, zi, z3, z3, z3)
 
 
 def empty_spheres():

@@ -25,6 +25,9 @@ def _random_tris(n, seed=0, spread=10.0):
         area_light=jnp.full(n, -1, jnp.int32),
         med_in=jnp.full(n, -1, jnp.int32),
         med_out=jnp.full(n, -1, jnp.int32),
+        ng=f32(np.cross(verts[:, 2] - verts[:, 0], verts[:, 1] - verts[:, 0])),
+        dpdu=f32(verts[:, 1] - verts[:, 0]),
+        dpdv=f32(verts[:, 2] - verts[:, 0]),
     )
 
 
