@@ -1,0 +1,73 @@
+"""Sharded rendering correctness: shard_map DP + psum film must reproduce
+the single-device result bit-for-bit (deterministic counter-based sampling
+makes this an equality test, not a statistical one)."""
+
+import json
+import os
+import shutil
+import tempfile
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tests.test_golden import SAMPLES
+
+
+def _setup(xres=32, yres=16, max_depth=2):
+    cfg = json.load(open(os.path.join(SAMPLES, "scene.json")))
+    cfg["Film"]["xres"], cfg["Film"]["yres"] = xres, yres
+    cfg["Integrator"] = {"integrator_type": "Debug", "max_depth": max_depth}
+    td = tempfile.mkdtemp()
+    shutil.copy(os.path.join(SAMPLES, "cube.obj"), td)
+    path = os.path.join(td, "s.json")
+    json.dump(cfg, open(path, "w"))
+    from rs_ray_toy_tpu.scene.loader import load_scene
+
+    return load_scene(path)
+
+
+def test_sharded_matches_single_device():
+    from rs_ray_toy_tpu.camera.realistic import RealisticCamera
+    from rs_ray_toy_tpu.film import film as fmod
+    from rs_ray_toy_tpu.integrators.common import SceneCtx, scrub_radiance
+    from rs_ray_toy_tpu.integrators.direct import li_levels
+    from rs_ray_toy_tpu.parallel.mesh import make_mesh, sharded_sample_pass
+    from rs_ray_toy_tpu.sampler.stratified import StratifiedSampler
+
+    assert len(jax.devices()) >= 8, "conftest should provide 8 cpu devices"
+    job = _setup()
+    cam = RealisticCamera(job.camera, job.film, pupil_samples=1 << 10)
+    ctx = SceneCtx(job.scene)
+    sampler = StratifiedSampler(job.sampler)
+    h, w = job.film.yres, job.film.xres
+    ys, xs = np.mgrid[0:h, 0:w]
+    pixel_xy = jnp.asarray(np.stack([xs.ravel(), ys.ravel()], -1), jnp.float32)
+    pixel_id = jnp.asarray((ys * w + xs).ravel(), jnp.uint32)
+    spec = job.integrator
+
+    def li_fn(o, d, weight, pid, s_arr):
+        return li_levels(ctx, o, d, weight, sampler, pid, s_arr, spec)
+
+    # single device reference
+    def single_pass(film, s_idx):
+        s_arr = jnp.full(pixel_id.shape, s_idx, jnp.uint32)
+        u_film = sampler.get_2d(pixel_id, s_arr, 0)
+        u_lens = sampler.get_2d(pixel_id, s_arr, 1)
+        p_film = pixel_xy + u_film
+        o, d, weight = cam.generate_rays(p_film, u_lens)
+        l = scrub_radiance(li_fn(o, d, weight, pixel_id, s_arr))
+        l = jnp.where((weight > 0.0)[:, None], l, 0.0)
+        return fmod.add_samples(film, job.film, p_film, l, weight)
+
+    film0 = fmod.make_film(job.film)
+    ref = jax.jit(single_pass)(film0, jnp.uint32(0))
+
+    mesh = make_mesh(8)
+    step = sharded_sample_pass(
+        mesh, cam, ctx, sampler, job.film, li_fn, pixel_xy, pixel_id
+    )
+    got = step(film0, jnp.uint32(0))
+
+    assert np.allclose(np.asarray(got.xyz), np.asarray(ref.xyz), atol=2e-5)
+    assert np.allclose(np.asarray(got.weight), np.asarray(ref.weight), atol=1e-5)
