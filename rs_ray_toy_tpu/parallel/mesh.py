@@ -76,13 +76,22 @@ def sharded_sample_pass(mesh, cam, ctx, sampler, film_spec, li_fn, pixel_xy, pix
         wt = jax.lax.psum(local_film.weight, "dp")
         return fmod.FilmState(film.xyz + xyz, film.weight + wt, film.splat_xyz)
 
-    smapped = shard_map(
-        local_pass,
-        mesh=mesh,
-        in_specs=(P(), P(), P("dp"), P("dp"), P("dp")),
-        out_specs=P(),
-        check_rep=False,
-    )
+    try:
+        smapped = shard_map(
+            local_pass,
+            mesh=mesh,
+            in_specs=(P(), P(), P("dp"), P("dp"), P("dp")),
+            out_specs=P(),
+            check_vma=False,
+        )
+    except TypeError:  # older jax: check_rep
+        smapped = shard_map(
+            local_pass,
+            mesh=mesh,
+            in_specs=(P(), P(), P("dp"), P("dp"), P("dp")),
+            out_specs=P(),
+            check_rep=False,
+        )
 
     @jax.jit
     def step(film, s_idx):
