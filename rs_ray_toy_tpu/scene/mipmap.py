@@ -159,3 +159,93 @@ def trilinear_lookup(dev, st, width=None):
     l1 = jnp.minimum(l0 + 1, n_levels - 1)
     dt = (level_f - l0)[..., None]
     return (1 - dt) * _bilerp_level(dev, l0, st) + dt * _bilerp_level(dev, l1, st)
+
+
+# ---- EWA anisotropic filtering (mipmap.rs:150-189) ----
+
+_EWA_WINDOW = 16  # bounded ellipse scan per level (radii clamped to fit)
+_EWA_LUT_SIZE = 128
+
+
+def _ewa_weight(r2):
+    """Gaussian falloff exp(-2 r^2) - exp(-2), matching the reference's
+    weight LUT construction."""
+    return jnp.maximum(jnp.exp(-2.0 * r2) - jnp.exp(-2.0), 0.0)
+
+
+def _ewa_level(dev, level, st, dst0, dst1):
+    """EWA at one (per-ray) level; st in [0,1)^2, dst* in uv units."""
+    dims = dev["dims"][level]
+    h = dims[..., 0].astype(DTYPE)
+    w = dims[..., 1].astype(DTYPE)
+    # convert to texel coordinates
+    s = st[..., 0] * w - 0.5
+    t = st[..., 1] * h - 0.5
+    d0s = dst0[..., 0] * w
+    d0t = dst0[..., 1] * h
+    d1s = dst1[..., 0] * w
+    d1t = dst1[..., 1] * h
+    # ellipse coefficients (+1 blur like the reference)
+    A = d0t * d0t + d1t * d1t + 1.0
+    B = -2.0 * (d0s * d0t + d1s * d1t)
+    C = d0s * d0s + d1s * d1s + 1.0
+    inv_f = 1.0 / jnp.maximum(A * C - B * B * 0.25, 1e-12)
+    A = A * inv_f
+    B = B * inv_f
+    C = C * inv_f
+    det = jnp.maximum(-B * B + 4.0 * A * C, 1e-12)
+    inv_det = 1.0 / det
+    u_rad = jnp.sqrt(jnp.maximum(C * inv_det * 4.0, 0.0))
+    v_rad = jnp.sqrt(jnp.maximum(A * inv_det * 4.0, 0.0))
+    half = _EWA_WINDOW // 2
+    u_rad = jnp.minimum(u_rad, half - 1.0)
+    v_rad = jnp.minimum(v_rad, half - 1.0)
+    s0 = jnp.ceil(s - u_rad).astype(jnp.int32)
+    t0 = jnp.ceil(t - v_rad).astype(jnp.int32)
+
+    acc = jnp.zeros(st.shape[:-1] + (3,), DTYPE)
+    wsum = jnp.zeros(st.shape[:-1], DTYPE)
+    for dt_i in range(_EWA_WINDOW):
+        for ds_i in range(_EWA_WINDOW):
+            ss = (s0 + ds_i).astype(DTYPE) - s
+            tt = (t0 + dt_i).astype(DTYPE) - t
+            r2 = A * ss * ss + B * ss * tt + C * tt * tt
+            inside = r2 < 1.0
+            wgt = jnp.where(inside, _ewa_weight(r2), 0.0)
+            texv = _texel(dev, level, s0 + ds_i, t0 + dt_i)
+            acc = acc + texv * wgt[..., None]
+            wsum = wsum + wgt
+    return acc / jnp.maximum(wsum, 1e-9)[..., None]
+
+
+def ewa_lookup(dev, st, dst0, dst1, max_aniso=8.0):
+    """Anisotropic lookup (mipmap.rs lookup_d): clamp eccentricity to
+    max_aniso, choose the level from the minor radius, lerp two levels."""
+    n_levels = dev["n_levels"]
+    l0_sq = jnp.sum(dst0 * dst0, axis=-1)
+    l1_sq = jnp.sum(dst1 * dst1, axis=-1)
+    swap = l0_sq < l1_sq
+    major = jnp.where(swap[..., None], dst1, dst0)
+    minor_v = jnp.where(swap[..., None], dst0, dst1)
+    major_len = jnp.sqrt(jnp.maximum(jnp.sum(major * major, -1), 1e-20))
+    minor_len = jnp.sqrt(jnp.maximum(jnp.sum(minor_v * minor_v, -1), 0.0))
+    scale = jnp.where(
+        (minor_len * max_aniso < major_len) & (minor_len > 0.0),
+        major_len / jnp.maximum(minor_len * max_aniso, 1e-20),
+        1.0,
+    )
+    minor_v = minor_v * scale[..., None]
+    minor_len = minor_len * scale
+    degenerate = minor_len <= 1e-9
+
+    lod = jnp.clip(
+        n_levels - 1 + jnp.log2(jnp.maximum(minor_len, 1e-9)), 0.0, n_levels - 1.0
+    )
+    l0 = jnp.floor(lod).astype(jnp.int32)
+    l1 = jnp.minimum(l0 + 1, n_levels - 1)
+    dt = (lod - l0)[..., None]
+    out = (1 - dt) * _ewa_level(dev, l0, st, major, minor_v) + dt * _ewa_level(
+        dev, l1, st, major, minor_v
+    )
+    fallback = _bilerp_level(dev, jnp.zeros_like(l0), st)
+    return jnp.where(degenerate[..., None], fallback, out)

@@ -140,11 +140,29 @@ def eval_all(registry: TextureRegistry, dev_images, uv, p_world, duv=None):
             )
         elif rec.kind == TEX_IMAGE:
             st = _map_2d(rec, uv, p_world)
-            fp = footprint(rec, (rec.su, rec.sv)) if rec.mapping == MAP_UV else footprint(rec)
-            width = None
-            if fp is not None:
-                width = 2.0 * jnp.maximum(fp[0], fp[1])
-            val = trilinear_lookup(dev_images[rec.image_id], st, width) * rec.scale
+            mip = dev_images[rec.image_id]
+            if duv is not None and not registry.images[rec.image_id].do_trilinear:
+                # EWA anisotropic filtering (imagemap default:
+                # do_trilinear=False, renderprocess.rs:522)
+                from .mipmap import ewa_lookup
+
+                su = rec.su if rec.mapping == MAP_UV else 1.0
+                sv = rec.sv if rec.mapping == MAP_UV else 1.0
+                dst0 = jnp.stack([duv[:, 0] * su, duv[:, 1] * sv], axis=-1)
+                dst1 = jnp.stack([duv[:, 2] * su, duv[:, 3] * sv], axis=-1)
+                val = (
+                    ewa_lookup(
+                        mip, st, dst0, dst1,
+                        registry.images[rec.image_id].max_aniso,
+                    )
+                    * rec.scale
+                )
+            else:
+                fp = footprint(rec, (rec.su, rec.sv)) if rec.mapping == MAP_UV else footprint(rec)
+                width = None
+                if fp is not None:
+                    width = 2.0 * jnp.maximum(fp[0], fp[1])
+                val = trilinear_lookup(mip, st, width) * rec.scale
         elif rec.kind == TEX_UV:
             st = _map_2d(rec, uv, p_world)
             val = jnp.stack(

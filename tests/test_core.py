@@ -198,3 +198,66 @@ def test_rng_deterministic_and_uniform():
     assert abs(float(jnp.mean(u1)) - 0.5) < 0.01
     u3 = rng.uniform_float(pid, 3, 8, seed=1)
     assert not np.array_equal(np.asarray(u1), np.asarray(u3))
+
+
+class TestMipmapEWA:
+    def _mip(self, img):
+        from rs_ray_toy_tpu.scene.mipmap import build_mipmap
+
+        return build_mipmap(img).as_device()
+
+    def test_constant_image_preserved(self):
+        from rs_ray_toy_tpu.scene.mipmap import ewa_lookup
+
+        img = np.full((16, 16, 3), 0.7, np.float32)
+        dev = self._mip(img)
+        st = jnp.array([[0.3, 0.6], [0.9, 0.1]])
+        dst0 = jnp.full((2, 2), 0.05)
+        dst1 = jnp.full((2, 2), 0.01)
+        out = ewa_lookup(dev, st, dst0, dst1)
+        np.testing.assert_allclose(np.asarray(out), 0.7, rtol=1e-4)
+
+    def test_degenerate_falls_back_to_bilerp(self):
+        from rs_ray_toy_tpu.scene.mipmap import ewa_lookup, _bilerp_level
+
+        rng = np.random.default_rng(3)
+        img = rng.random((8, 8, 3)).astype(np.float32)
+        dev = self._mip(img)
+        st = jnp.array([[0.25, 0.75]])
+        zero = jnp.zeros((1, 2))
+        out = ewa_lookup(dev, st, zero, zero)
+        ref = _bilerp_level(dev, jnp.zeros((1,), jnp.int32), st)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5)
+
+    def test_anisotropic_blurs_along_major_axis(self):
+        from rs_ray_toy_tpu.scene.mipmap import ewa_lookup
+
+        # vertical stripes: wide horizontal footprint must average stripes,
+        # narrow vertical footprint on the same point keeps contrast
+        img = np.zeros((32, 32, 3), np.float32)
+        img[:, ::2] = 1.0
+        dev = self._mip(img)
+        st = jnp.array([[0.5, 0.5]])
+        wide_s = ewa_lookup(
+            dev, st, jnp.array([[0.25, 0.0]]), jnp.array([[0.0, 1.0 / 64]])
+        )
+        narrow = ewa_lookup(
+            dev, st, jnp.array([[1.0 / 64, 0.0]]), jnp.array([[0.0, 1.0 / 64]])
+        )
+        assert abs(float(wide_s[0, 0]) - 0.5) < 0.1  # stripes averaged
+        # both finite and within [0,1]
+        assert np.all(np.isfinite(np.asarray(narrow)))
+        assert 0.0 <= float(narrow[0, 0]) <= 1.0
+
+    def test_eccentricity_clamp_finite(self):
+        from rs_ray_toy_tpu.scene.mipmap import ewa_lookup
+
+        rng = np.random.default_rng(5)
+        img = rng.random((16, 16, 3)).astype(np.float32)
+        dev = self._mip(img)
+        st = jnp.array([[0.4, 0.4]])
+        # extreme anisotropy: major 100x minor
+        out = ewa_lookup(
+            dev, st, jnp.array([[0.5, 0.0]]), jnp.array([[0.0, 0.005]])
+        )
+        assert np.all(np.isfinite(np.asarray(out)))
