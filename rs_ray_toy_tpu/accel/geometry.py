@@ -150,11 +150,52 @@ def occluded_brute(tri: TriangleSoA, sph: SphereSoA, o, d, t_max):
     return hit.valid
 
 
+
+
+def pack_shade_tables(tri: TriangleSoA, sph: SphereSoA):
+    """Concatenate per-primitive shading attributes into single tables so
+    surface_interaction does ONE row selection per primitive type instead of
+    ~15 (each table[idx] is a serialized gather on TPU — see
+    core/tableops.py).  Build once per scene, not inside jit."""
+    out = {}
+    if tri.count > 0:
+        out["tri_f"] = jnp.concatenate(
+            [
+                tri.p0, tri.p1, tri.p2,          # 0:9
+                tri.uv0, tri.uv1, tri.uv2,       # 9:15
+                tri.n0, tri.n1, tri.n2,          # 15:24
+                tri.dpdu, tri.dpdv, tri.ng,      # 24:33
+            ],
+            axis=1,
+        )
+        out["tri_i"] = jnp.stack(
+            [tri.has_n.astype(jnp.int32), tri.mat, tri.area_light], axis=1
+        )
+    if sph.count > 0:
+        out["sph_f"] = jnp.concatenate(
+            [
+                sph.w2o.reshape(-1, 16),         # 0:16
+                sph.o2w.reshape(-1, 16),         # 16:32
+                sph.radius[:, None],             # 32
+                sph.phi_max[:, None],            # 33
+                sph.theta_min[:, None],          # 34
+                sph.theta_max[:, None],          # 35
+            ],
+            axis=1,
+        )
+        out["sph_i"] = jnp.stack([sph.mat, sph.area_light], axis=1)
+    return out
+
+
 def surface_interaction(
-    tri: TriangleSoA, sph: SphereSoA, hit: Hit, o, d
+    tri: TriangleSoA, sph: SphereSoA, hit: Hit, o, d, shade_tables=None
 ) -> SurfaceHit:
     """Gather shading geometry for hits (triangle.rs:220-320 /
     sphere.rs Shape::intersect equivalents, SoA)."""
+    from ..core.tableops import take_rows
+
+    if shade_tables is None:
+        shade_tables = pack_shade_tables(tri, sph)
     n = hit.t.shape[0]
     idx = jnp.maximum(hit.index, 0)
     t_safe = jnp.where(hit.valid, hit.t, 0.0)
@@ -163,8 +204,10 @@ def surface_interaction(
     # --- triangle branch ---
     if tri.count > 0:
         ti = jnp.clip(idx, 0, tri.count - 1)
-        p0, p1, p2 = tri.p0[ti], tri.p1[ti], tri.p2[ti]
-        uv0, uv1, uv2 = tri.uv0[ti], tri.uv1[ti], tri.uv2[ti]
+        tf = take_rows(shade_tables["tri_f"], ti)  # (N, 33)
+        tii = take_rows(shade_tables["tri_i"], ti)  # (N, 3)
+        p0, p1, p2 = tf[:, 0:3], tf[:, 3:6], tf[:, 6:9]
+        uv0, uv1, uv2 = tf[:, 9:11], tf[:, 11:13], tf[:, 13:15]
         # recompute barycentrics from the stored hit (cheaper than carrying
         # u,v through the traversal kernel)
         e1 = p1 - p0
@@ -180,20 +223,22 @@ def surface_interaction(
         uv_hit_t = uv0 * w[:, None] + uv1 * ub[:, None] + uv2 * vb[:, None]
         # ray-independent partials baked at load (triangle.rs:276-299):
         # gather instead of recomputing per hit
-        dpdu_t = tri.dpdu[ti]
-        dpdv_t = tri.dpdv[ti]
-        ng_t = tri.ng[ti]
+        dpdu_t = tf[:, 24:27]
+        dpdv_t = tf[:, 27:30]
+        ng_t = tf[:, 30:33]
         # shading normal (triangle.rs:301+): interpolate + faceforward ng
         ns_raw = (
-            tri.n0[ti] * w[:, None] + tri.n1[ti] * ub[:, None] + tri.n2[ti] * vb[:, None]
+            tf[:, 15:18] * w[:, None]
+            + tf[:, 18:21] * ub[:, None]
+            + tf[:, 21:24] * vb[:, None]
         )
-        has_n = tri.has_n[ti] & (vec.length_squared(ns_raw) > 0.0)
+        has_n = (tii[:, 0] != 0) & (vec.length_squared(ns_raw) > 0.0)
         ns_t = jnp.where(has_n[:, None], vec.normalize(ns_raw), ng_t)
         # align geometric normal with shading normal (PBRT convention the
         # reference keeps via assert dot(n, ns) >= 0)
         ng_t = vec.faceforward(ng_t, ns_t)
-        mat_t = tri.mat[ti]
-        al_t = tri.area_light[ti]
+        mat_t = tii[:, 1]
+        al_t = tii[:, 2]
     else:
         z3 = jnp.zeros((n, 3), DTYPE)
         uv_hit_t = jnp.zeros((n, 2), DTYPE)
@@ -204,19 +249,21 @@ def surface_interaction(
     # --- sphere branch ---
     if sph.count > 0:
         si = jnp.clip(idx, 0, sph.count - 1)
-        w2o = sph.w2o[si]
-        o2w = sph.o2w[si]
+        sf = take_rows(shade_tables["sph_f"], si)  # (N, 36)
+        sii = take_rows(shade_tables["sph_i"], si)  # (N, 2)
+        w2o = sf[:, 0:16].reshape(-1, 4, 4)
+        o2w = sf[:, 16:32].reshape(-1, 4, 4)
         po = jnp.einsum("nij,nj->ni", w2o[:, :3, :3], p_hit) + w2o[:, :3, 3]
-        radius = sph.radius[si]
+        radius = sf[:, 32]
         # reproject (sphere.rs does p_hit *= radius / |p_hit|)
         po = po * (radius / jnp.maximum(vec.length(po), 1e-30))[:, None]
         phi = jnp.arctan2(po[:, 1], po[:, 0])
         phi = jnp.where(phi < 0, phi + 2 * jnp.pi, phi)
         theta = jnp.arccos(jnp.clip(po[:, 2] / radius, -1.0, 1.0))
-        phi_max = sph.phi_max[si]
+        phi_max = sf[:, 33]
         # NOTE theta_min corresponds to z_min (theta decreasing in z)
-        th_min = sph.theta_min[si]
-        th_max = sph.theta_max[si]
+        th_min = sf[:, 34]
+        th_max = sf[:, 35]
         u_s = phi / phi_max
         v_s = (theta - th_min) / jnp.where(th_max == th_min, 1.0, th_max - th_min)
         uv_hit_s = jnp.stack([u_s, v_s], axis=-1)
@@ -241,8 +288,8 @@ def surface_interaction(
         ng_s = vec.normalize(
             jnp.einsum("nji,nj->ni", w2o[:, :3, :3], po)
         )
-        mat_s = sph.mat[si]
-        al_s = sph.area_light[si]
+        mat_s = sii[:, 0]
+        al_s = sii[:, 1]
     else:
         z3 = jnp.zeros((n, 3), DTYPE)
         uv_hit_s = jnp.zeros((n, 2), DTYPE)

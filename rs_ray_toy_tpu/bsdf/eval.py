@@ -178,10 +178,12 @@ def gather_lobes(mats, tex_vals, mat_id, static_kinds=None):
     tex_vals: (n_tex, N, 3) from textures.eval_all, or None.
     Resolves texture indirection for s0 / roughness / sigma / scale.
     """
-    # two fused gathers for all per-lobe tables
-    pf = mats["packed_f"][mat_id]  # (N, L, 16)
-    pi_ = mats["packed_i"][mat_id]  # (N, L, 12)
-    g = lambda k: mats[k][mat_id]  # (N, L, ...) fallback for scalar tables
+    # two fused per-material row selections for all per-lobe tables
+    # (take_rows instead of table[idx]: TPU gathers serialize per-row)
+    from ..core.tableops import take_rows
+
+    pf = take_rows(mats["packed_f"], mat_id)  # (N, L, 16)
+    pi_ = take_rows(mats["packed_i"], mat_id)  # (N, L, 12)
     out = {
         "_kinds": static_kinds,
         "kind": pi_[..., 0],
@@ -193,8 +195,8 @@ def gather_lobes(mats, tex_vals, mat_id, static_kinds=None):
         "dist": pi_[..., 3],
         "sample_visible": pi_[..., 5] != 0,
         "scale": pf[..., 13:16],
-        "n_lobes": mats["n_lobes"][mat_id],
-        "eta": mats["eta"][mat_id],
+        "n_lobes": take_rows(mats["n_lobes"], mat_id),
+        "eta": take_rows(mats["eta"], mat_id),
     }
     fp = pf[..., 9:13]
     rough_u = fp[..., 0]
@@ -202,12 +204,17 @@ def gather_lobes(mats, tex_vals, mat_id, static_kinds=None):
     sigma = fp[..., 0]
 
     if tex_vals is not None and tex_vals.shape[0] > 0:
-        n = mat_id.shape[0]
-        ridx = jnp.arange(n)[:, None]
+        n_tex = tex_vals.shape[0]
 
         def tex_gather(tex_id):
-            safe = jnp.maximum(tex_id, 0)
-            return tex_vals[safe, ridx]  # (N,L,3)
+            # select-chain over the (small) texture registry: the fancy
+            # index tex_vals[id, row] is a serialized gather on TPU
+            acc = jnp.zeros(tex_id.shape + (3,), tex_vals.dtype)
+            for t in range(n_tex):
+                acc = jnp.where(
+                    (tex_id == t)[..., None], tex_vals[t][:, None, :], acc
+                )
+            return acc  # (N,L,3)
 
         def tex_gather_f(tex_id):
             return tex_gather(tex_id)[..., 0]
@@ -897,9 +904,9 @@ def bsdf_sample(params, fr: Frame, wo_w, u, flags):
         if k.startswith("_") or k in ("n_lobes", "eta"):
             pc[k] = v
         else:
-            pc[k] = jnp.take_along_axis(
-                v, chosen[:, None, *([None] * (v.ndim - 2))], axis=1
-            )[:, 0]
+            from ..core.tableops import take_axis1
+
+            pc[k] = take_axis1(v, chosen)
     pc = {**pc}
     is_spec_lobe = (
         (pc["kind"] == LOBE_SPEC_REFL)

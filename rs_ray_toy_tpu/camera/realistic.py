@@ -388,7 +388,9 @@ class RealisticCamera:
             0,
             self.pupil_bins - 1,
         )
-        b = bounds[r_index]  # (N,4)
+        from ..core.tableops import take_rows
+
+        b = take_rows(bounds, r_index)  # (N,4), no TPU gather
         px = b[..., 0] + u_lens[..., 0] * (b[..., 2] - b[..., 0])
         py = b[..., 1] + u_lens[..., 1] * (b[..., 3] - b[..., 1])
         area = (b[..., 2] - b[..., 0]) * (b[..., 3] - b[..., 1])

@@ -22,6 +22,7 @@ from ..config import DTYPE, SHADOW_EPSILON
 from ..core import vec
 from ..core.sampling import power_heuristic
 from ..accel import geometry as geom
+from ..core.tableops import take_rows
 from ..bsdf import eval as beval
 from ..bsdf.lobes import BXDF_ALL, BXDF_SPECULAR
 from ..lights import lights as lmod
@@ -103,6 +104,8 @@ class SceneCtx:
             self.tri_packed = pack_triangles(
                 np.asarray(self.tri.p0), np.asarray(self.tri.p1), np.asarray(self.tri.p2)
             )
+        # packed shading-attribute tables: one row-selection per hit batch
+        self.shade_tables = geom.pack_shade_tables(self.tri, self.sph)
 
     def intersect(self, o, d, t_max):
         if self.bvh is not None:
@@ -133,7 +136,9 @@ class SceneCtx:
         return geom.intersect_brute(self.tri, self.sph, o, d, t_max)
 
     def surface(self, hit, o, d):
-        return geom.surface_interaction(self.tri, self.sph, hit, o, d)
+        return geom.surface_interaction(
+            self.tri, self.sph, hit, o, d, shade_tables=self.shade_tables
+        )
 
     def occluded(self, o, d, t_max):
         if self.bvh is not None:
@@ -240,7 +245,7 @@ def estimate_direct(ctx: SceneCtx, si, params, frame, light_idx, u_light, u_scat
     )
     unocc = shadow_unoccluded(ctx, si, ls.p_light)
     li = jnp.where((live & unocc)[..., None], ls.li, 0.0)
-    delta = lmod.is_delta(ctx.lights.kind[light_idx])
+    delta = lmod.is_delta(take_rows(ctx.lights.kind, light_idx))
     weight = jnp.where(
         delta, 1.0, power_heuristic(1, ls.pdf, 1, scattering_pdf)
     )
@@ -276,11 +281,11 @@ def estimate_direct(ctx: SceneCtx, si, params, frame, light_idx, u_light, u_scat
         # emissive prims, see docstring); escaped rays collect the sampled
         # light's own le — nonzero only for infinite lights.
         li2 = jnp.zeros_like(f2)
-        lkind = ctx.lights.kind[light_idx]
+        lkind = take_rows(ctx.lights.kind, light_idx)
         for env_id, env in enumerate(ctx.infinite_envs):
             sel = (
                 (lkind == lmod.LIGHT_INFINITE)
-                & (ctx.lights.shape_index[light_idx] == env_id)
+                & (take_rows(ctx.lights.shape_index, light_idx) == env_id)
                 & ~hit2.valid
             )
             if not bool(np.any(np.asarray(ctx.lights.shape_index) == env_id)):

@@ -33,6 +33,7 @@ from ..core import vec
 from ..core import lowdiscrepancy as ld
 from ..core.sampling import sample_discrete_1d, uniform_sample_sphere
 from ..accel import geometry as geom
+from ..core.tableops import take_rows
 from ..bsdf import eval as beval
 from ..bsdf.lobes import (
     BXDF_ALL,
@@ -189,19 +190,19 @@ def _sample_le(ctx, light_idx, u0, u1):
 
     Returns (o, d, n_light, le, pdf_pos, pdf_dir)."""
     lights = ctx.lights
-    kind = lights.kind[light_idx]
-    emit = lights.emit[light_idx]
+    kind = take_rows(lights.kind, light_idx)
+    emit = take_rows(lights.emit, light_idx)
     n = light_idx.shape[0]
 
     # point (lights/point.rs:87-113): uniform sphere, pdf_dir quirk
     d_pt = uniform_sample_sphere(u0)
-    o_pt = lights.p[light_idx]
+    o_pt = take_rows(lights.p, light_idx)
     pdf_dir_pt = jnp.full((n,), 1.0 / (2.0 * PI) if POINT_LE_PDF_QUIRK else 1.0 / (4.0 * PI), DTYPE)
 
     # distant (lights/distant.rs sample_le): disk at world radius
     from ..core.sampling import concentric_sample_disk
 
-    w = lights.w_light[light_idx]
+    w = take_rows(lights.w_light, light_idx)
     v1, v2 = vec.coordinate_system(w)
     cd = concentric_sample_disk(u0)
     r = lights.world_radius
@@ -216,17 +217,17 @@ def _sample_le(ctx, light_idx, u0, u1):
     # area (lights/diffuse.rs sample_le): shape point + cosine hemisphere
     from ..core.sampling import cosine_sample_hemisphere
 
-    sk = lights.shape_kind[light_idx]
-    o2w = lights.sph_o2w[light_idx]
-    w2o = lights.sph_w2o[light_idx]
-    radius_s = lights.sph_radius[light_idx]
+    sk = take_rows(lights.shape_kind, light_idx)
+    o2w = take_rows(lights.sph_o2w, light_idx)
+    w2o = take_rows(lights.sph_w2o, light_idx)
+    radius_s = take_rows(lights.sph_radius, light_idx)
     p_obj = uniform_sample_sphere(u0) * radius_s[..., None]
     p_sph = jnp.einsum("nij,nj->ni", o2w[:, :3, :3], p_obj) + o2w[:, :3, 3]
     n_sph = vec.normalize(jnp.einsum("nji,nj->ni", w2o[:, :3, :3], p_obj))
     su = jnp.sqrt(jnp.maximum(u0[..., 0], 0.0))
     b0 = 1.0 - su
     b1 = u0[..., 1] * su
-    tp = lights.tri_p[light_idx]
+    tp = take_rows(lights.tri_p, light_idx)
     p_tri = (
         tp[:, 0] * b0[..., None]
         + tp[:, 1] * b1[..., None]
@@ -239,7 +240,7 @@ def _sample_le(ctx, light_idx, u0, u1):
     w_loc = cosine_sample_hemisphere(u1)
     a1, a2 = vec.coordinate_system(n_ar)
     d_ar = a1 * w_loc[..., 0:1] + a2 * w_loc[..., 1:2] + n_ar * w_loc[..., 2:3]
-    pdf_pos_ar = 1.0 / jnp.maximum(lights.area[light_idx], 1e-20)
+    pdf_pos_ar = 1.0 / jnp.maximum(take_rows(lights.area, light_idx), 1e-20)
     pdf_dir_ar = jnp.maximum(w_loc[..., 2], 0.0) / PI
 
     is_point = kind == 0

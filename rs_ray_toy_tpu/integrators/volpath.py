@@ -22,6 +22,7 @@ from ..core import rng as rngmod
 from ..core import vec
 from ..core.sampling import Distribution1D, power_heuristic
 from ..accel import geometry as geom
+from ..core.tableops import take_rows
 from ..bsdf import eval as beval
 from ..bsdf.lobes import BXDF_ALL, BXDF_SPECULAR, BXDF_TRANSMISSION
 from ..lights import lights as lmod
@@ -74,7 +75,7 @@ def _estimate_direct_volumetric(
             ctx.mediums, med_id, origin, d_unit, seg_len, rng_state
         )
     li = jnp.where((live & ~occluded)[..., None], ls.li * tr, 0.0)
-    delta = lmod.is_delta(ctx.lights.kind[light_idx])
+    delta = lmod.is_delta(take_rows(ctx.lights.kind, light_idx))
     weight = jnp.where(delta, 1.0, power_heuristic(1, ls.pdf, 1, scattering_pdf))
     ld = li * f * (weight / jnp.maximum(ls.pdf, 1e-20))[..., None]
     return jnp.where(valid[..., None], ld, 0.0), rng_state

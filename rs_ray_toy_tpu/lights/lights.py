@@ -81,12 +81,15 @@ def le_escape(infinite_envs, d):
 def sample_li(lights: LightSoA, infinite_envs, light_idx, p_ref, u):
     """Per-ray light sample: light_idx (N,) into the table, p_ref (N,3)
     shading points, u (N,2) uniforms."""
-    kind = lights.kind[light_idx]
-    emit = lights.emit[light_idx]
+    from ..core.tableops import take_rows
+
+    _row = lambda a: take_rows(a, light_idx)  # no TPU gather (tableops)
+    kind = _row(lights.kind)
+    emit = _row(lights.emit)
     n = p_ref.shape[0]
 
     # ---- point (lights/point.rs:55-79): I / r^2, delta pdf = 1 ----
-    p_l = lights.p[light_idx]
+    p_l = _row(lights.p)
     to_l = p_l - p_ref
     dist2 = jnp.maximum(vec.length_squared(to_l), 1e-20)
     wi = to_l / jnp.sqrt(dist2)[..., None]
@@ -96,7 +99,7 @@ def sample_li(lights: LightSoA, infinite_envs, light_idx, p_ref, u):
 
     # ---- distant (lights/distant.rs:66-91) ----
     is_dist = (kind == LIGHT_DISTANT)[..., None]
-    w_dir = lights.w_light[light_idx]
+    w_dir = _row(lights.w_light)
     wi = jnp.where(is_dist, w_dir, wi)
     li = jnp.where(is_dist, emit, li)
     p_light = jnp.where(is_dist, p_ref + w_dir * (2.0 * lights.world_radius), p_light)
@@ -104,11 +107,11 @@ def sample_li(lights: LightSoA, infinite_envs, light_idx, p_ref, u):
     # ---- diffuse area (lights/diffuse.rs sample_li + shape sample_ref) ----
     has_area = bool(np.any(np.asarray(lights.kind) == LIGHT_DIFFUSE_AREA)) if lights.count else False
     if has_area:
-        sk = lights.shape_kind[light_idx]
+        sk = _row(lights.shape_kind)
         # sphere: uniform point on the full sphere (sphere.rs sample)
-        o2w = lights.sph_o2w[light_idx]
-        w2o = lights.sph_w2o[light_idx]
-        radius = lights.sph_radius[light_idx]
+        o2w = _row(lights.sph_o2w)
+        w2o = _row(lights.sph_w2o)
+        radius = _row(lights.sph_radius)
         p_obj = uniform_sample_sphere(u) * radius[..., None]
         p_sph = jnp.einsum("nij,nj->ni", o2w[:, :3, :3], p_obj) + o2w[:, :3, 3]
         n_sph = vec.normalize(jnp.einsum("nji,nj->ni", w2o[:, :3, :3], p_obj))
@@ -116,7 +119,7 @@ def sample_li(lights: LightSoA, infinite_envs, light_idx, p_ref, u):
         su = jnp.sqrt(jnp.maximum(u[..., 0], 0.0))
         b0 = 1.0 - su
         b1 = u[..., 1] * su
-        tp = lights.tri_p[light_idx]
+        tp = _row(lights.tri_p)
         p_tri = (
             tp[:, 0] * b0[..., None]
             + tp[:, 1] * b1[..., None]
@@ -135,7 +138,7 @@ def sample_li(lights: LightSoA, infinite_envs, light_idx, p_ref, u):
         cos_l = vec.absdot(-wi_a, n_shape)
         pdf_a = d2 / jnp.maximum(cos_l, 1e-20)
         if not AREA_PDF_QUIRK:
-            pdf_a = pdf_a / jnp.maximum(lights.area[light_idx], 1e-20)
+            pdf_a = pdf_a / jnp.maximum(_row(lights.area), 1e-20)
         pdf_a = jnp.where((d2 > 0.0) & jnp.isfinite(pdf_a), pdf_a, 0.0)
         # one-sided emission (diffuse.rs l(): emit iff dot(n, w) > 0)
         front = vec.dot(n_shape, -wi_a) > 0.0
@@ -149,7 +152,7 @@ def sample_li(lights: LightSoA, infinite_envs, light_idx, p_ref, u):
 
     # ---- infinite (lights/infinite.rs:140-186) ----
     for env_id, env in enumerate(infinite_envs):
-        sel = (kind == LIGHT_INFINITE) & (lights.shape_index[light_idx] == env_id)
+        sel = (kind == LIGHT_INFINITE) & (_row(lights.shape_index) == env_id)
         if not bool(np.any(np.asarray(lights.shape_index) == env_id)):
             continue
         uv, map_pdf = sample_continuous_2d(env["dist"], u)
@@ -188,7 +191,10 @@ def sample_li(lights: LightSoA, infinite_envs, light_idx, p_ref, u):
 
 def pdf_li(lights: LightSoA, infinite_envs, light_idx, p_ref, wi):
     """Light::pdf_li for the BSDF-sampling MIS branch."""
-    kind = lights.kind[light_idx]
+    from ..core.tableops import take_rows
+
+    _row = lambda a: take_rows(a, light_idx)  # no TPU gather (tableops)
+    kind = _row(lights.kind)
     pdf = jnp.zeros(light_idx.shape, DTYPE)
 
     has_area = bool(np.any(np.asarray(lights.kind) == LIGHT_DIFFUSE_AREA)) if lights.count else False
@@ -196,12 +202,12 @@ def pdf_li(lights: LightSoA, infinite_envs, light_idx, p_ref, wi):
         # Shape::pdf_ref (shape/mod.rs:50-66): intersect the shape along wi
         # analytically
         # sphere
-        w2o = lights.sph_w2o[light_idx]
+        w2o = _row(lights.sph_w2o)
         oo = jnp.einsum("nij,nj->ni", w2o[:, :3, :3], p_ref) + w2o[:, :3, 3]
         od = jnp.einsum("nij,nj->ni", w2o[:, :3, :3], wi)
         a = vec.length_squared(od)
         b = 2.0 * vec.dot(od, oo)
-        c = vec.length_squared(oo) - lights.sph_radius[light_idx] ** 2
+        c = vec.length_squared(oo) - _row(lights.sph_radius) ** 2
         disc = b * b - 4 * a * c
         hit_s = disc > 0.0
         sq = jnp.sqrt(jnp.maximum(disc, 0.0))
@@ -211,11 +217,11 @@ def pdf_li(lights: LightSoA, infinite_envs, light_idx, p_ref, wi):
         tt = jnp.where(jnp.minimum(t0, t1) > 1e-4, jnp.minimum(t0, t1), jnp.maximum(t0, t1))
         hit_s &= tt > 1e-4
         p_hit_o = oo + od * tt[..., None]
-        o2w = lights.sph_o2w[light_idx]
+        o2w = _row(lights.sph_o2w)
         p_hit_s = jnp.einsum("nij,nj->ni", o2w[:, :3, :3], p_hit_o) + o2w[:, :3, 3]
         n_hit_s = vec.normalize(jnp.einsum("nji,nj->ni", w2o[:, :3, :3], p_hit_o))
         # triangle
-        tp = lights.tri_p[light_idx]
+        tp = _row(lights.tri_p)
         e1 = tp[:, 1] - tp[:, 0]
         e2 = tp[:, 2] - tp[:, 0]
         pv = jnp.cross(wi, e2)
@@ -237,17 +243,17 @@ def pdf_li(lights: LightSoA, infinite_envs, light_idx, p_ref, wi):
         p_hit_t = p_ref + wi * tt_t[..., None]
         n_hit_t = vec.normalize(jnp.cross(e1, e2))
 
-        is_tri = lights.shape_kind[light_idx] == AREA_SHAPE_TRIANGLE
+        is_tri = _row(lights.shape_kind) == AREA_SHAPE_TRIANGLE
         hit = jnp.where(is_tri, hit_t, hit_s)
         p_hit = jnp.where(is_tri[..., None], p_hit_t, p_hit_s)
         n_hit = jnp.where(is_tri[..., None], n_hit_t, n_hit_s)
         d2 = vec.length_squared(p_ref - p_hit)
-        denom = vec.absdot(-wi, n_hit) * lights.area[light_idx]
+        denom = vec.absdot(-wi, n_hit) * _row(lights.area)
         pdf_a = jnp.where(hit & (denom > 0.0), d2 / jnp.maximum(denom, 1e-20), 0.0)
         pdf = jnp.where(kind == LIGHT_DIFFUSE_AREA, pdf_a, pdf)
 
     for env_id, env in enumerate(infinite_envs):
-        sel = (kind == LIGHT_INFINITE) & (lights.shape_index[light_idx] == env_id)
+        sel = (kind == LIGHT_INFINITE) & (_row(lights.shape_index) == env_id)
         if not bool(np.any(np.asarray(lights.shape_index) == env_id)):
             continue
         m = env["to_local"]

@@ -261,3 +261,57 @@ class TestMipmapEWA:
             dev, st, jnp.array([[0.5, 0.0]]), jnp.array([[0.0, 0.005]])
         )
         assert np.all(np.isfinite(np.asarray(out)))
+
+
+class TestTableOps:
+    def _check(self, table, idx):
+        from rs_ray_toy_tpu.core.tableops import take_rows
+
+        ref = np.asarray(jnp.take(table, idx, axis=0))
+        for strat in ("select", "onehot"):
+            got = np.asarray(take_rows(table, idx, strategy=strat))
+            np.testing.assert_array_equal(got, ref, err_msg=strat)
+
+    def test_float_rows_exact(self):
+        rng = np.random.default_rng(0)
+        table = jnp.asarray(rng.standard_normal((7, 3, 5)).astype(np.float32))
+        idx = jnp.asarray(rng.integers(0, 7, 1000), jnp.int32)
+        self._check(table, idx)
+
+    def test_float_extreme_values_exact(self):
+        vals = np.array(
+            [1.2e-38, -1e38, np.pi, 1 + 2**-23, 2**24 + 1, -0.0, 7e7, 1e-30],
+            np.float32,
+        ).reshape(8, 1)
+        idx = jnp.asarray(np.arange(8).repeat(13), jnp.int32)
+        self._check(jnp.asarray(vals), idx)
+
+    def test_int_rows_exact(self):
+        rng = np.random.default_rng(1)
+        table = jnp.asarray(rng.integers(-(2**23), 2**23, (36, 12)), jnp.int32)
+        idx = jnp.asarray(rng.integers(0, 36, 500), jnp.int32)
+        self._check(table, idx)
+
+    def test_bool_rows_exact(self):
+        rng = np.random.default_rng(2)
+        table = jnp.asarray(rng.integers(0, 2, (5, 4)).astype(bool))
+        idx = jnp.asarray(rng.integers(0, 5, 200), jnp.int32)
+        self._check(table, idx)
+
+    def test_big_table_onehot(self):
+        rng = np.random.default_rng(3)
+        table = jnp.asarray(rng.standard_normal((300, 9)).astype(np.float32))
+        idx = jnp.asarray(rng.integers(0, 300, 2048), jnp.int32)
+        self._check(table, idx)
+
+    def test_under_jit(self):
+        from rs_ray_toy_tpu.core.tableops import take_rows
+        import jax
+
+        table = jnp.arange(24, dtype=jnp.float32).reshape(6, 4)
+        idx = jnp.asarray([5, 0, 3], jnp.int32)
+        for strat in ("select", "onehot", "auto"):
+            got = jax.jit(lambda t, i: take_rows(t, i, strategy=strat))(table, idx)
+            np.testing.assert_array_equal(
+                np.asarray(got), np.asarray(table)[np.asarray(idx)]
+            )

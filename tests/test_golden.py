@@ -105,3 +105,12 @@ def test_golden_sphere_arealight_path():
     rgb = _render(_sphere_area_job(), 2)
     assert np.isfinite(rgb).all() and rgb.max() > 0
     _check("sphere_area_40x24_2spp", rgb)
+
+
+@pytest.mark.parametrize("strategy", ["select", "onehot"])
+def test_golden_path_with_forced_strategy(monkeypatch, strategy):
+    """Render the path golden with the TPU table strategies forced on CPU:
+    validates select-chain / one-hot row selection in situ (must reproduce
+    the gather-built golden within float tolerance)."""
+    monkeypatch.setenv("RS_TABLE_STRATEGY", strategy)
+    _check("path_40x24_2spp", _render(_tiny_job("path", max_depth=4), 2))
