@@ -192,6 +192,10 @@ def render_job(
     compiled = render_range.lower(
         film0, jnp.int32(0), jnp.int32(0)
     ).compile()
+    # zero-pass warm-up: loads the executable + scene constants onto the
+    # device without running a single sample pass, so the timed region
+    # measures render throughput, not one-time program upload
+    jax.block_until_ready(compiled(film0, jnp.int32(0), jnp.int32(0)))
     t0 = time.time()
     with maybe_profile():
         film = compiled(
