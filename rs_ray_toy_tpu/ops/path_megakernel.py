@@ -1,0 +1,441 @@
+"""Fused path-tracer megakernel (Pallas TPU).
+
+The masked jnp bounce loop (integrators/path.py) runs each stage as its own
+XLA fusion: per bounce the full SoA ray state round-trips HBM ~10 times
+(intersect, surface, shade, NEE, occlusion, sample, RR).  After the gather
+elimination (core/tableops.py) the path integrator measures ~14.7 ms per
+230K-ray pass — almost entirely that inter-fusion traffic.
+
+This kernel runs the whole bounce loop for a ray tile in VMEM: rays, sample
+uniforms in; radiance out; scene tables resident in VMEM.  HBM traffic per
+ray drops from ~10 round trips/bounce to one read + one write total.
+
+Scope (checked statically by `supports`): the scene subset the bench
+headline uses, which is also the most common interior-scene configuration —
+  - triangle geometry only (<= TRI_MAX, table fits VMEM),
+  - every material a single untextured Lambertian lobe
+    (matte with sigma=0, material/matte.rs:35-47),
+  - point lights only (<= LIGHT_MAX; delta => NEE needs no MIS),
+  - no participating media, no BSSRDF, no infinite lights,
+  - path integrator without ray differentials.
+Everything else falls back to the general jnp wavefront loop.  The
+estimator is IDENTICAL to integrators/path.py (same sample dims, same
+frame construction from baked dpdu, same RR; path.rs:51-226 semantics) —
+tests compare the two per-ray radiance outputs directly.
+
+Scene tables are baked per *triangle* (the material table collapses:
+kd = packed_f[tri.mat, 0, 0:3]), so shading needs no indirection at all.
+"""
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import DTYPE, PI, ONE_MINUS_EPSILON, SHADOW_EPSILON
+from ..scene.types import LIGHT_POINT
+from ..bsdf.lobes import LOBE_LAMBERT_REFL, BXDF_SPECULAR
+
+TRI_EPS = 1e-7
+LANES = 128
+TILE_ROWS = 32
+TRI_MAX = 2048
+LIGHT_MAX = 8
+DEPTH_MAX = 15
+
+PI_OVER_2 = PI / 2.0
+PI_OVER_4 = PI / 4.0
+
+
+def supports(ctx, spec, sampler, diff) -> bool:
+    """Static host check: can the megakernel render this job exactly?"""
+    if spec.kind != "path" or diff is not None:
+        return False
+    if spec.max_depth > DEPTH_MAX:
+        return False
+    if int(ctx.sph.count) != 0 or not (0 < int(ctx.tri.count) <= TRI_MAX):
+        return False
+    if ctx.infinite_envs or ctx.mediums is not None:
+        return False
+    mats = ctx.mats
+    kinds = np.asarray(mats["kind"])
+    n_lobes = np.asarray(mats["n_lobes"])
+    # only materials actually referenced by a triangle constrain the kernel
+    tri_mat = np.asarray(ctx.tri.mat)
+    used = np.unique(tri_mat[tri_mat >= 0])
+    if used.size == 0:
+        return False
+    live = np.zeros_like(kinds, bool)
+    for i in used:
+        live[i, : int(n_lobes[i])] = True
+    if np.any(n_lobes[used] > 1):
+        return False
+    if np.any(kinds[live] != LOBE_LAMBERT_REFL):
+        return False
+    if np.any(np.asarray(mats["has_bssrdf"])[used]):
+        return False
+    if np.any(np.asarray(mats["bump_tex"])[used] >= 0):
+        return False
+    pi_ = np.asarray(mats["packed_i"])  # tex ids live in cols 6..10
+    if np.any(pi_[..., 6:11][live] >= 0):
+        return False
+    # scale must be the identity (no ScaleTexture wrapping)
+    if np.any(np.abs(np.asarray(mats["scale"])[live] - 1.0) > 0):
+        return False
+    lk = np.asarray(ctx.lights.kind)
+    if lk.size == 0 or lk.size > LIGHT_MAX or np.any(lk != LIGHT_POINT):
+        return False
+    return True
+
+
+def pack_scene(ctx):
+    """Per-triangle (T, 18) table: p0, e1, e2, ng, dpdu, kd — everything a
+    Lambertian bounce needs, material indirection pre-collapsed."""
+    tri = ctx.tri
+    p0 = np.asarray(tri.p0, np.float32)
+    e1 = np.asarray(tri.p1, np.float32) - p0
+    e2 = np.asarray(tri.p2, np.float32) - p0
+    ng = np.asarray(tri.ng, np.float32)
+    dpdu = np.asarray(tri.dpdu, np.float32)
+    mat = np.asarray(tri.mat)
+    pf = np.asarray(ctx.mats["packed_f"])
+    nl = np.asarray(ctx.mats["n_lobes"])
+    kd = np.where(
+        (nl[np.maximum(mat, 0)] > 0)[:, None] & (mat >= 0)[:, None],
+        pf[np.maximum(mat, 0), 0, 0:3],
+        0.0,
+    ).astype(np.float32)
+    table = np.concatenate([p0, e1, e2, ng, dpdu, kd], axis=1)  # (T, 18)
+    lights_p = np.asarray(ctx.lights.p, np.float32)
+    lights_emit = np.asarray(ctx.lights.emit, np.float32)
+    return jnp.asarray(table), lights_p, lights_emit
+
+
+def _dot3(ax, ay, az, bx, by, bz):
+    return ax * bx + ay * by + az * bz
+
+
+def _normalize3(x, y, z):
+    inv = lax.rsqrt(jnp.maximum(x * x + y * y + z * z, 1e-30))
+    return x * inv, y * inv, z * inv
+
+
+def _closest_hit(tri_ref, n_tris, ox, oy, oz, dx, dy, dz):
+    """Möller-Trumbore fori over the VMEM table; returns hit t and the
+    gathered per-triangle attributes (ng, dpdu, kd)."""
+    big = jnp.full(ox.shape, 3.0e38, jnp.float32)
+    zeros = jnp.zeros_like(ox)
+    carry0 = (big,) + (zeros,) * 9
+
+    def body(j, c):
+        t_best = c[0]
+        p0x, p0y, p0z = tri_ref[j, 0], tri_ref[j, 1], tri_ref[j, 2]
+        e1x, e1y, e1z = tri_ref[j, 3], tri_ref[j, 4], tri_ref[j, 5]
+        e2x, e2y, e2z = tri_ref[j, 6], tri_ref[j, 7], tri_ref[j, 8]
+        pvx = dy * e2z - dz * e2y
+        pvy = dz * e2x - dx * e2z
+        pvz = dx * e2y - dy * e2x
+        det = e1x * pvx + e1y * pvy + e1z * pvz
+        ok = jnp.abs(det) >= TRI_EPS
+        inv = 1.0 / jnp.where(ok, det, 1.0)
+        tvx, tvy, tvz = ox - p0x, oy - p0y, oz - p0z
+        u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv
+        qvx = tvy * e1z - tvz * e1y
+        qvy = tvz * e1x - tvx * e1z
+        qvz = tvx * e1y - tvy * e1x
+        v = (dx * qvx + dy * qvy + dz * qvz) * inv
+        t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv
+        upd = (
+            ok & (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (u + v <= 1.0)
+            & (t >= TRI_EPS) & (t < t_best)
+        )
+        attrs = tuple(
+            jnp.where(upd, tri_ref[j, 9 + k], c[1 + k]) for k in range(9)
+        )
+        return (jnp.where(upd, t, t_best),) + attrs
+
+    out = lax.fori_loop(0, n_tris, body, carry0)
+    return out  # (t, ngx..ngz, dux..duz, kr, kg, kb)
+
+
+def _occluded(tri_ref, n_tris, ox, oy, oz, dx, dy, dz, t_max):
+    """Any-hit over the table with unnormalized direction, t in
+    [TRI_EPS, t_max) — shadow_unoccluded semantics."""
+
+    def body(j, occ):
+        p0x, p0y, p0z = tri_ref[j, 0], tri_ref[j, 1], tri_ref[j, 2]
+        e1x, e1y, e1z = tri_ref[j, 3], tri_ref[j, 4], tri_ref[j, 5]
+        e2x, e2y, e2z = tri_ref[j, 6], tri_ref[j, 7], tri_ref[j, 8]
+        pvx = dy * e2z - dz * e2y
+        pvy = dz * e2x - dx * e2z
+        pvz = dx * e2y - dy * e2x
+        det = e1x * pvx + e1y * pvy + e1z * pvz
+        ok = jnp.abs(det) >= TRI_EPS
+        inv = 1.0 / jnp.where(ok, det, 1.0)
+        tvx, tvy, tvz = ox - p0x, oy - p0y, oz - p0z
+        u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv
+        qvx = tvy * e1z - tvz * e1y
+        qvy = tvz * e1x - tvx * e1z
+        qvz = tvx * e1y - tvy * e1x
+        v = (dx * qvx + dy * qvy + dz * qvz) * inv
+        t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv
+        hit = (
+            ok & (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (u + v <= 1.0)
+            & (t >= TRI_EPS) & (t < t_max)
+        )
+        # int32 carry: Mosaic miscompiles i1 vectors carried through scf
+        return jnp.where(hit, jnp.int32(1), occ)
+
+    occ = lax.fori_loop(0, n_tris, body, jnp.zeros(ox.shape, jnp.int32))
+    return occ > 0
+
+
+def _concentric_disk(u0, u1):
+    """sampling.rs:286-311, componentwise."""
+    x = 2.0 * u0 - 1.0
+    y = 2.0 * u1 - 1.0
+    zero = (x == 0.0) & (y == 0.0)
+    use_x = jnp.abs(x) > jnp.abs(y)
+    safe_x = jnp.where(x == 0.0, 1.0, x)
+    safe_y = jnp.where(y == 0.0, 1.0, y)
+    r = jnp.where(use_x, x, y)
+    theta = jnp.where(
+        use_x, PI_OVER_4 * (y / safe_x), PI_OVER_2 - PI_OVER_4 * (x / safe_y)
+    )
+    dxo = jnp.cos(theta) * r
+    dyo = jnp.sin(theta) * r
+    return jnp.where(zero, 0.0, dxo), jnp.where(zero, 0.0, dyo)
+
+
+def _kernel(
+    tri_ref, lp_ref, le_ref,
+    ox_r, oy_r, oz_r, dx_r, dy_r, dz_r, w_r, u_r,
+    lr_o, lg_o, lb_o,
+    *, n_tris, n_lights, max_depth, rr_threshold,
+):
+    ox, oy, oz = ox_r[:], oy_r[:], oz_r[:]
+    dx, dy, dz = dx_r[:], dy_r[:], dz_r[:]
+    active = w_r[:] > 0.0
+    one = jnp.ones(ox.shape, jnp.float32)
+    zero = jnp.zeros(ox.shape, jnp.float32)
+    br, bg, bb = one, one, one
+    Lr, Lg, Lb = zero, zero, zero
+
+    for bounce in range(max_depth + 1):
+        t, ngx, ngy, ngz, dux, duy, duz, kr, kg, kb = _closest_hit(
+            tri_ref, n_tris, ox, oy, oz, dx, dy, dz
+        )
+        found = t < 3.0e38
+        active = active & found & (bounce < max_depth)
+        if bounce == max_depth:
+            break
+
+        # hit position
+        px = ox + dx * t
+        py = oy + dy * t
+        pz = oz + dz * t
+
+        # shading frame (bsdf/eval.make_frame): ss = normalize(dpdu),
+        # degenerate -> coordinate_system(ns); ts = cross(ns, ss); ns = ng
+        # (no vertex normals in this subset).
+        du2 = dux * dux + duy * duy + duz * duz
+        ssx, ssy, ssz = _normalize3(dux, duy, duz)
+        # coordinate_system(ns) first axis (core/vec.py convention)
+        big_x = jnp.abs(ngx) > jnp.abs(ngy)
+        inv_a = lax.rsqrt(
+            jnp.maximum(jnp.where(big_x, ngx * ngx + ngz * ngz, ngy * ngy + ngz * ngz), 1e-30)
+        )
+        fbx = jnp.where(big_x, -ngz, 0.0) * inv_a
+        fby = jnp.where(big_x, 0.0, ngz) * inv_a
+        fbz = jnp.where(big_x, ngx, -ngy) * inv_a
+        bad = du2 < 1e-20
+        ssx = jnp.where(bad, fbx, ssx)
+        ssy = jnp.where(bad, fby, ssy)
+        ssz = jnp.where(bad, fbz, ssz)
+        tsx = ngy * ssz - ngz * ssy
+        tsy = ngz * ssx - ngx * ssz
+        tsz = ngx * ssy - ngy * ssx
+
+        # wo = -d (world), local z component wrt ns
+        wox, woy, woz = -dx, -dy, -dz
+        wo_z = _dot3(wox, woy, woz, ngx, ngy, ngz)
+
+        # ---- NEE: one point light, uniform pick (common.py:336-356) ----
+        u_pick = u_r[4 * bounce + 0]
+        li_idx = jnp.minimum((u_pick * n_lights).astype(jnp.int32), n_lights - 1)
+        lpx = jnp.zeros_like(px)
+        lpy = jnp.zeros_like(px)
+        lpz = jnp.zeros_like(px)
+        ler = jnp.zeros_like(px)
+        leg = jnp.zeros_like(px)
+        leb = jnp.zeros_like(px)
+        for k in range(n_lights):
+            sel = li_idx == k
+            lpx = jnp.where(sel, lp_ref[k, 0], lpx)
+            lpy = jnp.where(sel, lp_ref[k, 1], lpy)
+            lpz = jnp.where(sel, lp_ref[k, 2], lpz)
+            ler = jnp.where(sel, le_ref[k, 0], ler)
+            leg = jnp.where(sel, le_ref[k, 1], leg)
+            leb = jnp.where(sel, le_ref[k, 2], leb)
+        tlx, tly, tlz = lpx - px, lpy - py, lpz - pz
+        dist2 = jnp.maximum(tlx * tlx + tly * tly + tlz * tlz, 1e-20)
+        inv_d = lax.rsqrt(dist2)
+        wix, wiy, wiz = tlx * inv_d, tly * inv_d, tlz * inv_d
+        # f = kd/pi iff wi is on wo's side of ng (bsdf_f_pdf reflect gate)
+        wi_ng = _dot3(wix, wiy, wiz, ngx, ngy, ngz)
+        reflect_side = (wi_ng * wo_z) > 0.0
+        cos_ns = jnp.abs(wi_ng)  # ns == ng here
+        f_fac = jnp.where(reflect_side & (wo_z != 0.0), cos_ns / PI, 0.0)
+        # shadow ray: offset origin toward light, t_max = 1 - eps
+        mag = jnp.abs(px) + jnp.abs(py) + jnp.abs(pz)
+        eps = 1e-4 + 1e-5 * mag
+        off = jnp.where(wi_ng < 0.0, -eps, eps)
+        sox = px + ngx * off
+        soy = py + ngy * off
+        soz = pz + ngz * off
+        sdx, sdy, sdz = lpx - sox, lpy - soy, lpz - soz
+        occ = _occluded(
+            tri_ref, n_tris, sox, soy, soz, sdx, sdy, sdz,
+            jnp.full(px.shape, 1.0 - SHADOW_EPSILON, jnp.float32),
+        )
+        li_scale = jnp.where(active & ~occ, f_fac * n_lights / dist2, 0.0)
+        Lr = Lr + br * kr * ler * li_scale
+        Lg = Lg + bg * kg * leg * li_scale
+        Lb = Lb + bb * kb * leb * li_scale
+
+        # ---- sample the Lambertian lobe (bsdf_sample, single lobe) ----
+        u0 = jnp.minimum(u_r[4 * bounce + 1], ONE_MINUS_EPSILON)
+        u1 = u_r[4 * bounce + 2]
+        dxo, dyo = _concentric_disk(u0, u1)
+        z_loc = jnp.sqrt(jnp.maximum(0.0, 1.0 - dxo * dxo - dyo * dyo))
+        # flip into wo's hemisphere (reflection.rs:428-443); wo_local.z = wo_z
+        z_loc = jnp.where(wo_z < 0.0, -z_loc, z_loc)
+        # wi world = ss*x + ts*y + ns*z
+        nwx = ssx * dxo + tsx * dyo + ngx * z_loc
+        nwy = ssy * dxo + tsy * dyo + ngy * z_loc
+        nwz = ssz * dxo + tsz * dyo + ngz * z_loc
+        abs_z = jnp.abs(z_loc)
+        pdf = abs_z / PI
+        ok = active & (wo_z != 0.0) & (pdf > 0.0) & ((kr > 0) | (kg > 0) | (kb > 0))
+        # beta *= f * |cos(wi, ns)| / pdf = kd (cos = |z_loc| since ns==ng)
+        br = jnp.where(ok, br * kr, br)
+        bg = jnp.where(ok, bg * kg, bg)
+        bb = jnp.where(ok, bb * kb, bb)
+        active = active & ok
+
+        # next ray: offset along ng by sampled direction side
+        wi_ng2 = _dot3(nwx, nwy, nwz, ngx, ngy, ngz)
+        off2 = jnp.where(wi_ng2 < 0.0, -eps, eps)
+        ox = jnp.where(active, px + ngx * off2, ox)
+        oy = jnp.where(active, py + ngy * off2, oy)
+        oz = jnp.where(active, pz + ngz * off2, oz)
+        dx = jnp.where(active, nwx, dx)
+        dy = jnp.where(active, nwy, dy)
+        dz = jnp.where(active, nwz, dz)
+
+        # ---- Russian roulette (path.rs:212-222); eta_scale == 1 here ----
+        if bounce > 3:
+            beta_max = jnp.maximum(br, jnp.maximum(bg, bb))
+            do_rr = active & (beta_max < rr_threshold)
+            q = jnp.maximum(0.05, 1.0 - beta_max)
+            u_rr = u_r[4 * bounce + 3]
+            killed = do_rr & (u_rr < q)
+            active = active & ~killed
+            surv = do_rr & ~killed
+            inv_q = 1.0 / jnp.maximum(1.0 - q, 1e-9)
+            br = jnp.where(surv, br * inv_q, br)
+            bg = jnp.where(surv, bg * inv_q, bg)
+            bb = jnp.where(surv, bb * inv_q, bb)
+
+    lr_o[:] = Lr
+    lg_o[:] = Lg
+    lb_o[:] = Lb
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_tris", "n_lights", "max_depth", "rr_threshold", "interpret"),
+)
+def _run(
+    table, lights_p, lights_emit, ox, oy, oz, dx, dy, dz, w, u,
+    n_tris, n_lights, max_depth, rr_threshold, interpret=False,
+):
+    m = ox.shape[0]
+    grid = (m // TILE_ROWS,)
+    ray_spec = pl.BlockSpec(
+        (TILE_ROWS, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    u_spec = pl.BlockSpec(
+        (u.shape[0], TILE_ROWS, LANES), lambda i: (0, i, 0),
+        memory_space=pltpu.VMEM,
+    )
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    kernel = functools.partial(
+        _kernel,
+        n_tris=n_tris,
+        n_lights=n_lights,
+        max_depth=max_depth,
+        rr_threshold=rr_threshold,
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[vmem, vmem, vmem] + [ray_spec] * 7 + [u_spec],
+        out_specs=[ray_spec] * 3,
+        out_shape=[jax.ShapeDtypeStruct((m, LANES), jnp.float32)] * 3,
+        interpret=interpret,
+    )(table, lights_p, lights_emit, ox, oy, oz, dx, dy, dz, w, u)
+    return outs
+
+
+def li_path_mega(
+    ctx, packed, o, d, cam_weight, sampler, pixel_id, s_idx, spec, interpret=False
+):
+    """Drop-in replacement for integrators.path.li_path on the supported
+    subset.  packed = pack_scene(ctx) built once per scene."""
+    table, lights_p, lights_emit = packed
+    n = o.shape[0]
+    md = spec.max_depth
+
+    # sample dims, same layout as li_path (dim0 = 8 + bounce*8)
+    planes = []
+    for b in range(md):
+        dim0 = 8 + b * 8
+        planes.append(sampler.get_1d(pixel_id, s_idx, dim0))       # light pick
+        u_b = sampler.get_2d(pixel_id, s_idx, dim0 + 3)            # bsdf
+        planes.append(u_b[:, 0])
+        planes.append(u_b[:, 1])
+        planes.append(sampler.get_1d(pixel_id, s_idx, dim0 + 4))   # RR
+    u_all = jnp.stack(planes, axis=0).astype(jnp.float32)  # (4*md, N)
+
+    tile = TILE_ROWS * LANES
+    n_pad = -(-n // tile) * tile
+    pad = n_pad - n
+
+    def prep(x):
+        if pad:
+            x = jnp.concatenate([x, jnp.zeros((pad,), x.dtype)])
+        return x.reshape(n_pad // LANES, LANES)
+
+    u_p = jnp.concatenate(
+        [u_all, jnp.zeros((u_all.shape[0], pad), jnp.float32)], axis=1
+    ).reshape(u_all.shape[0], n_pad // LANES, LANES) if pad else u_all.reshape(
+        u_all.shape[0], n_pad // LANES, LANES
+    )
+
+    lr, lg, lb = _run(
+        table, jnp.asarray(lights_p), jnp.asarray(lights_emit),
+        prep(o[:, 0]), prep(o[:, 1]), prep(o[:, 2]),
+        prep(d[:, 0]), prep(d[:, 1]), prep(d[:, 2]),
+        prep(cam_weight.astype(jnp.float32)), u_p,
+        n_tris=int(table.shape[0]), n_lights=int(lights_p.shape[0]),
+        max_depth=int(md), rr_threshold=float(spec.rr_threshold),
+        interpret=interpret,
+    )
+    return jnp.stack(
+        [lr.reshape(-1)[:n], lg.reshape(-1)[:n], lb.reshape(-1)[:n]], axis=-1
+    ).astype(DTYPE)

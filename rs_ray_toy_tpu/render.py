@@ -123,12 +123,35 @@ def render_job(
         r.kind in (TEX_IMAGE, TEX_CHECKER2D) for r in ctx.registry.records
     )
 
+    # fused Pallas bounce loop when the scene fits its subset (the whole
+    # path loop runs in VMEM; ~10x less HBM traffic than the jnp loop)
+    mega_packed = None
+    if (
+        integrator.kind == "path"
+        and not want_diff
+        and os.environ.get("RS_MEGAKERNEL", "1") != "0"
+        and integrator.max_depth >= 1
+    ):
+        from .ops import path_megakernel as pmk
+
+        if pmk.supports(ctx, integrator, sampler, None):
+            mega_packed = pmk.pack_scene(ctx)
+
     def li_fn(o, d, weight, s_idx_arr, diff=None):
         if integrator.kind in ("debug", "direct"):
             return li_levels(
                 ctx, o, d, weight, sampler, pixel_id, s_idx_arr, integrator, diff=diff
             )
         elif integrator.kind == "path":
+            if mega_packed is not None and diff is None:
+                from .ops import path_megakernel as pmk
+                import jax as _jax
+
+                return pmk.li_path_mega(
+                    ctx, mega_packed, o, d, weight, sampler, pixel_id,
+                    s_idx_arr, integrator,
+                    interpret=_jax.default_backend() == "cpu",
+                )
             from .integrators.path import li_path
 
             return li_path(
