@@ -11,6 +11,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# persistent XLA compile cache: repeat benchmark runs skip the multi-minute
+# remote compile (harmless when cold or unsupported)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_compile_cache")
+
 import numpy as np
 
 BASELINE_MRAYS = 50.0

@@ -41,10 +41,15 @@ def uniform_u32(pixel_id, sample_index, dim, seed=0):
 
 
 def uniform_float(pixel_id, sample_index, dim, seed=0):
-    """Uniform in [0, 1) with 24-bit resolution (exact in f32)."""
+    """Uniform in [0, 1) with 24-bit resolution (exact in f32).
+
+    The u32 is cast through int32 (exact: value < 2^24) — Mosaic has no
+    direct uint32 -> float32 lowering, and the detour is free under XLA."""
     u = uniform_u32(pixel_id, sample_index, dim, seed)
-    return (u >> 8).astype(jnp.float32) * jnp.float32(2.0**-24)
+    return (u >> 8).astype(jnp.int32).astype(jnp.float32) * jnp.float32(2.0**-24)
 
 
 def uniform_float_from_u32(u):
-    return (u.astype(_U32) >> 8).astype(jnp.float32) * jnp.float32(2.0**-24)
+    return (u.astype(_U32) >> 8).astype(jnp.int32).astype(jnp.float32) * jnp.float32(
+        2.0**-24
+    )

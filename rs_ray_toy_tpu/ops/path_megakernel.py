@@ -51,10 +51,24 @@ PI_OVER_2 = PI / 2.0
 PI_OVER_4 = PI / 4.0
 
 
+def _pow2(n):
+    return n > 0 and (n & (n - 1)) == 0
+
+
 def supports(ctx, spec, sampler, diff) -> bool:
     """Static host check: can the megakernel render this job exactly?"""
     if spec.kind != "path" or diff is not None:
         return False
+    # the kernel evaluates the stratified sampler in-VMEM; its permutation
+    # needs power-of-two strata (integer div/mod by non-constants does not
+    # lower to Mosaic)
+    from ..sampler.stratified import StratifiedSampler
+
+    if sampler is not None:
+        if not isinstance(sampler, StratifiedSampler):
+            return False
+        if not (_pow2(sampler.spp) and _pow2(sampler.xs) and _pow2(sampler.ys)):
+            return False
     if spec.max_depth > DEPTH_MAX:
         return False
     if int(ctx.sph.count) != 0 or not (0 < int(ctx.tri.count) <= TRI_MAX):
@@ -110,8 +124,12 @@ def pack_scene(ctx):
         0.0,
     ).astype(np.float32)
     table = np.concatenate([p0, e1, e2, ng, dpdu, kd], axis=1)  # (T, 18)
-    lights_p = np.asarray(ctx.lights.p, np.float32)
-    lights_emit = np.asarray(ctx.lights.emit, np.float32)
+    lights_p = tuple(
+        tuple(float(v) for v in row) for row in np.asarray(ctx.lights.p)
+    )
+    lights_emit = tuple(
+        tuple(float(v) for v in row) for row in np.asarray(ctx.lights.emit)
+    )
     return jnp.asarray(table), lights_p, lights_emit
 
 
@@ -211,14 +229,54 @@ def _concentric_disk(u0, u1):
     return jnp.where(zero, 0.0, dxo), jnp.where(zero, 0.0, dyo)
 
 
+def _sampler_dims(pid, sid, dim, spp, xs, ys, jitter, seed, want_2d):
+    """In-kernel StratifiedSampler.get_1d/get_2d (sampler/stratified.py):
+    identical hash/permutation math on the tile arrays.  dim is static."""
+    from ..core import rng as _rng
+
+    dk = jnp.uint32((dim * 2654435761 + 0) & 0xFFFFFFFF) + jnp.uint32(seed)
+    key = _rng.hash_combine(pid, dk)
+    # _permute, power-of-two branch (xor / odd-multiply / xorshift rounds)
+    x = sid
+    mask = jnp.uint32(spp - 1)
+    for salt in (0x9E3779B9, 0x85EBCA6B, 0xC2B2AE35):
+        x = (x ^ key ^ jnp.uint32(salt)) & mask
+        x = (x * jnp.uint32(0xED5AD4BB)) & mask
+        x = (x ^ (x >> 3)) & mask
+    strat = x
+    if not want_2d:
+        if jitter:
+            j = _rng.uniform_float(pid, sid, jnp.uint32(dim * 64), seed)
+        else:
+            j = 0.5
+        return jnp.minimum(
+            (strat.astype(jnp.int32).astype(jnp.float32) + j) / spp,
+            jnp.float32(1.0 - 1e-7),
+        )
+    sx = (strat & jnp.uint32(xs - 1)).astype(jnp.int32).astype(jnp.float32)
+    sy = (strat >> int(xs).bit_length() - 1).astype(jnp.int32).astype(jnp.float32)
+    if jitter:
+        jx = _rng.uniform_float(pid, sid, jnp.uint32(dim * 64 + 1), seed)
+        jy = _rng.uniform_float(pid, sid, jnp.uint32(dim * 64 + 2), seed)
+    else:
+        jx = jy = 0.5
+    u0 = jnp.minimum((sx + jx) / xs, jnp.float32(1.0 - 1e-7))
+    u1 = jnp.minimum((sy + jy) / ys, jnp.float32(1.0 - 1e-7))
+    return u0, u1
+
+
 def _kernel(
-    tri_ref, lp_ref, le_ref,
-    ox_r, oy_r, oz_r, dx_r, dy_r, dz_r, w_r, u_r,
+    tri_ref,
+    ox_r, oy_r, oz_r, dx_r, dy_r, dz_r, w_r, pid_r, sid_r,
     lr_o, lg_o, lb_o,
-    *, n_tris, n_lights, max_depth, rr_threshold,
+    *, n_tris, lights_p, lights_emit, max_depth, rr_threshold,
+    spp, xs, ys, jitter, seed,
 ):
+    n_lights = len(lights_p)
     ox, oy, oz = ox_r[:], oy_r[:], oz_r[:]
     dx, dy, dz = dx_r[:], dy_r[:], dz_r[:]
+    pid = pid_r[:]
+    sid = sid_r[:]
     active = w_r[:] > 0.0
     one = jnp.ones(ox.shape, jnp.float32)
     zero = jnp.zeros(ox.shape, jnp.float32)
@@ -265,7 +323,8 @@ def _kernel(
         wo_z = _dot3(wox, woy, woz, ngx, ngy, ngz)
 
         # ---- NEE: one point light, uniform pick (common.py:336-356) ----
-        u_pick = u_r[4 * bounce + 0]
+        dim0 = 8 + bounce * 8
+        u_pick = _sampler_dims(pid, sid, dim0, spp, xs, ys, jitter, seed, False)
         li_idx = jnp.minimum((u_pick * n_lights).astype(jnp.int32), n_lights - 1)
         lpx = jnp.zeros_like(px)
         lpy = jnp.zeros_like(px)
@@ -275,12 +334,12 @@ def _kernel(
         leb = jnp.zeros_like(px)
         for k in range(n_lights):
             sel = li_idx == k
-            lpx = jnp.where(sel, lp_ref[k, 0], lpx)
-            lpy = jnp.where(sel, lp_ref[k, 1], lpy)
-            lpz = jnp.where(sel, lp_ref[k, 2], lpz)
-            ler = jnp.where(sel, le_ref[k, 0], ler)
-            leg = jnp.where(sel, le_ref[k, 1], leg)
-            leb = jnp.where(sel, le_ref[k, 2], leb)
+            lpx = jnp.where(sel, lights_p[k][0], lpx)
+            lpy = jnp.where(sel, lights_p[k][1], lpy)
+            lpz = jnp.where(sel, lights_p[k][2], lpz)
+            ler = jnp.where(sel, lights_emit[k][0], ler)
+            leg = jnp.where(sel, lights_emit[k][1], leg)
+            leb = jnp.where(sel, lights_emit[k][2], leb)
         tlx, tly, tlz = lpx - px, lpy - py, lpz - pz
         dist2 = jnp.maximum(tlx * tlx + tly * tly + tlz * tlz, 1e-20)
         inv_d = lax.rsqrt(dist2)
@@ -308,8 +367,11 @@ def _kernel(
         Lb = Lb + bb * kb * leb * li_scale
 
         # ---- sample the Lambertian lobe (bsdf_sample, single lobe) ----
-        u0 = jnp.minimum(u_r[4 * bounce + 1], ONE_MINUS_EPSILON)
-        u1 = u_r[4 * bounce + 2]
+        ub0, ub1 = _sampler_dims(
+            pid, sid, dim0 + 3, spp, xs, ys, jitter, seed, True
+        )
+        u0 = jnp.minimum(ub0, ONE_MINUS_EPSILON)
+        u1 = ub1
         dxo, dyo = _concentric_disk(u0, u1)
         z_loc = jnp.sqrt(jnp.maximum(0.0, 1.0 - dxo * dxo - dyo * dyo))
         # flip into wo's hemisphere (reflection.rs:428-443); wo_local.z = wo_z
@@ -342,7 +404,9 @@ def _kernel(
             beta_max = jnp.maximum(br, jnp.maximum(bg, bb))
             do_rr = active & (beta_max < rr_threshold)
             q = jnp.maximum(0.05, 1.0 - beta_max)
-            u_rr = u_r[4 * bounce + 3]
+            u_rr = _sampler_dims(
+                pid, sid, dim0 + 4, spp, xs, ys, jitter, seed, False
+            )
             killed = do_rr & (u_rr < q)
             active = active & ~killed
             surv = do_rr & ~killed
@@ -358,37 +422,39 @@ def _kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_tris", "n_lights", "max_depth", "rr_threshold", "interpret"),
+    static_argnames=(
+        "n_tris", "lights_p", "lights_emit", "max_depth", "rr_threshold",
+        "spp", "xs", "ys", "jitter", "seed", "interpret",
+    ),
 )
 def _run(
-    table, lights_p, lights_emit, ox, oy, oz, dx, dy, dz, w, u,
-    n_tris, n_lights, max_depth, rr_threshold, interpret=False,
+    table, ox, oy, oz, dx, dy, dz, w, pid, sid,
+    n_tris, lights_p, lights_emit, max_depth, rr_threshold,
+    spp, xs, ys, jitter, seed, interpret=False,
 ):
     m = ox.shape[0]
     grid = (m // TILE_ROWS,)
     ray_spec = pl.BlockSpec(
         (TILE_ROWS, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
-    u_spec = pl.BlockSpec(
-        (u.shape[0], TILE_ROWS, LANES), lambda i: (0, i, 0),
-        memory_space=pltpu.VMEM,
-    )
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     kernel = functools.partial(
         _kernel,
         n_tris=n_tris,
-        n_lights=n_lights,
+        lights_p=lights_p,
+        lights_emit=lights_emit,
         max_depth=max_depth,
         rr_threshold=rr_threshold,
+        spp=spp, xs=xs, ys=ys, jitter=jitter, seed=seed,
     )
     outs = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[vmem, vmem, vmem] + [ray_spec] * 7 + [u_spec],
+        in_specs=[vmem] + [ray_spec] * 9,
         out_specs=[ray_spec] * 3,
         out_shape=[jax.ShapeDtypeStruct((m, LANES), jnp.float32)] * 3,
         interpret=interpret,
-    )(table, lights_p, lights_emit, ox, oy, oz, dx, dy, dz, w, u)
+    )(table, ox, oy, oz, dx, dy, dz, w, pid, sid)
     return outs
 
 
@@ -396,21 +462,10 @@ def li_path_mega(
     ctx, packed, o, d, cam_weight, sampler, pixel_id, s_idx, spec, interpret=False
 ):
     """Drop-in replacement for integrators.path.li_path on the supported
-    subset.  packed = pack_scene(ctx) built once per scene."""
+    subset.  packed = pack_scene(ctx) built once per scene.  The sampler's
+    bounce dimensions are evaluated inside the kernel (same hash math)."""
     table, lights_p, lights_emit = packed
     n = o.shape[0]
-    md = spec.max_depth
-
-    # sample dims, same layout as li_path (dim0 = 8 + bounce*8)
-    planes = []
-    for b in range(md):
-        dim0 = 8 + b * 8
-        planes.append(sampler.get_1d(pixel_id, s_idx, dim0))       # light pick
-        u_b = sampler.get_2d(pixel_id, s_idx, dim0 + 3)            # bsdf
-        planes.append(u_b[:, 0])
-        planes.append(u_b[:, 1])
-        planes.append(sampler.get_1d(pixel_id, s_idx, dim0 + 4))   # RR
-    u_all = jnp.stack(planes, axis=0).astype(jnp.float32)  # (4*md, N)
 
     tile = TILE_ROWS * LANES
     n_pad = -(-n // tile) * tile
@@ -421,19 +476,18 @@ def li_path_mega(
             x = jnp.concatenate([x, jnp.zeros((pad,), x.dtype)])
         return x.reshape(n_pad // LANES, LANES)
 
-    u_p = jnp.concatenate(
-        [u_all, jnp.zeros((u_all.shape[0], pad), jnp.float32)], axis=1
-    ).reshape(u_all.shape[0], n_pad // LANES, LANES) if pad else u_all.reshape(
-        u_all.shape[0], n_pad // LANES, LANES
-    )
-
+    s_arr = jnp.broadcast_to(jnp.asarray(s_idx, jnp.uint32), (n,))
     lr, lg, lb = _run(
-        table, jnp.asarray(lights_p), jnp.asarray(lights_emit),
+        table,
         prep(o[:, 0]), prep(o[:, 1]), prep(o[:, 2]),
         prep(d[:, 0]), prep(d[:, 1]), prep(d[:, 2]),
-        prep(cam_weight.astype(jnp.float32)), u_p,
-        n_tris=int(table.shape[0]), n_lights=int(lights_p.shape[0]),
-        max_depth=int(md), rr_threshold=float(spec.rr_threshold),
+        prep(cam_weight.astype(jnp.float32)),
+        prep(jnp.asarray(pixel_id, jnp.uint32)), prep(s_arr),
+        n_tris=int(table.shape[0]), lights_p=lights_p,
+        lights_emit=lights_emit,
+        max_depth=int(spec.max_depth), rr_threshold=float(spec.rr_threshold),
+        spp=int(sampler.spp), xs=int(sampler.xs), ys=int(sampler.ys),
+        jitter=bool(sampler.jitter), seed=int(sampler.seed),
         interpret=interpret,
     )
     return jnp.stack(

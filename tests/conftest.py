@@ -23,4 +23,7 @@ os.environ["PYTHONPATH"] = ":".join(
     p for p in os.environ.get("PYTHONPATH", "").split(":") if ".axon_site" not in p
 )
 
+# persistent XLA compile cache: repeated test runs skip recompiles
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_compile_cache_cpu")
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
