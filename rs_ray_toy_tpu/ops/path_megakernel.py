@@ -42,7 +42,7 @@ from ..bsdf.lobes import LOBE_LAMBERT_REFL, BXDF_SPECULAR
 
 TRI_EPS = 1e-7
 LANES = 128
-TILE_ROWS = 32
+TILE_ROWS = 128
 TRI_MAX = 2048
 LIGHT_MAX = 8
 DEPTH_MAX = 15
@@ -265,19 +265,12 @@ def _sampler_dims(pid, sid, dim, spp, xs, ys, jitter, seed, want_2d):
     return u0, u1
 
 
-def _kernel(
-    tri_ref,
-    ox_r, oy_r, oz_r, dx_r, dy_r, dz_r, w_r, pid_r, sid_r,
-    lr_o, lg_o, lb_o,
-    *, n_tris, lights_p, lights_emit, max_depth, rr_threshold,
+def _bounce_loop(
+    tri_ref, ox, oy, oz, dx, dy, dz, active, pid, sid,
+    n_tris, lights_p, lights_emit, max_depth, rr_threshold,
     spp, xs, ys, jitter, seed,
 ):
     n_lights = len(lights_p)
-    ox, oy, oz = ox_r[:], oy_r[:], oz_r[:]
-    dx, dy, dz = dx_r[:], dy_r[:], dz_r[:]
-    pid = pid_r[:]
-    sid = sid_r[:]
-    active = w_r[:] > 0.0
     one = jnp.ones(ox.shape, jnp.float32)
     zero = jnp.zeros(ox.shape, jnp.float32)
     br, bg, bb = one, one, one
@@ -415,6 +408,23 @@ def _kernel(
             bg = jnp.where(surv, bg * inv_q, bg)
             bb = jnp.where(surv, bb * inv_q, bb)
 
+    return Lr, Lg, Lb
+
+
+def _kernel(
+    tri_ref,
+    ox_r, oy_r, oz_r, dx_r, dy_r, dz_r, w_r, pid_r, sid_r,
+    lr_o, lg_o, lb_o,
+    *, n_tris, lights_p, lights_emit, max_depth, rr_threshold,
+    spp, xs, ys, jitter, seed,
+):
+    Lr, Lg, Lb = _bounce_loop(
+        tri_ref,
+        ox_r[:], oy_r[:], oz_r[:], dx_r[:], dy_r[:], dz_r[:],
+        w_r[:] > 0.0, pid_r[:], sid_r[:],
+        n_tris, lights_p, lights_emit, max_depth, rr_threshold,
+        spp, xs, ys, jitter, seed,
+    )
     lr_o[:] = Lr
     lg_o[:] = Lg
     lb_o[:] = Lb
@@ -493,3 +503,287 @@ def li_path_mega(
     return jnp.stack(
         [lr.reshape(-1)[:n], lg.reshape(-1)[:n], lb.reshape(-1)[:n]], axis=-1
     ).astype(DTYPE)
+
+
+# ---- in-kernel camera ray generation (camera.rs:534-580) ----
+#
+# The RealisticCamera trace is a static loop over ~13 lens elements of
+# componentwise quadratic + refract math — VPU-perfect, and the lens tables
+# / exit-pupil bounds / cam_to_world are scene constants baked into the
+# kernel.  Replicates camera/realistic.py generate_rays exactly (same
+# sampler dims 0/1, same pupil-bin rotation, same weight formula).
+
+
+def pack_camera(cam):
+    """RealisticCamera -> hashable constant bundle for the kernel."""
+    lens = cam.lens
+    bounds = np.asarray(cam.exit_pupil_bounds, np.float32)
+    m = np.asarray(cam.cam_to_world, np.float64)
+    return dict(
+        curvature=tuple(float(c) for c in lens.curvature),
+        thickness=tuple(float(t) for t in lens.thickness),
+        eta=tuple(float(e) for e in lens.eta),
+        aperture=tuple(float(a) for a in lens.aperture_radius),
+        rear_z=float(lens.rear_z),
+        bounds=tuple(tuple(float(v) for v in row) for row in bounds),
+        cam_to_world=tuple(float(v) for v in m[:3, :4].ravel()),
+        extent=(float(cam.extent[0]), float(cam.extent[1])),
+        xres=float(cam.film.xres),
+        yres=float(cam.film.yres),
+        diagonal=float(cam.diagonal_m),
+        area0=float(cam._bin_area(0)),
+        simple_weighting=bool(cam.spec.simple_weighting),
+        shutter=float(cam.spec.shutter_close - cam.spec.shutter_open),
+    )
+
+
+def _raygen(px, py, pid, sid, cam, spp, xs, ys, jitter, seed):
+    """Componentwise generate_rays on the tile.  Returns
+    (ox, oy, oz, dx, dy, dz, weight) in world space."""
+    uf0, uf1 = _sampler_dims(pid, sid, 0, spp, xs, ys, jitter, seed, True)
+    ul0, ul1 = _sampler_dims(pid, sid, 1, spp, xs, ys, jitter, seed, True)
+    sx = (px + uf0) / cam["xres"]
+    sy = (py + uf1) / cam["yres"]
+    # film.rs:200-208 physical extent; camera.rs:542 pFilm = (-x, y, 0)
+    pfx = -((sx - 0.5) * cam["extent"][0])
+    pfy = (sy - 0.5) * cam["extent"][1]
+
+    # exit pupil sample (camera.rs:492-521)
+    r_film = jnp.sqrt(pfx * pfx + pfy * pfy)
+    n_bins = len(cam["bounds"])
+    r_idx = jnp.clip(
+        (r_film / (cam["diagonal"] / 2.0) * n_bins).astype(jnp.int32),
+        0,
+        n_bins - 1,
+    )
+    b0 = jnp.zeros_like(r_film)
+    b1 = jnp.zeros_like(r_film)
+    b2 = jnp.zeros_like(r_film)
+    b3 = jnp.zeros_like(r_film)
+    for k in range(n_bins):
+        sel = r_idx == k
+        row = cam["bounds"][k]
+        b0 = jnp.where(sel, row[0], b0)
+        b1 = jnp.where(sel, row[1], b1)
+        b2 = jnp.where(sel, row[2], b2)
+        b3 = jnp.where(sel, row[3], b3)
+    prx = b0 + ul0 * (b2 - b0)
+    pry = b1 + ul1 * (b3 - b1)
+    area = (b2 - b0) * (b3 - b1)
+    safe_r = jnp.where(r_film == 0.0, 1.0, r_film)
+    sin_t = jnp.where(r_film != 0.0, pfy / safe_r, 0.0)
+    cos_t = jnp.where(r_film != 0.0, pfx / safe_r, 1.0)
+    rearx = cos_t * prx - sin_t * pry
+    reary = sin_t * prx + cos_t * pry
+    rearz = cam["rear_z"]
+
+    # ray from film point to pupil point (camera space)
+    dx0 = rearx - pfx
+    dy0 = reary - pfy
+    dz0 = rearz - 0.0
+    # weight cos^4 uses the pre-trace direction (camera.rs:569-571)
+    dlen = jnp.sqrt(jnp.maximum(dx0 * dx0 + dy0 * dy0 + dz0 * dz0, 1e-30))
+    cos_theta = dz0 / dlen
+    cos4 = (cos_theta * cos_theta) ** 2
+
+    # trace through elements, film side (camera.rs:156-219); lens space
+    # flips z
+    ox, oy, oz = pfx, pfy, jnp.zeros_like(pfx)
+    dx, dy, dz = dx0, dy0, -dz0
+    alive = jnp.ones(px.shape, bool)
+    element_z = 0.0
+    E = len(cam["curvature"])
+    for i in reversed(range(E)):
+        element_z -= cam["thickness"][i]
+        radius = cam["curvature"][i]
+        is_stop = radius == 0.0
+        if is_stop:
+            okd = dz < 0.0
+            t = (element_z - oz) / jnp.where(okd, dz, -1.0)
+            ok = okd
+        else:
+            zc = element_z + radius
+            ocx, ocy, ocz = ox, oy, oz - zc
+            a = dx * dx + dy * dy + dz * dz
+            bq = 2.0 * (dx * ocx + dy * ocy + dz * ocz)
+            cq = ocx * ocx + ocy * ocy + ocz * ocz - radius * radius
+            disc = bq * bq - 4.0 * a * cq
+            ok = disc >= 0.0
+            root = jnp.sqrt(jnp.maximum(disc, 0.0))
+            q = jnp.where(bq < 0.0, -0.5 * (bq - root), -0.5 * (bq + root))
+            t0 = q / a
+            t1 = cq / jnp.where(q == 0.0, 1.0, q)
+            lo = jnp.minimum(t0, t1)
+            hi = jnp.maximum(t0, t1)
+            use_closer = (dz > 0.0) != (radius < 0.0)
+            t = jnp.where(use_closer, lo, hi)
+            ok = ok & (t >= 0.0)
+        hx = ox + dx * t
+        hy = oy + dy * t
+        hz = oz + dz * t
+        r2 = hx * hx + hy * hy
+        ok = ok & (r2 < cam["aperture"][i] ** 2)
+        alive = alive & ok
+        ox = jnp.where(alive, hx, ox)
+        oy = jnp.where(alive, hy, oy)
+        oz = jnp.where(alive, hz, oz)
+        if not is_stop:
+            # element normal at hit, faceforwarded against d
+            pcx, pcy, pcz = ox, oy, oz - zc
+            ninv = lax.rsqrt(jnp.maximum(pcx * pcx + pcy * pcy + pcz * pcz, 1e-30))
+            nx, ny, nz = pcx * ninv, pcy * ninv, pcz * ninv
+            flip_n = (nx * dx + ny * dy + nz * dz) > 0.0
+            nx = jnp.where(flip_n, -nx, nx)
+            ny = jnp.where(flip_n, -ny, ny)
+            nz = jnp.where(flip_n, -nz, nz)
+            eta_i = cam["eta"][i]
+            eta_t = (
+                cam["eta"][i - 1]
+                if (i > 0 and cam["eta"][i - 1] != 0.0)
+                else 1.0
+            )
+            eta = eta_i / eta_t
+            dinv = lax.rsqrt(jnp.maximum(dx * dx + dy * dy + dz * dz, 1e-30))
+            wix, wiy, wiz = -dx * dinv, -dy * dinv, -dz * dinv
+            cos_i = nx * wix + ny * wiy + nz * wiz
+            sin2_i = jnp.maximum(0.0, 1.0 - cos_i * cos_i)
+            sin2_t = eta * eta * sin2_i
+            rok = sin2_t < 1.0
+            cos_tr = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin2_t))
+            fac = eta * cos_i - cos_tr
+            wtx = -wix * eta + nx * fac
+            wty = -wiy * eta + ny * fac
+            wtz = -wiz * eta + nz * fac
+            alive = alive & rok
+            dx = jnp.where(alive, wtx, dx)
+            dy = jnp.where(alive, wty, dy)
+            dz = jnp.where(alive, wtz, dz)
+    oz = -oz  # unflip lens -> camera space
+    dz = -dz
+
+    # camera -> world (rotation rows baked) + normalize direction
+    m = cam["cam_to_world"]
+    wx = m[0] * ox + m[1] * oy + m[2] * oz + m[3]
+    wy = m[4] * ox + m[5] * oy + m[6] * oz + m[7]
+    wz = m[8] * ox + m[9] * oy + m[10] * oz + m[11]
+    vx = m[0] * dx + m[1] * dy + m[2] * dz
+    vy = m[4] * dx + m[5] * dy + m[6] * dz
+    vz = m[8] * dx + m[9] * dy + m[10] * dz
+    vinv = 1.0 / jnp.maximum(jnp.sqrt(vx * vx + vy * vy + vz * vz), 1e-30)
+    vx, vy, vz = vx * vinv, vy * vinv, vz * vinv
+
+    if cam["simple_weighting"]:
+        weight = cos4 * area / cam["area0"]
+    else:
+        weight = cam["shutter"] * (cos4 * area)
+    weight = jnp.where(alive, weight, 0.0)
+    return wx, wy, wz, vx, vy, vz, weight
+
+
+def _kernel_cam(
+    tri_ref,
+    px_r, py_r, pid_r, sid_r,
+    lr_o, lg_o, lb_o, w_o,
+    *, n_tris, lights_p, lights_emit, max_depth, rr_threshold,
+    spp, xs, ys, jitter, seed, cam,
+):
+    pid = pid_r[:]
+    sid = sid_r[:]
+    ox, oy, oz, dx, dy, dz, weight = _raygen(
+        px_r[:], py_r[:], pid, sid, cam, spp, xs, ys, jitter, seed
+    )
+    Lr, Lg, Lb = _bounce_loop(
+        tri_ref, ox, oy, oz, dx, dy, dz, weight > 0.0, pid, sid,
+        n_tris, lights_p, lights_emit, max_depth, rr_threshold,
+        spp, xs, ys, jitter, seed,
+    )
+    lr_o[:] = Lr
+    lg_o[:] = Lg
+    lb_o[:] = Lb
+    w_o[:] = weight
+
+
+class _Hashable(dict):
+    """Frozen dict usable as a jit static argument."""
+
+    def __hash__(self):
+        return hash(tuple(sorted(self.items())))
+
+    def __eq__(self, other):
+        return dict.__eq__(self, other)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_tris", "lights_p", "lights_emit", "max_depth", "rr_threshold",
+        "spp", "xs", "ys", "jitter", "seed", "cam", "interpret",
+    ),
+)
+def _run_cam(
+    table, px, py, pid, sid,
+    n_tris, lights_p, lights_emit, max_depth, rr_threshold,
+    spp, xs, ys, jitter, seed, cam, interpret=False,
+):
+    m = px.shape[0]
+    grid = (m // TILE_ROWS,)
+    ray_spec = pl.BlockSpec(
+        (TILE_ROWS, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    kernel = functools.partial(
+        _kernel_cam,
+        n_tris=n_tris, lights_p=lights_p, lights_emit=lights_emit,
+        max_depth=max_depth, rr_threshold=rr_threshold,
+        spp=spp, xs=xs, ys=ys, jitter=jitter, seed=seed, cam=cam,
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[vmem] + [ray_spec] * 4,
+        out_specs=[ray_spec] * 4,
+        out_shape=[jax.ShapeDtypeStruct((m, LANES), jnp.float32)] * 4,
+        interpret=interpret,
+    )(table, px, py, pid, sid)
+    return outs
+
+
+def li_path_mega_cam(
+    ctx, packed, cam_packed, pixel_xy, pixel_id, s_idx, sampler, spec,
+    interpret=False,
+):
+    """Full fused pass: camera ray generation + bounce loop in one kernel.
+
+    Returns (L (N,3), weight (N,)) — the film add happens outside.
+    pixel_xy: (N,2) integer raster coords as floats; the film jitter
+    (sampler dim 0) is applied in-kernel, identically to the p_film the
+    caller computes for filtering."""
+    table, lights_p, lights_emit = packed
+    n = pixel_xy.shape[0]
+
+    tile = TILE_ROWS * LANES
+    n_pad = -(-n // tile) * tile
+    pad = n_pad - n
+
+    def prep(x):
+        if pad:
+            x = jnp.concatenate([x, jnp.zeros((pad,), x.dtype)])
+        return x.reshape(n_pad // LANES, LANES)
+
+    s_arr = jnp.broadcast_to(jnp.asarray(s_idx, jnp.uint32), (n,))
+    lr, lg, lb, w = _run_cam(
+        table,
+        prep(pixel_xy[:, 0].astype(jnp.float32)),
+        prep(pixel_xy[:, 1].astype(jnp.float32)),
+        prep(jnp.asarray(pixel_id, jnp.uint32)), prep(s_arr),
+        n_tris=int(table.shape[0]), lights_p=lights_p,
+        lights_emit=lights_emit,
+        max_depth=int(spec.max_depth), rr_threshold=float(spec.rr_threshold),
+        spp=int(sampler.spp), xs=int(sampler.xs), ys=int(sampler.ys),
+        jitter=bool(sampler.jitter), seed=int(sampler.seed),
+        cam=_Hashable(cam_packed), interpret=interpret,
+    )
+    l = jnp.stack(
+        [lr.reshape(-1)[:n], lg.reshape(-1)[:n], lb.reshape(-1)[:n]], axis=-1
+    ).astype(DTYPE)
+    return l, w.reshape(-1)[:n].astype(DTYPE)

@@ -136,6 +136,7 @@ def render_job(
 
         if pmk.supports(ctx, integrator, sampler, None):
             mega_packed = pmk.pack_scene(ctx)
+            mega_cam = pmk.pack_camera(cam)
 
     def li_fn(o, d, weight, s_idx_arr, diff=None):
         if integrator.kind in ("debug", "direct"):
@@ -174,16 +175,28 @@ def render_job(
         s_idx_arr = s_base.astype(jnp.uint32) + sample_offset
         # camera sample (samplers/mod.rs:28-34): film jitter + lens + time
         u_film = sampler.get_2d(pixel_id, s_idx_arr, 0)
-        u_lens = sampler.get_2d(pixel_id, s_idx_arr, 1)
         p_film = pixel_xy + u_film
-        if want_diff:
-            o, d, weight, diff = cam.generate_ray_differentials(
-                p_film, u_lens, spp=spp
+        if mega_packed is not None:
+            # raygen + bounce loop fused in one Pallas kernel; the kernel
+            # re-derives the same film jitter (sampler dim 0) internally
+            from .ops import path_megakernel as pmk
+            import jax as _jax
+
+            l, weight = pmk.li_path_mega_cam(
+                ctx, mega_packed, mega_cam, pixel_xy, pixel_id, s_idx_arr,
+                sampler, integrator,
+                interpret=_jax.default_backend() == "cpu",
             )
         else:
-            o, d, weight = cam.generate_rays(p_film, u_lens)
-            diff = None
-        l = li_fn(o, d, weight, s_idx_arr, diff)
+            u_lens = sampler.get_2d(pixel_id, s_idx_arr, 1)
+            if want_diff:
+                o, d, weight, diff = cam.generate_ray_differentials(
+                    p_film, u_lens, spp=spp
+                )
+            else:
+                o, d, weight = cam.generate_rays(p_film, u_lens)
+                diff = None
+            l = li_fn(o, d, weight, s_idx_arr, diff)
         l = scrub_radiance(l)
         l = jnp.where((weight > 0.0)[:, None], l, 0.0)
         return fmod.add_samples(film, film_spec, p_film, l, weight, aligned=True)

@@ -112,3 +112,40 @@ def test_render_job_uses_megakernel(bench_ctx, monkeypatch):
     )
     rmse = float(np.sqrt(np.mean((on - off) ** 2)))
     assert rmse < 1e-4, f"megakernel render deviates: rmse {rmse}"
+
+
+def test_raygen_matches_camera(bench_ctx):
+    """_raygen (the in-kernel camera) is pure jnp — run it eagerly and
+    compare against RealisticCamera.generate_rays on the same samples."""
+    from rs_ray_toy_tpu.ops.path_megakernel import pack_camera, _raygen
+    from rs_ray_toy_tpu.camera.realistic import RealisticCamera
+    from rs_ray_toy_tpu.sampler.stratified import StratifiedSampler
+
+    job, ctx = bench_ctx
+    cam = RealisticCamera(job.camera, job.film, pupil_samples=1 << 10)
+    sampler = StratifiedSampler(job.sampler, seed=0)
+    n = 64 * 36
+    pid = jnp.arange(n, dtype=jnp.uint32)
+    sid = jnp.zeros((n,), jnp.uint32)
+    px = (pid % 64).astype(jnp.float32)
+    py = (pid // 64).astype(jnp.float32)
+
+    u_film = sampler.get_2d(pid, sid, 0)
+    u_lens = sampler.get_2d(pid, sid, 1)
+    o_ref, d_ref, w_ref = cam.generate_rays(
+        jnp.stack([px, py], -1) + u_film, u_lens
+    )
+
+    camp = pack_camera(cam)
+    ox, oy, oz, dx, dy, dz, w = _raygen(
+        px, py, pid, sid, camp,
+        sampler.spp, sampler.xs, sampler.ys, sampler.jitter, sampler.seed,
+    )
+    o = np.stack([np.asarray(ox), np.asarray(oy), np.asarray(oz)], -1)
+    d = np.stack([np.asarray(dx), np.asarray(dy), np.asarray(dz)], -1)
+    w = np.asarray(w)
+    live = np.asarray(w_ref) > 0
+    assert live.sum() > 100
+    np.testing.assert_allclose(w, np.asarray(w_ref), rtol=2e-5, atol=1e-7)
+    np.testing.assert_allclose(o[live], np.asarray(o_ref)[live], rtol=1e-4, atol=2e-5)
+    np.testing.assert_allclose(d[live], np.asarray(d_ref)[live], rtol=1e-4, atol=2e-5)
