@@ -276,14 +276,15 @@ def _bounce_loop(
     br, bg, bb = one, one, one
     Lr, Lg, Lb = zero, zero, zero
 
-    for bounce in range(max_depth + 1):
+    # range(max_depth), not max_depth+1: the subset has no infinite lights,
+    # so the loop's final intersect (escape-le collection in li_path) would
+    # contribute nothing — skip the dead work.  Estimator unchanged.
+    for bounce in range(max_depth):
         t, ngx, ngy, ngz, dux, duy, duz, kr, kg, kb = _closest_hit(
             tri_ref, n_tris, ox, oy, oz, dx, dy, dz
         )
         found = t < 3.0e38
-        active = active & found & (bounce < max_depth)
-        if bounce == max_depth:
-            break
+        active = active & found
 
         # hit position
         px = ox + dx * t
