@@ -71,3 +71,71 @@ def test_sharded_matches_single_device():
 
     assert np.allclose(np.asarray(got.xyz), np.asarray(ref.xyz), atol=2e-5)
     assert np.allclose(np.asarray(got.weight), np.asarray(ref.weight), atol=1e-5)
+
+
+def test_megakernel_under_shard_map():
+    """The fused path megakernel is a pure per-ray map, so sharding the
+    pixel batch over a dp mesh must reproduce the single-device radiance
+    exactly (scene tables close over as replicated constants)."""
+    from jax.sharding import PartitionSpec as P
+
+    try:
+        from jax import shard_map
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
+
+    from rs_ray_toy_tpu.camera.realistic import RealisticCamera
+    from rs_ray_toy_tpu.integrators.common import SceneCtx
+    from rs_ray_toy_tpu.ops.path_megakernel import (
+        li_path_mega_cam,
+        pack_camera,
+        pack_scene,
+        supports,
+    )
+    from rs_ray_toy_tpu.parallel.mesh import make_mesh
+    from rs_ray_toy_tpu.sampler.stratified import StratifiedSampler
+
+    job = _setup(xres=64, yres=16)
+    job.integrator.kind = "path"
+    job.integrator.max_depth = 3
+    ctx = SceneCtx(job.scene)
+    cam = RealisticCamera(job.camera, job.film, pupil_samples=1 << 10)
+    sampler = StratifiedSampler(job.sampler, seed=0)
+    assert supports(ctx, job.integrator, sampler, None)
+    packed = pack_scene(ctx)
+    camp = pack_camera(cam)
+
+    n = 64 * 16
+    pid = jnp.arange(n, dtype=jnp.uint32)
+    pxy = jnp.stack([(pid % 64), (pid // 64)], -1).astype(jnp.float32)
+    s_idx = jnp.zeros((n,), jnp.uint32)
+
+    def run(pxy_s, pid_s, sid_s):
+        return li_path_mega_cam(
+            ctx, packed, camp, pxy_s, pid_s, sid_s, sampler, job.integrator,
+            interpret=True,
+        )
+
+    l_single, w_single = run(pxy, pid, s_idx)
+
+    mesh = make_mesh(8)
+    try:  # pallas out_shape carries no vma info; skip the varying check
+        smapped = shard_map(
+            run,
+            mesh=mesh,
+            in_specs=(P("dp"), P("dp"), P("dp")),
+            out_specs=(P("dp"), P("dp")),
+            check_vma=False,
+        )
+    except TypeError:  # older jax
+        smapped = shard_map(
+            run,
+            mesh=mesh,
+            in_specs=(P("dp"), P("dp"), P("dp")),
+            out_specs=(P("dp"), P("dp")),
+            check_rep=False,
+        )
+    l_shard, w_shard = jax.jit(smapped)(pxy, pid, s_idx)
+
+    np.testing.assert_array_equal(np.asarray(l_shard), np.asarray(l_single))
+    np.testing.assert_array_equal(np.asarray(w_shard), np.asarray(w_single))
