@@ -114,3 +114,32 @@ def test_golden_path_with_forced_strategy(monkeypatch, strategy):
     the gather-built golden within float tolerance)."""
     monkeypatch.setenv("RS_TABLE_STRATEGY", strategy)
     _check("path_40x24_2spp", _render(_tiny_job("path", max_depth=4), 2))
+
+
+def _material_job(material, max_depth=4):
+    import json, shutil, tempfile
+
+    cfg = json.load(open(os.path.join(SAMPLES, "scene.json")))
+    cfg["Film"]["xres"], cfg["Film"]["yres"] = 40, 24
+    cfg["Integrator"] = {"integrator_type": "Path", "max_depth": max_depth}
+    for prim in cfg["Aggregate"]["primitives"]:
+        prim["material_name"] = material
+    td = tempfile.mkdtemp()
+    shutil.copy(os.path.join(SAMPLES, "cube.obj"), td)
+    path = os.path.join(td, "s.json")
+    json.dump(cfg, open(path, "w"))
+    from rs_ray_toy_tpu.scene.loader import load_scene
+
+    return load_scene(path)
+
+
+def test_golden_plastic_path(monkeypatch):
+    """Drift guard for the microfacet (TR dielectric) jnp path."""
+    monkeypatch.setenv("RS_MEGAKERNEL", "0")
+    _check("plastic_40x24_2spp", _render(_material_job("mat_plastic"), 2))
+
+
+def test_golden_metal_path(monkeypatch):
+    """Drift guard for the conductor-fresnel microfacet jnp path."""
+    monkeypatch.setenv("RS_MEGAKERNEL", "0")
+    _check("metal_40x24_2spp", _render(_material_job("mat_metal"), 2))
