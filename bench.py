@@ -61,6 +61,7 @@ def main():
                 "value": round(float(value), 3),
                 "unit": "Mrays/s",
                 "vs_baseline": round(float(value) / BASELINE_MRAYS, 4),
+                "path": res.get("render_path", "jnp"),
             }
         )
     )

@@ -121,7 +121,14 @@ struct Builder {
     int dim = cbounds.max_extent();
     double cmin = axis_of(cbounds.lo, dim), cmax = axis_of(cbounds.hi, dim);
     if (cmax - cmin < 1e-12) {
-      make_leaf();
+      // coincident centroids: median-split until leaves fit max_leaf
+      // (device traversal statically unrolls max_leaf prim tests; an
+      // oversized leaf would silently drop intersections)
+      int mid = t.begin + n / 2;
+      nodes[node_idx].axis = dim;
+      nodes[node_idx].n_prims = 0;
+      pending_.push_back({mid, t.end, node_idx});
+      pending_.push_back({t.begin, mid, -2 - node_idx});
       return node_idx;
     }
 

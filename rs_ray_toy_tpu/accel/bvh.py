@@ -88,17 +88,45 @@ _NATIVE = None
 
 
 def _native_lib():
-    """Load the C++ builder (csrc/bvh_builder.cpp) via ctypes."""
+    """Load the C++ builder (csrc/bvh_builder.cpp) via ctypes.
+
+    The .so is not committed (unauditable, arch-specific): it is built
+    on first use via the csrc Makefile; when the toolchain is missing we
+    warn once and fall back to the python builder."""
     global _NATIVE
     if _NATIVE is not None:
         return _NATIVE or None
     import ctypes
     import os
+    import subprocess
+    import sys
 
-    so = os.path.join(os.path.dirname(__file__), "..", "..", "csrc", "libbvh.so")
+    csrc = os.path.abspath(os.path.join(os.path.dirname(__file__), "..", "..", "csrc"))
+    so = os.path.join(csrc, "libbvh.so")
+    if not os.path.exists(so):
+        try:
+            subprocess.run(
+                ["make", "-C", csrc],
+                check=True,
+                capture_output=True,
+                timeout=120,
+            )
+        except Exception as e:
+            print(
+                f"rs_ray_toy_tpu: native BVH builder unavailable ({e}); "
+                "using the python builder",
+                file=sys.stderr,
+            )
+            _NATIVE = False
+            return None
     try:
-        lib = ctypes.CDLL(os.path.abspath(so))
-    except OSError:
+        lib = ctypes.CDLL(so)
+    except OSError as e:
+        print(
+            f"rs_ray_toy_tpu: native BVH builder failed to load ({e}); "
+            "using the python builder",
+            file=sys.stderr,
+        )
         _NATIVE = False
         return None
     c_dp = np.ctypeslib.ndpointer(np.float64, flags="C")
@@ -157,7 +185,9 @@ def build_bvh(tri, sph, max_prims_in_node=4) -> FlatBVH:
                 axis=jnp.asarray(axes),
                 prim_kind=jnp.asarray(kinds[order], jnp.int32),
                 prim_index=jnp.asarray(index[order], jnp.int32),
-                max_leaf=max_prims_in_node,
+                # bound by the leaves actually built, not the request —
+                # traversal unrolls exactly max_leaf prim tests
+                max_leaf=max(max_prims_in_node, int(nprims.max(initial=1))),
             )
     return build_bvh_py(tri, sph, max_prims_in_node)
 
@@ -198,8 +228,14 @@ def build_bvh_py(tri, sph, max_prims_in_node=4) -> FlatBVH:
         cmin, cmax = c.min(axis=0), c.max(axis=0)
         dim = int(np.argmax(cmax - cmin))
         if cmax[dim] - cmin[dim] < 1e-12:
-            node = emit(bmin, bmax, len(order_flat), len(ids), dim)
-            order_flat.extend(ids.tolist())
+            # coincident centroids: median-split until leaves fit
+            # max_prims_in_node (the traversal loop is statically bounded
+            # by max_leaf — an oversized leaf would silently drop prims)
+            half = len(ids) // 2
+            node = emit(bmin, bmax, -1, 0, dim)
+            recurse(ids[:half])
+            right_node = recurse(ids[half:])
+            offs[node] = right_node
             return node
         # binned SAH along dim
         rel = (c[:, dim] - cmin[dim]) / (cmax[dim] - cmin[dim])
@@ -265,5 +301,5 @@ def build_bvh_py(tri, sph, max_prims_in_node=4) -> FlatBVH:
         axis=jnp.asarray(axes, jnp.int32),
         prim_kind=jnp.asarray(kinds[order_arr], jnp.int32),
         prim_index=jnp.asarray(index[order_arr], jnp.int32),
-        max_leaf=max_prims_in_node,
+        max_leaf=max(max_prims_in_node, int(max(nprims, default=1))),
     )

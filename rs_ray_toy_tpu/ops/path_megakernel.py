@@ -80,6 +80,15 @@ def supports(ctx, spec, sampler, diff) -> bool:
         return False
     if int(ctx.sph.count) != 0 or not (0 < int(ctx.tri.count) <= TRI_MAX):
         return False
+    # the kernel shades with ns == ng; reject meshes whose baked vertex
+    # normals differ from the face normal (smooth shading — the jnp path
+    # interpolates ns per hit, accel/geometry.py:230-236)
+    has_n = np.asarray(ctx.tri.has_n).astype(bool)
+    if has_n.any():
+        ng = np.asarray(ctx.tri.ng)
+        for vn in (ctx.tri.n0, ctx.tri.n1, ctx.tri.n2):
+            if np.any(np.abs(np.asarray(vn)[has_n] - ng[has_n]) > 1e-6):
+                return False
     if ctx.infinite_envs or ctx.mediums is not None:
         return False
     mats = ctx.mats

@@ -54,7 +54,10 @@ def sharded_sample_pass(mesh, cam, ctx, sampler, film_spec, li_fn, pixel_xy, pix
         s_arr = jnp.broadcast_to(s_idx, pid.shape).astype(jnp.uint32)
         u_film = sampler.get_2d(pid, s_arr, 0)
         u_lens = sampler.get_2d(pid, s_arr, 1)
-        p_film = pxy + u_film
+        # padded lanes land out of film bounds so add_samples' bounds mask
+        # zeroes their filter weight too (filter weight is accumulated
+        # independently of sample weight, matching film.rs:77-130)
+        p_film = jnp.where(pvalid[:, None], pxy + u_film, -10.0)
         o, d, weight = cam.generate_rays(p_film, u_lens)
         weight = jnp.where(pvalid, weight, 0.0)
         l = li_fn(o, d, weight, pid, s_arr)

@@ -257,4 +257,5 @@ def render_job(
         "camera_rays": n_rays,
         "mrays_per_s": stats.mrays_per_s,
         "stats": stats,
+        "render_path": "megakernel" if mega_packed is not None else "jnp",
     }

@@ -99,3 +99,44 @@ def test_bvh_any_hit():
     occ = occluded_bvh(bvh, tri, sph, o, d, t_max)
     brute = geom.occluded_brute(tri, sph, o, d, t_max)
     assert np.array_equal(np.asarray(occ), np.asarray(brute))
+
+
+def _coincident_tris(n):
+    """n copies of one triangle: all AABB centroids coincide (the
+    degenerate branch both builders must median-split, not leaf-dump)."""
+    verts = np.tile(
+        np.array([[[0.0, 0.0, 0.0], [1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]]), (n, 1, 1)
+    )
+    f32 = lambda a: jnp.asarray(a, jnp.float32)
+    z3 = jnp.zeros((n, 3), jnp.float32)
+    uv = jnp.zeros((n, 2), jnp.float32)
+    return TriangleSoA(
+        p0=f32(verts[:, 0]), p1=f32(verts[:, 1]), p2=f32(verts[:, 2]),
+        n0=z3, n1=z3, n2=z3, uv0=uv, uv1=uv, uv2=uv,
+        has_n=jnp.zeros(n, bool),
+        mat=jnp.zeros(n, jnp.int32),
+        area_light=jnp.full(n, -1, jnp.int32),
+        med_in=jnp.full(n, -1, jnp.int32),
+        med_out=jnp.full(n, -1, jnp.int32),
+        ng=f32(np.tile([[0.0, 0.0, 1.0]], (n, 1))),
+        dpdu=f32(verts[:, 1] - verts[:, 0]),
+        dpdv=f32(verts[:, 2] - verts[:, 0]),
+    )
+
+
+def test_bvh_degenerate_centroids_no_dropped_prims():
+    """300 coincident triangles -> every leaf must still fit max_leaf and a
+    guaranteed hit must be found (round-1 advisor finding: oversized
+    degenerate leaves silently dropped intersections)."""
+    tri = _coincident_tris(300)
+    sph = empty_spheres()
+    o = jnp.asarray([[0.25, 0.25, 1.0]], jnp.float32)
+    d = jnp.asarray([[0.0, 0.0, -1.0]], jnp.float32)
+    t_max = jnp.full((1,), jnp.inf, jnp.float32)
+    for builder in (build_bvh, build_bvh_py):
+        bvh = builder(tri, sph, 4)
+        assert int(np.asarray(bvh.n_prims).max()) <= bvh.max_leaf
+        assert int(np.asarray(bvh.n_prims).max()) <= 4
+        h = intersect_bvh(bvh, tri, sph, o, d, t_max)
+        assert bool(h.valid[0]), f"{builder.__name__} missed a guaranteed hit"
+        assert np.allclose(float(h.t[0]), 1.0, rtol=1e-5)

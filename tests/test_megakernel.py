@@ -162,3 +162,26 @@ def test_raygen_matches_camera(bench_ctx):
     np.testing.assert_allclose(w, np.asarray(w_ref), rtol=2e-5, atol=1e-7)
     np.testing.assert_allclose(o[live], np.asarray(o_ref)[live], rtol=1e-4, atol=2e-5)
     np.testing.assert_allclose(d[live], np.asarray(d_ref)[live], rtol=1e-4, atol=2e-5)
+
+
+def test_supports_rejects_smooth_shading_normals(bench_ctx):
+    """The kernel shades ns == ng; a mesh with vertex normals differing
+    from the face normal (smooth shading) must fall back to the jnp path
+    (round-1 advisor finding: cube.obj's vn happen to equal ng, so parity
+    passed while smooth meshes silently rendered flat)."""
+    from rs_ray_toy_tpu.ops.path_megakernel import supports
+
+    job, ctx = bench_ctx
+    tri = ctx.tri
+    # perturb + renormalize vertex normals: still unit, no longer == ng
+    perturbed = tri.n0 + 0.3 * tri.dpdu / jnp.linalg.norm(
+        tri.dpdu, axis=-1, keepdims=True
+    )
+    perturbed = perturbed / jnp.linalg.norm(perturbed, axis=-1, keepdims=True)
+    smooth_tri = tri.replace(
+        n0=perturbed, has_n=jnp.ones_like(tri.has_n)
+    )
+    ctx_smooth = type(ctx).__new__(type(ctx))
+    ctx_smooth.__dict__.update(ctx.__dict__)
+    ctx_smooth.tri = smooth_tri
+    assert not supports(ctx_smooth, job.integrator, None, None)

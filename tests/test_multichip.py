@@ -139,3 +139,60 @@ def test_megakernel_under_shard_map():
 
     np.testing.assert_array_equal(np.asarray(l_shard), np.asarray(l_single))
     np.testing.assert_array_equal(np.asarray(w_shard), np.asarray(w_single))
+
+
+def test_sharded_nondivisible_batch_matches_single_device():
+    """33x5 = 165 pixels on 8 devices: padded lanes must contribute zero
+    filter weight (round-1 advisor finding: pad lanes accumulated box
+    filter weight at pixel (0,0))."""
+    from rs_ray_toy_tpu.camera.realistic import RealisticCamera
+    from rs_ray_toy_tpu.film import film as fmod
+    from rs_ray_toy_tpu.integrators.common import SceneCtx, scrub_radiance
+    from rs_ray_toy_tpu.integrators.direct import li_levels
+    from rs_ray_toy_tpu.parallel.mesh import make_mesh, sharded_sample_pass
+    from rs_ray_toy_tpu.sampler.stratified import StratifiedSampler
+
+    job = _setup(xres=33, yres=5)
+    cam = RealisticCamera(job.camera, job.film, pupil_samples=1 << 10)
+    ctx = SceneCtx(job.scene)
+    sampler = StratifiedSampler(job.sampler)
+    h, w = job.film.yres, job.film.xres
+    ys, xs = np.mgrid[0:h, 0:w]
+    pixel_xy = jnp.asarray(np.stack([xs.ravel(), ys.ravel()], -1), jnp.float32)
+    pixel_id = jnp.asarray((ys * w + xs).ravel(), jnp.uint32)
+    spec = job.integrator
+
+    def li_fn(o, d, weight, pid, s_arr):
+        return li_levels(ctx, o, d, weight, sampler, pid, s_arr, spec)
+
+    def single_pass(film, s_idx):
+        s_arr = jnp.full(pixel_id.shape, s_idx, jnp.uint32)
+        u_film = sampler.get_2d(pixel_id, s_arr, 0)
+        u_lens = sampler.get_2d(pixel_id, s_arr, 1)
+        p_film = pixel_xy + u_film
+        o, d, weight = cam.generate_rays(p_film, u_lens)
+        l = scrub_radiance(li_fn(o, d, weight, pixel_id, s_arr))
+        l = jnp.where((weight > 0.0)[:, None], l, 0.0)
+        return fmod.add_samples(film, job.film, p_film, l, weight)
+
+    film0 = fmod.make_film(job.film)
+    ref = jax.jit(single_pass)(film0, jnp.uint32(0))
+    step = sharded_sample_pass(
+        make_mesh(8), cam, ctx, sampler, job.film, li_fn, pixel_xy, pixel_id
+    )
+    got = step(film0, jnp.uint32(0))
+
+    np.testing.assert_allclose(
+        np.asarray(got.weight), np.asarray(ref.weight), atol=1e-5
+    )
+    np.testing.assert_allclose(np.asarray(got.xyz), np.asarray(ref.xyz), atol=2e-5)
+
+
+def test_dryrun_multichip_entry_point():
+    """The driver-facing entry point must pass on an 8-CPU-device mesh
+    (round-1 MULTICHIP artifact was ok=false: the entry point did not
+    force the CPU platform).  Here jax is already imported CPU-side, so
+    the in-process path runs."""
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8)
