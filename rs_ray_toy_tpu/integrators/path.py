@@ -34,9 +34,10 @@ def li_path(ctx: SceneCtx, o, d, cam_weight, sampler, pixel_id, s_idx, spec, dif
     eta_scale = jnp.ones((n,), DTYPE)
     ro, rd = o, d
 
-    DIMS_PER_BOUNCE = 8
+    from ..sampler import dims as sdims
+
     for bounces in range(spec.max_depth + 1):
-        dim0 = 8 + bounces * DIMS_PER_BOUNCE
+        dim0 = sdims.path_dim0(bounces)
         t_max = jnp.full((n,), jnp.inf, DTYPE)
         hit = ctx.intersect(ro, rd, t_max)
         found = hit.valid & active
@@ -76,7 +77,7 @@ def li_path(ctx: SceneCtx, o, d, cam_weight, sampler, pixel_id, s_idx, spec, dif
         L = L + beta * ld
 
         # sample BSDF for the next direction (path.rs:125-148)
-        u_bsdf = sampler.get_2d(pixel_id, s_idx, dim0 + 3)
+        u_bsdf = sampler.get_2d(pixel_id, s_idx, dim0 + sdims.PATH_BSDF)
         bs = beval.bsdf_sample(params, frame, si.wo, u_bsdf, BXDF_ALL)
         ok = active & bs.valid & jnp.any(bs.f != 0.0, axis=-1) & (bs.pdf > 0.0)
         beta_next = (
@@ -118,8 +119,8 @@ def li_path(ctx: SceneCtx, o, d, cam_weight, sampler, pixel_id, s_idx, spec, dif
                 & active
                 & ctx.mats["has_bssrdf"][jnp.maximum(si.mat, 0)]
             )
-            u1 = sampler.get_1d(pixel_id, s_idx, dim0 + 5)
-            u2 = sampler.get_2d(pixel_id, s_idx, dim0 + 6)
+            u1 = sampler.get_1d(pixel_id, s_idx, dim0 + sdims.PATH_BSS_PROBE_1D)
+            u2 = sampler.get_2d(pixel_id, s_idx, dim0 + sdims.PATH_BSS_PROBE_2D)
             si_b = si._replace(valid=is_trans)
             bsample = bss.sample_bssrdf(ctx, si_b, frame, u1, u2)
             got = is_trans & bsample.valid
@@ -133,11 +134,11 @@ def li_path(ctx: SceneCtx, o, d, cam_weight, sampler, pixel_id, s_idx, spec, dif
 
             # direct subsurface component: one-light NEE with Sw adapter
             if ctx.n_lights:
-                u_pick = sampler.get_1d(pixel_id, s_idx, dim0 + 7)
+                u_pick = sampler.get_1d(pixel_id, s_idx, dim0 + sdims.PATH_BSS_PICK)
                 lidx = jnp.minimum(
                     (u_pick * ctx.n_lights).astype(jnp.int32), ctx.n_lights - 1
                 )
-                u_l = sampler.get_2d(pixel_id, s_idx, dim0 + 7)
+                u_l = sampler.get_2d(pixel_id, s_idx, dim0 + sdims.PATH_BSS_LIGHT)
                 ls = _sample_li(ctx.lights, ctx.infinite_envs, lidx, bsample.pi.p, u_l)
                 cos_wi = vec.dot(ls.wi, bsample.pi.ns)
                 f_sw = bss.sw_f(eta_b, cos_wi)[:, None] * jnp.abs(cos_wi)[:, None]
@@ -150,7 +151,7 @@ def li_path(ctx: SceneCtx, o, d, cam_weight, sampler, pixel_id, s_idx, spec, dif
                 )
 
             # indirect: cosine-sample the Sw adapter at the exit point
-            u_out = sampler.get_2d(pixel_id, s_idx, dim0 + 7 + 13)
+            u_out = sampler.get_2d(pixel_id, s_idx, dim0 + sdims.PATH_BSS_OUT)
             from ..core.sampling import cosine_sample_hemisphere
 
             w_loc = cosine_sample_hemisphere(u_out)
@@ -175,7 +176,7 @@ def li_path(ctx: SceneCtx, o, d, cam_weight, sampler, pixel_id, s_idx, spec, dif
         rr_beta_max = jnp.max(beta * eta_scale[:, None], axis=-1)
         do_rr = active & (rr_beta_max < spec.rr_threshold) & (bounces > 3)
         q = jnp.maximum(0.05, 1.0 - rr_beta_max)
-        u_rr = sampler.get_1d(pixel_id, s_idx, dim0 + 4)
+        u_rr = sampler.get_1d(pixel_id, s_idx, dim0 + sdims.PATH_RR)
         killed = do_rr & (u_rr < q)
         active = active & ~killed
         beta = jnp.where(

@@ -93,8 +93,10 @@ def li_volpath(ctx: SceneCtx, o, d, cam_weight, sampler, pixel_id, s_idx, spec, 
     light_pdfs = _light_distribution(ctx)
     rng_state = rngmod.hash_combine(pixel_id, s_idx.astype(jnp.uint32))
 
+    from ..sampler import dims as sdims
+
     for bounces in range(spec.max_depth + 1):
-        dim0 = 8 + bounces * 8
+        dim0 = sdims.volpath_dim0(bounces)
         t_max = jnp.full((n,), jnp.inf, DTYPE)
         hit = ctx.intersect(ro, rd, t_max)
         found = hit.valid & active

@@ -680,7 +680,10 @@ def _bounce_loop(
         wo_z = _dot3(wox, woy, woz, ngx, ngy, ngz)
 
         # ---- NEE: one point light, uniform pick (common.py:336-356) ----
-        dim0 = 8 + bounce * 8
+        # slot layout must match integrators/path.py (sampler/dims.py)
+        from ..sampler.dims import path_dim0
+
+        dim0 = path_dim0(bounce)
         u_pick = _sampler_dims(pid, sid, dim0, spp, xs, ys, jitter, seed, False)
         li_idx = jnp.minimum((u_pick * n_lights).astype(jnp.int32), n_lights - 1)
         lpx = jnp.zeros_like(px)

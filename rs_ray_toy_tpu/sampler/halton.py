@@ -108,9 +108,15 @@ class HaltonSampler:
         return isinstance(dim, int) and dim < ld.N_PRIMES
 
     def get_1d(self, pixel_id, sample_index, dim):
+        """Slot d consumes Halton dim 2d — the first of the (2d, 2d+1)
+        pair the slot owns (sampler/dims.py rule 3) — so a get_1d slot can
+        never alias a different get_2d slot's dims."""
         if not self._static_dim(dim):
             return rng.uniform_float(pixel_id, sample_index, dim, self.seed)
-        return self._dim_value(pixel_id, sample_index, dim)
+        d0 = 2 * dim
+        if d0 >= ld.N_PRIMES:
+            return rng.uniform_float(pixel_id, sample_index, d0, self.seed)
+        return self._dim_value(pixel_id, sample_index, d0)
 
     def get_2d(self, pixel_id, sample_index, dim):
         """Maps dimension slot d to Halton dims (2d, 2d+1) so that slots 0
