@@ -28,7 +28,20 @@ def main():
     from rs_ray_toy_tpu.render import render_job
 
     spp = int(os.environ.get("BENCH_SPP", "64"))
-    job = load_scene(SCENE)
+    # BENCH_SCENE=grid builds the BASELINE config-3 scene: an NxN cube-
+    # instance grid (12*N*N triangles) exercising the BVH packet kernel
+    scene_kind = os.environ.get("BENCH_SCENE", "ref")
+    scene_path = SCENE
+    scene_tag = "scene_json"
+    if scene_kind == "grid":
+        import tempfile
+
+        from rs_ray_toy_tpu.scene.gen import write_grid_scene
+
+        n = int(os.environ.get("BENCH_GRID_N", "40"))
+        scene_path = write_grid_scene(tempfile.mkdtemp(), ny=n, nz=n)
+        scene_tag = f"grid{12 * n * n}tri"
+    job = load_scene(scene_path)
     # benchmark the full 640x360 frame at the configured spp with the Path
     # integrator (BASELINE config 2; scene.json itself configures Debug —
     # override via BENCH_INTEGRATOR=debug to bench that instead)
@@ -45,7 +58,7 @@ def main():
         print(f"megakernel path failed ({type(e).__name__}); jnp fallback",
               file=sys.stderr)
         os.environ["RS_MEGAKERNEL"] = "0"
-        job = load_scene(SCENE)
+        job = load_scene(scene_path)
         job.integrator.kind = kind
         res = render_job(job, spp_override=spp, pupil_samples=pupil)
     value = res["mrays_per_s"]
@@ -57,7 +70,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"camera_mrays_per_s_scene_json_{kind}",
+                "metric": f"camera_mrays_per_s_{scene_tag}_{kind}",
                 "value": round(float(value), 3),
                 "unit": "Mrays/s",
                 "vs_baseline": round(float(value) / BASELINE_MRAYS, 4),

@@ -92,12 +92,30 @@ class SceneCtx:
         )
         # Pallas brute-force kernel on TPU (memory-bound otherwise)
         import jax
+        import os
 
         self.use_pallas = (
             self.bvh is None
             and int(self.tri.count) > 0
             and jax.default_backend() not in ("cpu",)
         )
+        # packet-traversal Pallas kernel for BVH scenes (per-lane jnp
+        # traversal gathers serialize on TPU — ops/bvh_pallas.py)
+        self.bvh_tables = None
+        self._bvh_interpret = jax.default_backend() == "cpu"
+        flag = os.environ.get("RS_BVH_PALLAS", "1")
+        if (
+            self.bvh is not None
+            and flag != "0"
+            and int(self.sph.count) == 0
+            and int(self.tri.count) > 0
+        ):
+            from ..ops.bvh_pallas import PALLAS_BVH_PRIM_MAX, pack_bvh_tables
+
+            if int(self.tri.count) <= PALLAS_BVH_PRIM_MAX and (
+                not self._bvh_interpret or flag == "interp"
+            ):
+                self.bvh_tables = pack_bvh_tables(self.bvh, self.tri)
         if self.use_pallas or int(self.tri.count) > 0:
             from ..ops.intersect_pallas import pack_triangles
 
@@ -108,6 +126,18 @@ class SceneCtx:
         self.shade_tables = geom.pack_shade_tables(self.tri, self.sph)
 
     def intersect(self, o, d, t_max):
+        if self.bvh_tables is not None:
+            from ..ops.bvh_pallas import intersect_bvh_pallas
+
+            t, idx, valid = intersect_bvh_pallas(
+                self.bvh_tables, o, d, t_max, interpret=self._bvh_interpret
+            )
+            return geom.Hit(
+                t=t,
+                kind=jnp.where(valid, geom.PRIM_TRI, geom.PRIM_NONE),
+                index=idx,
+                valid=valid,
+            )
         if self.bvh is not None:
             from ..accel.traverse import intersect_bvh
 
@@ -141,6 +171,12 @@ class SceneCtx:
         )
 
     def occluded(self, o, d, t_max):
+        if self.bvh_tables is not None:
+            from ..ops.bvh_pallas import occluded_bvh_pallas
+
+            return occluded_bvh_pallas(
+                self.bvh_tables, o, d, t_max, interpret=self._bvh_interpret
+            )
         if self.bvh is not None:
             from ..accel.traverse import occluded_bvh
 

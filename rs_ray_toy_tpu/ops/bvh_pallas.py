@@ -1,0 +1,280 @@
+"""Packet BVH traversal kernels (Pallas TPU).
+
+Per-lane BVH pointer chasing needs a gather per step, and TPU gathers
+serialize (~20ns/row) — the round-1 jnp traversal (accel/traverse.py)
+collapses on real meshes for exactly that reason.  The TPU-native shape
+is *packet* traversal: each ray tile walks the flat BVH (bvh.rs:183-236
+layout) together with
+
+  - ONE scalar stack per tile (SMEM),
+  - scalar node fetches (a (1,8) row slice, broadcast into vector ops),
+  - vector slab tests against every ray in the tile,
+  - vector Möller-Trumbore at leaves (static max_leaf unroll).
+
+A node is descended if ANY ray in the packet intersects its AABB closer
+than its current best hit.  Coherent packets (camera rays in raster
+order) visit ~log(T) nodes; fully incoherent packets degrade toward the
+union of per-ray node sets — still bounded by the node count, and each
+node costs ~20 VPU ops against the ~40/triangle of brute force.
+
+Tables live VMEM-resident: nodes (M,8)f32 + (M,4)i32, prims (P,12)f32 +
+(P,1)i32 = ~100 B/prim, so scenes to ~10^5 prims fit the ~16 MB VMEM
+alongside the ray tiles.  Larger scenes fall back to the jnp traversal
+(SceneCtx gates on PALLAS_BVH_PRIM_MAX).
+
+Triangles only: spheres above the brute-force cutoff are not a scene
+shape the reference produces (spheres are hand-placed lights/subjects).
+"""
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+import os
+
+TRI_EPS = 1e-7
+LANES = 128
+# packet shape: smaller packets are more coherent (smaller per-packet node
+# unions) but pay the scalar while-loop overhead more often per ray
+TILE_ROWS = int(os.environ.get("RS_BVH_TILE_ROWS", "8"))
+STACK_DEPTH = 64
+PALLAS_BVH_PRIM_MAX = 120_000
+
+
+def pack_bvh_tables(bvh, tri):
+    """Flatten FlatBVH + triangle SoA into kernel-ready device tables.
+
+    nodes_f: (M,8)  bmin.xyz, bmax.xyz, 0, 0
+    nodes_i: (M,4)  offset, n_prims, axis, 0
+    prims_f: (P,12) p0.xyz, e1.xyz, e2.xyz, 0,0,0   (leaf order)
+    prims_i: (P,1)  original triangle row (Hit.index)
+    """
+    nmin = np.asarray(bvh.bounds_min, np.float32)
+    nmax = np.asarray(bvh.bounds_max, np.float32)
+    m = nmin.shape[0]
+    nodes_f = np.zeros((m, 8), np.float32)
+    nodes_f[:, 0:3] = nmin
+    nodes_f[:, 3:6] = nmax
+    nodes_i = np.zeros((m, 4), np.int32)
+    nodes_i[:, 0] = np.asarray(bvh.offset, np.int32)
+    nodes_i[:, 1] = np.asarray(bvh.n_prims, np.int32)
+    nodes_i[:, 2] = np.asarray(bvh.axis, np.int32)
+
+    order = np.asarray(bvh.prim_index, np.int32)
+    p0 = np.asarray(tri.p0, np.float32)[order]
+    p1 = np.asarray(tri.p1, np.float32)[order]
+    p2 = np.asarray(tri.p2, np.float32)[order]
+    p = order.shape[0]
+    prims_f = np.zeros((p, 12), np.float32)
+    prims_f[:, 0:3] = p0
+    prims_f[:, 3:6] = p1 - p0
+    prims_f[:, 6:9] = p2 - p0
+    prims_i = order.reshape(p, 1)
+    return {
+        "nodes_f": jnp.asarray(nodes_f),
+        "nodes_i": jnp.asarray(nodes_i),
+        "prims_f": jnp.asarray(prims_f),
+        "prims_i": jnp.asarray(prims_i),
+        "max_leaf": int(bvh.max_leaf),
+    }
+
+
+def _inv_dir(d):
+    tiny = jnp.where(d < 0.0, -1e-20, 1e-20)
+    return 1.0 / jnp.where(jnp.abs(d) < 1e-20, tiny, d)
+
+
+def _traverse_kernel(
+    nodes_f_ref,
+    nodes_i_ref,
+    prims_f_ref,
+    prims_i_ref,
+    ox_ref, oy_ref, oz_ref,
+    dx_ref, dy_ref, dz_ref,
+    tmax_ref,
+    tout_ref,
+    iout_ref,
+    stack_ref,
+    *,
+    max_leaf,
+    any_hit,
+):
+    ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
+    dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+    ix, iy, iz = _inv_dir(dx), _inv_dir(dy), _inv_dir(dz)
+    tout_ref[:] = tmax_ref[:]
+    iout_ref[:] = jnp.full(tout_ref.shape, -1, jnp.int32)
+
+    # packet-majority direction signs pick the near child (scalar per tile)
+    sx = jnp.sum(dx)
+    sy = jnp.sum(dy)
+    sz = jnp.sum(dz)
+
+    stack_ref[0] = jnp.int32(0)
+
+    def body(carry):
+        sp, done = carry
+        node = stack_ref[sp - 1]
+        sp = sp - 1
+        row_f = nodes_f_ref[pl.ds(node, 1), :]  # (1, 8) scalar fetch
+        bminx, bminy, bminz = row_f[0, 0], row_f[0, 1], row_f[0, 2]
+        bmaxx, bmaxy, bmaxz = row_f[0, 3], row_f[0, 4], row_f[0, 5]
+        row_i = nodes_i_ref[pl.ds(node, 1), :]
+        off = row_i[0, 0]
+        npr = row_i[0, 1]
+        ax = row_i[0, 2]
+
+        # vector slab test (traverse.py node_hit semantics incl. slop)
+        t_cur = tout_ref[:]
+        t0x = (bminx - ox) * ix
+        t1x = (bmaxx - ox) * ix
+        t0y = (bminy - oy) * iy
+        t1y = (bmaxy - oy) * iy
+        t0z = (bminz - oz) * iz
+        t1z = (bmaxz - oz) * iz
+        tn = jnp.maximum(
+            jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+            jnp.minimum(t0z, t1z),
+        )
+        tf = (
+            jnp.minimum(
+                jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+                jnp.maximum(t0z, t1z),
+            )
+            * 1.0000004
+        )
+        hit_node = (tn <= tf) & (tf > 0.0) & (tn < t_cur)
+        if any_hit:
+            hit_node = hit_node & (iout_ref[:] < 0)
+        node_any = jnp.any(hit_node)
+
+        is_leaf = npr > 0
+
+        @pl.when(node_any & is_leaf)
+        def _leaf():
+            for k in range(max_leaf):
+                @pl.when(k < npr)
+                def _prim():
+                    prow = prims_f_ref[pl.ds(off + k, 1), :]  # (1, 12)
+                    p0x, p0y, p0z = prow[0, 0], prow[0, 1], prow[0, 2]
+                    e1x, e1y, e1z = prow[0, 3], prow[0, 4], prow[0, 5]
+                    e2x, e2y, e2z = prow[0, 6], prow[0, 7], prow[0, 8]
+                    orig = prims_i_ref[off + k, 0]
+                    pvx = dy * e2z - dz * e2y
+                    pvy = dz * e2x - dx * e2z
+                    pvz = dx * e2y - dy * e2x
+                    det = e1x * pvx + e1y * pvy + e1z * pvz
+                    ok = jnp.abs(det) >= TRI_EPS
+                    inv = 1.0 / jnp.where(ok, det, 1.0)
+                    tvx, tvy, tvz = ox - p0x, oy - p0y, oz - p0z
+                    u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv
+                    qvx = tvy * e1z - tvz * e1y
+                    qvy = tvz * e1x - tvx * e1z
+                    qvz = tvx * e1y - tvy * e1x
+                    v = (dx * qvx + dy * qvy + dz * qvz) * inv
+                    t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv
+                    tb = tout_ref[:]
+                    upd = (
+                        hit_node
+                        & ok
+                        & (u >= 0.0) & (u <= 1.0)
+                        & (v >= 0.0) & (u + v <= 1.0)
+                        & (t >= TRI_EPS) & (t < tb)
+                    )
+                    if any_hit:
+                        # occlusion: mark, keep t_max (no closest ordering)
+                        iout_ref[:] = jnp.where(upd, orig, iout_ref[:])
+                    else:
+                        tout_ref[:] = jnp.where(upd, t, tb)
+                        iout_ref[:] = jnp.where(upd, orig, iout_ref[:])
+
+        # interior: push far then near (near pops first)
+        d_ax = jnp.where(ax == 0, sx, jnp.where(ax == 1, sy, sz))
+        left = node + 1
+        near = jnp.where(d_ax >= 0.0, left, off)
+        far = left + off - near
+        do_push = node_any & (~is_leaf)
+        inc = jnp.where(do_push, jnp.int32(1), jnp.int32(0))
+        sp_c = jnp.minimum(sp, STACK_DEPTH - 1)
+        stack_ref[sp_c] = jnp.where(do_push, far, stack_ref[sp_c])
+        sp1 = jnp.minimum(sp + inc, STACK_DEPTH - 1)
+        stack_ref[sp1] = jnp.where(do_push, near, stack_ref[sp1])
+        sp = jnp.minimum(sp + 2 * inc, STACK_DEPTH)
+
+        if any_hit:
+            # int32 carry: Mosaic miscompiles i1 carried through scf loops
+            done = jnp.where(jnp.all(iout_ref[:] >= 0), jnp.int32(1), done)
+        return sp, done
+
+    def cond(carry):
+        sp, done = carry
+        return (sp > 0) & (done == 0)
+
+    lax.while_loop(cond, body, (jnp.int32(1), jnp.int32(0)))
+
+
+def _call(tables, o, d, t_max, any_hit, interpret):
+    n = o.shape[0]
+    pad = (-n) % (TILE_ROWS * LANES)
+    if pad:
+        o = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)])
+        d = jnp.concatenate([d, jnp.ones((pad, 3), d.dtype)])
+        t_max = jnp.concatenate([t_max, jnp.zeros((pad,), t_max.dtype)])
+    m = (n + pad) // LANES
+    comp = lambda a, c: a[:, c].reshape(m, LANES).astype(jnp.float32)
+    ox, oy, oz = comp(o, 0), comp(o, 1), comp(o, 2)
+    dx, dy, dz = comp(d, 0), comp(d, 1), comp(d, 2)
+    tm = t_max.reshape(m, LANES).astype(jnp.float32)
+
+    grid = (m // TILE_ROWS,)
+    tile = lambda: pl.BlockSpec(
+        (TILE_ROWS, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    whole = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    kernel = functools.partial(
+        _traverse_kernel, max_leaf=tables["max_leaf"], any_hit=any_hit
+    )
+    kwargs = {}
+    if not interpret:
+        # the XLA-side scoped-vmem default (16 MB) undercounts what a
+        # custom call inside a fori_loop may pin; v5e VMEM is 128 MiB
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        )
+    t_out, i_out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[whole(), whole(), whole(), whole()]
+        + [tile() for _ in range(7)],
+        out_specs=(tile(), tile()),
+        out_shape=(
+            jax.ShapeDtypeStruct((m, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((m, LANES), jnp.int32),
+        ),
+        scratch_shapes=[pltpu.SMEM((STACK_DEPTH,), jnp.int32)],
+        interpret=interpret,
+        **kwargs,
+    )(
+        tables["nodes_f"], tables["nodes_i"], tables["prims_f"], tables["prims_i"],
+        ox, oy, oz, dx, dy, dz, tm,
+    )
+    t_flat = t_out.reshape(-1)[:n]
+    i_flat = i_out.reshape(-1)[:n]
+    return t_flat, i_flat
+
+
+def intersect_bvh_pallas(tables, o, d, t_max, interpret=False):
+    """Closest hit.  Returns (t, tri_index, valid) over original rows."""
+    t, idx = _call(tables, o, d, t_max, any_hit=False, interpret=interpret)
+    valid = idx >= 0
+    return jnp.where(valid, t, t_max.astype(t.dtype)), idx, valid
+
+
+def occluded_bvh_pallas(tables, o, d, t_max, interpret=False):
+    _, idx = _call(tables, o, d, t_max, any_hit=True, interpret=interpret)
+    return idx >= 0

@@ -1,0 +1,115 @@
+"""Packet BVH traversal kernel vs brute force (ops/bvh_pallas.py).
+
+The kernel runs in interpret mode on CPU; the same program compiles via
+Mosaic on TPU (exercised by bench runs and a TPU smoke check)."""
+
+import os
+import tempfile
+
+import numpy as np
+import jax.numpy as jnp
+
+from tests.test_bvh import _random_rays, _random_tris
+from rs_ray_toy_tpu.accel import geometry as geom
+from rs_ray_toy_tpu.accel.bvh import build_bvh
+from rs_ray_toy_tpu.ops.bvh_pallas import (
+    intersect_bvh_pallas,
+    occluded_bvh_pallas,
+    pack_bvh_tables,
+)
+from rs_ray_toy_tpu.scene.types import empty_spheres
+
+
+def _setup(n_tris=300, n_rays=1500, seed=0):
+    tri = _random_tris(n_tris, seed=seed)
+    sph = empty_spheres()
+    o, d = _random_rays(n_rays, seed=seed + 1)
+    t_max = jnp.full((n_rays,), jnp.inf, jnp.float32)
+    bvh = build_bvh(tri, sph, 4)
+    return tri, sph, o, d, t_max, pack_bvh_tables(bvh, tri)
+
+
+def test_packet_traversal_matches_brute_force():
+    tri, sph, o, d, t_max, tables = _setup()
+    t, idx, valid = intersect_bvh_pallas(tables, o, d, t_max, interpret=True)
+    h = geom.intersect_brute(tri, sph, o, d, t_max)
+    hv = np.asarray(h.valid)
+    assert np.array_equal(hv, np.asarray(valid))
+    assert np.allclose(np.asarray(t)[hv], np.asarray(h.t)[hv], rtol=1e-4)
+    assert np.array_equal(np.asarray(idx)[hv], np.asarray(h.index)[hv])
+
+
+def test_packet_any_hit_matches_brute_force():
+    tri, sph, o, d, t_max, tables = _setup(seed=3)
+    occ = occluded_bvh_pallas(tables, o, d, t_max, interpret=True)
+    brute = geom.occluded_brute(tri, sph, o, d, t_max)
+    assert np.array_equal(np.asarray(occ), np.asarray(brute))
+
+
+def test_packet_traversal_finite_t_max():
+    """Shadow-ray style bounded queries must respect t_max."""
+    tri, sph, o, d, _, tables = _setup(seed=5)
+    t_max = jnp.full((o.shape[0],), 12.0, jnp.float32)
+    occ = occluded_bvh_pallas(tables, o, d, t_max, interpret=True)
+    brute = geom.occluded_brute(tri, sph, o, d, t_max)
+    assert np.array_equal(np.asarray(occ), np.asarray(brute))
+
+
+def test_grid_scene_renders_through_bvh_kernel(monkeypatch):
+    """End-to-end: a 1200-triangle grid scene (above BRUTE_FORCE_CUTOFF)
+    renders through the packet kernel and lights actual pixels."""
+    from rs_ray_toy_tpu.scene.gen import write_grid_scene
+    from rs_ray_toy_tpu.scene.loader import load_scene
+    from rs_ray_toy_tpu.integrators.common import SceneCtx
+    from rs_ray_toy_tpu.render import render_job
+
+    monkeypatch.setenv("RS_BVH_PALLAS", "interp")
+    td = tempfile.mkdtemp()
+    path = write_grid_scene(td, ny=10, nz=10, xres=40, yres=24, max_depth=3)
+    job = load_scene(path)
+    assert int(job.scene.triangles.count) == 1200
+    ctx = SceneCtx(job.scene)
+    assert ctx.bvh is not None and ctx.bvh_tables is not None
+    res = render_job(job, spp_override=1, pupil_samples=1 << 10)
+    rgb = np.asarray(res["rgb_srgb_input"])
+    assert np.isfinite(rgb).all()
+    # small cubes at 40x24/1spp light only a handful of pixels; geometric
+    # agreement with the jnp traversal is asserted by the test below
+    assert (rgb.max(axis=-1) > 0.01).sum() >= 10
+
+
+def test_grid_scene_kernel_matches_jnp_traversal(monkeypatch):
+    """The packet kernel and the jnp while-loop traversal must agree on
+    the same BVH for real camera rays."""
+    import jax
+    from rs_ray_toy_tpu.scene.gen import write_grid_scene
+    from rs_ray_toy_tpu.scene.loader import load_scene
+    from rs_ray_toy_tpu.integrators.common import SceneCtx
+    from rs_ray_toy_tpu.camera.realistic import RealisticCamera
+    from rs_ray_toy_tpu.sampler.stratified import StratifiedSampler
+    from rs_ray_toy_tpu.accel.traverse import intersect_bvh
+
+    monkeypatch.setenv("RS_BVH_PALLAS", "interp")
+    td = tempfile.mkdtemp()
+    path = write_grid_scene(td, ny=8, nz=8, xres=64, yres=32, max_depth=2)
+    job = load_scene(path)
+    ctx = SceneCtx(job.scene)
+    cam = RealisticCamera(job.camera, job.film, pupil_samples=1 << 10)
+    sampler = StratifiedSampler(job.sampler)
+    n = 64 * 32
+    pid = jnp.arange(n, dtype=jnp.uint32)
+    sid = jnp.zeros((n,), jnp.uint32)
+    pxy = jnp.stack([(pid % 64), (pid // 64)], -1).astype(jnp.float32)
+    p_film = pxy + sampler.get_2d(pid, sid, 0)
+    o, d, w = cam.generate_rays(p_film, sampler.get_2d(pid, sid, 1))
+    t_max = jnp.full((n,), jnp.inf, jnp.float32)
+
+    hit_k = ctx.intersect(o, d, t_max)
+    hit_j = intersect_bvh(ctx.bvh, ctx.tri, ctx.sph, o, d, t_max)
+    live = np.asarray(w) > 0
+    hv = np.asarray(hit_j.valid) & live
+    assert np.array_equal(hv, np.asarray(hit_k.valid) & live)
+    assert hv.sum() > 30  # enough real hits for the t-comparison to mean something
+    np.testing.assert_allclose(
+        np.asarray(hit_k.t)[hv], np.asarray(hit_j.t)[hv], rtol=1e-4
+    )
