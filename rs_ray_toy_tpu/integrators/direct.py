@@ -16,6 +16,7 @@ from ..core import vec
 from ..accel import geometry as geom
 from ..bsdf import eval as beval
 from ..bsdf.lobes import BXDF_REFLECTION, BXDF_SPECULAR, BXDF_TRANSMISSION
+from ..lights import lights as lmod
 from .common import (
     SceneCtx,
     uniform_sample_all_lights,
@@ -78,6 +79,21 @@ def li_levels(ctx: SceneCtx, o, d, cam_weight, sampler, pixel_id, s_idx, spec, d
             level_l = level_l + jnp.where(
                 si.valid[:, None], jnp.full((1, 3), 0.1, DTYPE), 0.0
             )
+        elif ctx.n_lights and ctx.infinite_envs:
+            # escaped rays collect the FIRST light's le only — the
+            # reference returns inside the first loop iteration
+            # (directlighting.rs:83-88); le is nonzero only for infinite
+            # lights, so this contributes iff lights[0] is one.
+            import numpy as np
+
+            if int(np.asarray(ctx.lights.kind)[0]) == lmod.LIGHT_INFINITE:
+                env_id = int(np.asarray(ctx.lights.shape_index)[0])
+                esc = active & ~hit.valid
+                level_l = level_l + jnp.where(
+                    esc[:, None],
+                    lmod._env_lookup(ctx.infinite_envs[env_id], ld_),
+                    0.0,
+                )
         if strategy_all:
             s_l, dim_base = uniform_sample_all_lights(
                 ctx, si, params, frame, sampler, lpix, lsamp, dim_base

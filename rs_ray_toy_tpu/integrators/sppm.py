@@ -11,7 +11,8 @@ Per iteration (sppm.rs:105-555):
   3. photon pass: light by power distribution, path dims from pure
      radical_inverse(dim, halton_index) (sppm.rs:346-506); photons past
      depth 0 deposit beta*f(vp.wo, wi) into nearby VPs via the sorted grid
-     (bounded per-cell scan) with scatter-add.
+     (exact scan: the fori bound is the max cell occupancy) with
+     scatter-add.
   4. per-pixel radius/tau update with gamma = 2/3.  (The reference drops
      PBRT's sqrt in r_new = r*sqrt(n_new/(n+m)), sppm.rs:508-532 — we
      use the PBRT-intended sqrt; docs/PARITY.md.)
@@ -46,8 +47,6 @@ from ..bsdf.lobes import (
 from ..core.spectrum import luminance
 from ..lights import lights as lmod
 from .common import SceneCtx, uniform_sample_one_light
-
-MAX_CELL_SCAN = 64  # bounded per-cell VP scan in the photon pass
 
 # replicate lights/point.rs sample_le's pdf_dir = 1/(2*pi) (PBRT intends
 # the sphere pdf 1/(4*pi)); flips photon brightness by 2x
@@ -98,8 +97,10 @@ def _camera_pass(ctx, cam, sampler, pixel_xy, pixel_id, it, max_depth, state):
         valid=jnp.zeros((n,), bool),
     )
 
+    from ..sampler import dims as sdims
+
     for depth in range(max_depth):
-        dim0 = 8 + depth * 8
+        dim0 = sdims.sppm_dim0(depth)
         t_max = jnp.full((n,), jnp.inf, DTYPE)
         hit = ctx.intersect(ro, rd, t_max)
         found = hit.valid & active
@@ -246,6 +247,7 @@ def _sample_le(ctx, light_idx, u0, u1):
     is_point = kind == 0
     is_dist = kind == 1
     is_area = kind == 2
+    is_inf = kind == 3
     o = jnp.where(is_point[..., None], o_pt, jnp.where(is_dist[..., None], o_di, p_ar))
     d = jnp.where(is_point[..., None], d_pt, jnp.where(is_dist[..., None], d_di, d_ar))
     n_l = jnp.where(is_point[..., None], d_pt, jnp.where(is_dist[..., None], d_di, n_ar))
@@ -255,7 +257,51 @@ def _sample_le(ctx, light_idx, u0, u1):
     pdf_dir = jnp.where(
         is_point, pdf_dir_pt, jnp.where(is_dist, 1.0, pdf_dir_ar)
     )
-    supported = is_point | is_dist | is_area
+
+    # infinite (lights/infinite.rs:207-256): direction from the 2D
+    # luminance distribution; origin on a world-radius disk facing it
+    if ctx.infinite_envs:
+        import numpy as np
+
+        from ..core.sampling import sample_continuous_2d
+        from ..scene.mipmap import trilinear_lookup
+
+        shape_idx = take_rows(lights.shape_index, light_idx)
+        for env_id, env in enumerate(ctx.infinite_envs):
+            if not bool(np.any(np.asarray(lights.shape_index) == env_id)):
+                continue
+            sel = is_inf & (shape_idx == env_id)
+            uv, map_pdf = sample_continuous_2d(env["dist"], u0)
+            theta = uv[..., 1] * PI
+            phi = uv[..., 0] * 2.0 * PI
+            sin_t = jnp.sin(theta)
+            w_local = jnp.stack(
+                [sin_t * jnp.cos(phi), sin_t * jnp.sin(phi), jnp.cos(theta)],
+                axis=-1,
+            )
+            m = env["to_world"]
+            d_inf = -(w_local @ m[:3, :3].T)
+            v1i, v2i = vec.coordinate_system(-d_inf)
+            cd_i = concentric_sample_disk(u1)  # ref uses the second uniform
+            p_disk_i = (
+                lights.world_center
+                + (v1i * cd_i[..., 0:1] + v2i * cd_i[..., 1:2]) * r
+            )
+            o_inf = p_disk_i + (-d_inf) * r
+            pdf_dir_inf = jnp.where(
+                sin_t > 0.0,
+                map_pdf / (2.0 * PI * PI * jnp.maximum(sin_t, 1e-9)),
+                0.0,
+            )
+            le_inf = trilinear_lookup(env["mipmap"], uv)
+            o = jnp.where(sel[..., None], o_inf, o)
+            d = jnp.where(sel[..., None], d_inf, d)
+            n_l = jnp.where(sel[..., None], d_inf, n_l)
+            le = jnp.where(sel[..., None], le_inf, le)
+            pdf_pos = jnp.where(sel, 1.0 / (PI * r * r), pdf_pos)
+            pdf_dir = jnp.where(sel, pdf_dir_inf, pdf_dir)
+
+    supported = is_point | is_dist | is_area | is_inf
     le = jnp.where(supported[..., None], le, 0.0)
     return o, d, n_l, le, pdf_pos, pdf_dir
 
@@ -338,6 +384,10 @@ def render_sppm(ctx: SceneCtx, cam, sampler, film_spec, spec, write_image_fn=Non
         vps_sorted = vps[order]
         cell_start = jnp.searchsorted(cells_sorted, jnp.arange(hash_size))
         cell_end = jnp.searchsorted(cells_sorted, jnp.arange(hash_size), side="right")
+        # exact per-cell scan length (traced fori bound -> while_loop):
+        # the round-1 static 64-entry bound silently dropped deposits in
+        # dense VP clusters — exactly where SPPM matters
+        scan_len = jnp.max(cell_end - cell_start)
 
         # ---- photon pass (sppm.rs:346-506) ----
         pidx = jnp.arange(n_photons)
@@ -406,7 +456,7 @@ def render_sppm(ctx: SceneCtx, cam, sampler, film_spec, spec, write_image_fn=Non
                     return phi_acc, m_acc
 
                 phi_acc, m_acc = lax.fori_loop(
-                    0, MAX_CELL_SCAN, scan_body, (phi_acc, m_acc)
+                    0, scan_len, scan_body, (phi_acc, m_acc)
                 )
 
             # next photon bounce (sppm.rs:455-505)
