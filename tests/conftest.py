@@ -26,4 +26,13 @@ os.environ["PYTHONPATH"] = ":".join(
 # persistent XLA compile cache: repeated test runs skip recompiles
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_compile_cache_cpu")
 
+# The axon sitecustomize may have imported jax at interpreter startup with
+# JAX_PLATFORMS=axon latched — env mutation above is then too late.  As
+# long as no backend has been initialized yet (sitecustomize only imports),
+# jax.config can still repoint the platform.
+if "jax" in sys.modules:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
