@@ -447,16 +447,29 @@ def _load_image(filename, gamma):
 
 
 def _rgb_param(cfg, registry, rgb_tex, key, default) -> RGBParam:
+    """Material rgb parameter: a texture name (renderprocess.rs:288-294
+    semantics — unknown names fall back to the default constant), or —
+    extension over the reference schema, which has no constant-texture
+    config type — an inline constant (number, [r,g,b], or
+    {"values": [r,g,b]})."""
     nm = cfg.get(key)
     if isinstance(nm, str) and nm in rgb_tex:
         return RGBParam(np.zeros(3), rgb_tex[nm])
+    if isinstance(nm, dict) and "values" in nm:
+        nm = nm["values"]
+    if isinstance(nm, (int, float, list)):
+        return RGBParam(np.asarray(nm, np.float64) * np.ones(3), -1)
     return RGBParam(np.asarray(default, np.float64) * np.ones(3), -1)
 
 
 def _float_param(cfg, registry, float_tex, key, default) -> Optional[FloatParam]:
+    """Float parameter: texture name, inline numeric constant (extension),
+    or the default."""
     nm = cfg.get(key)
     if isinstance(nm, str) and nm in float_tex:
         return FloatParam(0.0, float_tex[nm])
+    if isinstance(nm, (int, float)) and not isinstance(nm, bool):
+        return FloatParam(float(nm), -1)
     if default is None:
         return None
     return FloatParam(float(default), -1)

@@ -143,3 +143,29 @@ def test_golden_metal_path(monkeypatch):
     """Drift guard for the conductor-fresnel microfacet jnp path."""
     monkeypatch.setenv("RS_MEGAKERNEL", "0")
     _check("metal_40x24_2spp", _render(_material_job("mat_metal"), 2))
+
+
+def _halton_job():
+    import json, shutil, tempfile
+
+    cfg = json.load(open(os.path.join(SAMPLES, "scene.json")))
+    cfg["Film"]["xres"], cfg["Film"]["yres"] = 40, 24
+    cfg["Integrator"] = {"integrator_type": "Path", "max_depth": 4}
+    cfg["Sampler"] = {"sampler_type": "HaltonSampler", "nsamp": 4}
+    td = tempfile.mkdtemp()
+    shutil.copy(os.path.join(SAMPLES, "cube.obj"), td)
+    path = os.path.join(td, "s.json")
+    json.dump(cfg, open(path, "w"))
+    from rs_ray_toy_tpu.scene.loader import load_scene
+
+    return load_scene(path)
+
+
+def test_golden_halton_path():
+    """Drift guard for the Halton sampler driving the path integrator
+    (halton.rs is the reference Path config's low-discrepancy sampler)."""
+    job = _halton_job()
+    assert job.sampler.kind == "halton"
+    rgb = _render(job, 4)
+    assert np.isfinite(rgb).all() and rgb.max() > 0
+    _check("halton_path_40x24_4spp", rgb)
