@@ -52,6 +52,8 @@ class SurfaceHit(NamedTuple):
     mat: jnp.ndarray  # (N,) int32
     area_light: jnp.ndarray  # (N,) int32
     valid: jnp.ndarray
+    dndu: jnp.ndarray = None  # (N,3) shading-normal partials (triangle.rs:351-386)
+    dndv: jnp.ndarray = None
 
 
 def intersect_triangles(tri: TriangleSoA, o, d, t_max):
@@ -159,12 +161,34 @@ def pack_shade_tables(tri: TriangleSoA, sph: SphereSoA):
     core/tableops.py).  Build once per scene, not inside jit."""
     out = {}
     if tri.count > 0:
+        # shading-normal partials (triangle.rs:351-386): per-triangle
+        # constants, baked once.  Zero when the mesh has no vertex normals.
+        duv02 = tri.uv0 - tri.uv2
+        duv12 = tri.uv1 - tri.uv2
+        dn1 = tri.n0 - tri.n2
+        dn2 = tri.n1 - tri.n2
+        det = duv02[:, 0] * duv12[:, 1] - duv02[:, 1] * duv12[:, 0]
+        degen = jnp.abs(det) < 1e-8
+        i_det = 1.0 / jnp.where(degen, 1.0, det)
+        dndu = (dn1 * duv12[:, 1:2] - dn2 * duv02[:, 1:2]) * i_det[:, None]
+        dndv = (-dn1 * duv12[:, 0:1] + dn2 * duv02[:, 0:1]) * i_det[:, None]
+        # degenerate UVs: arbitrary frame around the normal-variation axis
+        dnc = jnp.cross(tri.n2 - tri.n0, tri.n1 - tri.n0)
+        has_dn = vec.length_squared(dnc) > 0.0
+        safe = vec.normalize(jnp.where(has_dn[:, None], dnc, jnp.asarray([0.0, 0.0, 1.0], DTYPE)))
+        dnu_f, dnv_f = vec.coordinate_system(safe)
+        dndu = jnp.where(degen[:, None], jnp.where(has_dn[:, None], dnu_f, 0.0), dndu)
+        dndv = jnp.where(degen[:, None], jnp.where(has_dn[:, None], dnv_f, 0.0), dndv)
+        flat = ~tri.has_n.astype(bool)
+        dndu = jnp.where(flat[:, None], 0.0, dndu)
+        dndv = jnp.where(flat[:, None], 0.0, dndv)
         out["tri_f"] = jnp.concatenate(
             [
                 tri.p0, tri.p1, tri.p2,          # 0:9
                 tri.uv0, tri.uv1, tri.uv2,       # 9:15
                 tri.n0, tri.n1, tri.n2,          # 15:24
                 tri.dpdu, tri.dpdv, tri.ng,      # 24:33
+                dndu, dndv,                      # 33:39
             ],
             axis=1,
         )
@@ -226,6 +250,8 @@ def surface_interaction(
         dpdu_t = tf[:, 24:27]
         dpdv_t = tf[:, 27:30]
         ng_t = tf[:, 30:33]
+        dndu_t = tf[:, 33:36]
+        dndv_t = tf[:, 36:39]
         # shading normal (triangle.rs:301+): interpolate + faceforward ng
         ns_raw = (
             tf[:, 15:18] * w[:, None]
@@ -242,7 +268,7 @@ def surface_interaction(
     else:
         z3 = jnp.zeros((n, 3), DTYPE)
         uv_hit_t = jnp.zeros((n, 2), DTYPE)
-        dpdu_t = dpdv_t = ng_t = ns_t = z3
+        dpdu_t = dpdv_t = ng_t = ns_t = dndu_t = dndv_t = z3
         mat_t = jnp.full((n,), -1, jnp.int32)
         al_t = jnp.full((n,), -1, jnp.int32)
 
@@ -285,15 +311,20 @@ def surface_interaction(
         dpdu_s = jnp.einsum("nij,nj->ni", o2w[:, :3, :3], dpdu_o)
         dpdv_s = jnp.einsum("nij,nj->ni", o2w[:, :3, :3], dpdv_o)
         # normal: object-space position transformed as a normal
-        ng_s = vec.normalize(
-            jnp.einsum("nji,nj->ni", w2o[:, :3, :3], po)
-        )
+        ng_raw = jnp.einsum("nji,nj->ni", w2o[:, :3, :3], po)
+        ng_len = jnp.maximum(vec.length(ng_raw), 1e-30)
+        ng_s = ng_raw / ng_len[:, None]
+        # sphere normal partials: n = p/r object-space, so dn/du = dpdu/r
+        # exactly (the Weingarten form of sphere.rs:215-243 reduces to
+        # this); transformed as normals and scaled by the normalization
+        dndu_s = jnp.einsum("nji,nj->ni", w2o[:, :3, :3], dpdu_o) / ng_len[:, None]
+        dndv_s = jnp.einsum("nji,nj->ni", w2o[:, :3, :3], dpdv_o) / ng_len[:, None]
         mat_s = sii[:, 0]
         al_s = sii[:, 1]
     else:
         z3 = jnp.zeros((n, 3), DTYPE)
         uv_hit_s = jnp.zeros((n, 2), DTYPE)
-        dpdu_s = dpdv_s = ng_s = z3
+        dpdu_s = dpdv_s = ng_s = dndu_s = dndv_s = z3
         mat_s = jnp.full((n,), -1, jnp.int32)
         al_s = jnp.full((n,), -1, jnp.int32)
 
@@ -303,6 +334,8 @@ def surface_interaction(
     dpdv = jnp.where(is_sph, dpdv_s, dpdv_t)
     ng = jnp.where(is_sph, ng_s, ng_t)
     ns = jnp.where(is_sph, ng_s, ns_t)
+    dndu = jnp.where(is_sph, dndu_s, dndu_t)
+    dndv = jnp.where(is_sph, dndv_s, dndv_t)
     mat = jnp.where(hit.kind == PRIM_SPHERE, mat_s, mat_t)
     al = jnp.where(hit.kind == PRIM_SPHERE, al_s, al_t)
 
@@ -317,6 +350,8 @@ def surface_interaction(
         mat=jnp.where(hit.valid, mat, -1),
         area_light=jnp.where(hit.valid, al, -1),
         valid=hit.valid,
+        dndu=dndu,
+        dndv=dndv,
     )
 
 
@@ -334,9 +369,11 @@ def offset_ray_origin(p, n, w):
 def compute_uv_differentials(si: SurfaceHit, diff):
     """Ray-differential UV footprints (interaction.rs:223-284).
 
-    diff: (rx_o, rx_d, ry_o, ry_d) auxiliary camera rays.  Intersect them
+    diff: (rx_o, rx_d, ry_o, ry_d) auxiliary rays.  Intersect them
     with the tangent plane at p, project the offsets onto (dpdu, dpdv) via
-    the least-squares 2x2 solve, return (dudx, dvdx, dudy, dvdy).
+    the least-squares 2x2 solve.  Returns (duv, dpdx, dpdy) where duv is
+    (N,4) = (dudx, dvdx, dudy, dvdy) and dpdx/dpdy are the (N,3) world
+    footprint vectors (needed by the specular-chain propagation).
 
     (The reference's ty uses d(n . ry_direction) in place of
     d(n . ry_origin) — SURVEY §2.7; the PBRT-intended form is used.)
@@ -380,4 +417,64 @@ def compute_uv_differentials(si: SurfaceHit, diff):
     dudx, dvdx = solve(dpdx)
     dudy, dvdy = solve(dpdy)
     fin = lambda x: jnp.where(jnp.isfinite(x) & si.valid, x, 0.0)
-    return jnp.stack([fin(dudx), fin(dvdx), fin(dudy), fin(dvdy)], axis=-1)
+    duv = jnp.stack([fin(dudx), fin(dvdx), fin(dudy), fin(dvdy)], axis=-1)
+    fin3 = lambda x: jnp.where(
+        jnp.isfinite(x).all(-1, keepdims=True) & si.valid[:, None], x, 0.0
+    )
+    return duv, fin3(dpdx), fin3(dpdy)
+
+
+def dead_differentials(o, d):
+    """Differential rays equal to the main ray: zero footprint, so EWA
+    degenerates to a point-sampled lookup (the reference's
+    has_differentials=false fallback)."""
+    return (o, d, o, d)
+
+
+def specular_reflect_differentials(si: SurfaceHit, duv, dpdx, dpdy, diff, wi):
+    """Reflected-chain ray differentials (integrator/mod.rs:181-201).
+
+    diff: incoming (rx_o, rx_d, ry_o, ry_d); returns the child's tuple.
+    NOTE mod.rs:198-200 scales the normal term by 0.2 where PBRT v3 has
+    2.0 (a transcription slip, footprint-only — no estimator effect); the
+    PBRT-intended factor is used (docs/PARITY.md).
+    """
+    rx_o, rx_d, ry_o, ry_d = diff
+    ns = si.ns
+    wo = si.wo
+    dndx = si.dndu * duv[:, 0:1] + si.dndv * duv[:, 1:2]
+    dndy = si.dndu * duv[:, 2:3] + si.dndv * duv[:, 3:4]
+    dwodx = -rx_d - wo
+    dwody = -ry_d - wo
+    ddndx = vec.dot(dwodx, ns) + vec.dot(wo, dndx)
+    ddndy = vec.dot(dwody, ns) + vec.dot(wo, dndy)
+    won = vec.dot(wo, ns)[:, None]
+    new_rx_d = wi - dwodx + 2.0 * (dndx * won + ns * ddndx[:, None])
+    new_ry_d = wi - dwody + 2.0 * (dndy * won + ns * ddndy[:, None])
+    return (si.p + dpdx, new_rx_d, si.p + dpdy, new_ry_d)
+
+
+def specular_transmit_differentials(si: SurfaceHit, duv, dpdx, dpdy, diff, wi, eta_mat):
+    """Transmitted-chain ray differentials (integrator/mod.rs:237-295).
+
+    eta_mat: (N,) interior IOR stored on the Bsdf (bsdf.eta)."""
+    rx_o, rx_d, ry_o, ry_d = diff
+    wo = si.wo
+    won0 = vec.dot(wo, si.ns)
+    entering = won0 >= 0.0
+    flip = jnp.where(entering, 1.0, -1.0)[:, None]
+    ns = si.ns * flip
+    eta = jnp.where(entering, 1.0 / eta_mat, eta_mat)
+    dndx = (si.dndu * duv[:, 0:1] + si.dndv * duv[:, 1:2]) * flip
+    dndy = (si.dndu * duv[:, 2:3] + si.dndv * duv[:, 3:4]) * flip
+    dwodx = -rx_d - wo
+    dwody = -ry_d - wo
+    ddndx = vec.dot(dwodx, ns) + vec.dot(wo, dndx)
+    ddndy = vec.dot(dwody, ns) + vec.dot(wo, dndy)
+    won = vec.dot(wo, ns)
+    win = jnp.maximum(vec.absdot(wi, ns), 1e-9)
+    mu = eta * won - win
+    dfac = eta - (eta * eta * won) / win
+    new_rx_d = wi - dwodx * eta[:, None] + (dndx * mu[:, None] + ns * (ddndx * dfac)[:, None])
+    new_ry_d = wi - dwody * eta[:, None] + (dndy * mu[:, None] + ns * (ddndy * dfac)[:, None])
+    return (si.p + dpdx, new_rx_d, si.p + dpdy, new_ry_d)

@@ -67,9 +67,9 @@ def li_levels(ctx: SceneCtx, o, d, cam_weight, sampler, pixel_id, s_idx, spec, d
         hit = ctx.intersect(lo, ld_, t_max)
         si = ctx.surface(hit, lo, ld_)
         si = si._replace(valid=si.valid & active)
-        duv = None
-        if diff is not None and depth == 1:
-            duv = geom.compute_uv_differentials(si, diff)
+        duv = dpdx = dpdy = None
+        if diff is not None:
+            duv, dpdx, dpdy = geom.compute_uv_differentials(si, diff)
         params = ctx.shade_params(si, duv)
         frame = ctx.frame(si)
 
@@ -109,6 +109,7 @@ def li_levels(ctx: SceneCtx, o, d, cam_weight, sampler, pixel_id, s_idx, spec, d
             break
         # specular reflect + transmit children (integrator/mod.rs:150-301)
         children = []
+        child_diffs = []
         for ci, flags in enumerate(
             (
                 BXDF_SPECULAR | BXDF_REFLECTION,
@@ -132,11 +133,31 @@ def li_levels(ctx: SceneCtx, o, d, cam_weight, sampler, pixel_id, s_idx, spec, d
             child_beta = jnp.where(contrib_ok[:, None], child_beta, 0.0)
             child_o = geom.offset_ray_origin(si.p, si.ng, bs.wi_world)
             children.append((child_o, bs.wi_world, child_beta))
+            if diff is not None:
+                # propagate the footprint through the specular child
+                # (integrator/mod.rs:181-201 reflect, 237-295 transmit)
+                if ci == 0:
+                    child_diffs.append(
+                        geom.specular_reflect_differentials(
+                            si, duv, dpdx, dpdy, diff, bs.wi_world
+                        )
+                    )
+                else:
+                    child_diffs.append(
+                        geom.specular_transmit_differentials(
+                            si, duv, dpdx, dpdy, diff, bs.wi_world, params["eta"]
+                        )
+                    )
         lo = jnp.concatenate([c[0] for c in children])
         ld_ = jnp.concatenate([c[1] for c in children])
         beta = jnp.concatenate([c[2] for c in children])
         lpix = jnp.concatenate([lpix, lpix])
         lsamp = jnp.concatenate([lsamp, lsamp])
+        if diff is not None:
+            diff = tuple(
+                jnp.concatenate([child_diffs[0][k], child_diffs[1][k]])
+                for k in range(4)
+            )
         # unique tree-node ids for sampler decorrelation
         branch = jnp.concatenate([branch * 2 + 1, branch * 2 + 2])
         depth += 1

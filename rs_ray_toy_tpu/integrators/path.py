@@ -62,9 +62,9 @@ def li_path(ctx: SceneCtx, o, d, cam_weight, sampler, pixel_id, s_idx, spec, dif
 
         si = ctx.surface(hit, ro, rd)
         si = si._replace(valid=si.valid & active)
-        duv = None
-        if diff is not None and bounces == 0:
-            duv = geom.compute_uv_differentials(si, diff)
+        duv = dpdx = dpdy = None
+        if diff is not None:
+            duv, dpdx, dpdy = geom.compute_uv_differentials(si, diff)
         params = ctx.shade_params(si, duv)
         frame = ctx.frame(si)
 
@@ -103,6 +103,29 @@ def li_path(ctx: SceneCtx, o, d, cam_weight, sampler, pixel_id, s_idx, spec, dif
             active[:, None], geom.offset_ray_origin(si.p, si.ng, bs.wi_world), ro
         )
         rd = jnp.where(active[:, None], bs.wi_world, rd)
+
+        # footprint propagation through specular bounces (beyond the
+        # reference, whose path.rs drops differentials after the primary
+        # hit): keeps EWA texture filtering sharp through mirrors/glass.
+        if diff is not None and ctx.uses_textures:
+            refl_diff = geom.specular_reflect_differentials(
+                si, duv, dpdx, dpdy, diff, bs.wi_world
+            )
+            trans_diff = geom.specular_transmit_differentials(
+                si, duv, dpdx, dpdy, diff, bs.wi_world, params["eta"]
+            )
+            dead = geom.dead_differentials(ro, rd)
+            spec_refl = specular_bounce & ~is_spec_trans & active
+            diff = tuple(
+                jnp.where(
+                    spec_refl[:, None],
+                    refl_diff[k],
+                    jnp.where(
+                        (is_spec_trans & active)[:, None], trans_diff[k], dead[k]
+                    ),
+                )
+                for k in range(4)
+            )
 
         # BSSRDF branch (path.rs:166-210): specular-transmission bounces
         # into a subsurface material re-emerge at a profile-sampled exit
