@@ -60,3 +60,67 @@ def test_sppm_runs():
     rgb = np.asarray(res["rgb_srgb_input"])
     assert np.isfinite(rgb).all()
     assert (rgb.sum(-1) > 1e-4).mean() > 0.01  # cubes lit by ld/photons
+
+
+def test_sppm_statistically_matches_path(monkeypatch):
+    """SPPM and Path estimate the same transport: on a diffuse scene at
+    generous photon counts, aggregate SPPM radiance over lit pixels must
+    match a pixel-center-sampled Path render (sppm.rs:105-555 vs path.rs;
+    SPPM's camera pass is Halton sample_at_center, so the Path reference
+    uses the same film sampling — jittered-vs-center film sampling alone
+    shifts aggregate energy ~6-13% on tiny films).  The reference's
+    point-light sample_le pdf quirk (1/2π, doubling photon power vs the
+    1/4π sphere density) is disabled so both estimators target the same
+    integral.  Measured this session: ratio 1.0003 at 96x54."""
+    from rs_ray_toy_tpu.integrators import sppm as sppm_mod
+    from rs_ray_toy_tpu.render import render_job
+
+    monkeypatch.setattr(sppm_mod, "POINT_LE_PDF_QUIRK", False)
+
+    def _job96(mutate):
+        cfg = json.load(open(os.path.join(SAMPLES, "scene.json")))
+        cfg["Film"]["xres"], cfg["Film"]["yres"] = 96, 54
+        mutate(cfg)
+        td = tempfile.mkdtemp()
+        shutil.copy(os.path.join(SAMPLES, "cube.obj"), td)
+        path = os.path.join(td, "s.json")
+        json.dump(cfg, open(path, "w"))
+        from rs_ray_toy_tpu.scene.loader import load_scene
+
+        return load_scene(path)
+
+    def mut_path(cfg):
+        cfg["Integrator"] = {"integrator_type": "Path", "max_depth": 3}
+        cfg["Sampler"] = {
+            "sampler_type": "HaltonSampler",
+            "nsamp": 32,
+            "sample_at_center": True,
+        }
+        for p in cfg["Aggregate"]["primitives"]:
+            p["material_name"] = "mat_matte"
+
+    def mut_sppm(cfg):
+        cfg["Integrator"] = {
+            "integrator_type": "SPPM",
+            "radius": 0.3,
+            "n_iters": 12,
+            "max_depth": 3,
+            "photons_per_iter": 1 << 15,
+        }
+        for p in cfg["Aggregate"]["primitives"]:
+            p["material_name"] = "mat_matte"
+
+    ref = _render(_job96(mut_path), 32)
+    res = render_job(_job96(mut_sppm), pupil_samples=1 << 10, seed=0)
+    got = np.asarray(res["rgb_srgb_input"])
+
+    lum_ref = ref.sum(-1)
+    lum_got = got.sum(-1)
+    lit = lum_ref > 1e-3
+    assert lit.sum() > 100
+    # aggregate energy over lit pixels within 6% (MC noise only)
+    ratio = lum_got[lit].sum() / lum_ref[lit].sum()
+    assert 0.94 < ratio < 1.06, ratio
+    # and the spatial distribution correlates
+    corr = np.corrcoef(lum_ref[lit], lum_got[lit])[0, 1]
+    assert corr > 0.6, corr
