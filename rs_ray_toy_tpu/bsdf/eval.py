@@ -55,6 +55,16 @@ from .lobes import (
     LOBE_SPEC_REFL,
     LOBE_SPEC_TRANS,
     MAX_LOBES,
+    DR_DIFFUSE,
+    DR_DIFFUSE_THIN,
+    DR_FAKE_SS,
+    DR_RETRO,
+    DR_SHEEN,
+    DR_MF_REFL,
+    DR_CLEARCOAT,
+    DR_MF_TRANS,
+    DR_MF_TRANS_THIN,
+    DR_LAMBERT_TRANS,
 )
 
 REFERENCE_QUIRKS = True
@@ -182,23 +192,25 @@ def gather_lobes(mats, tex_vals, mat_id, static_kinds=None):
     # (take_rows instead of table[idx]: TPU gathers serialize per-row)
     from ..core.tableops import take_rows
 
-    pf = take_rows(mats["packed_f"], mat_id)  # (N, L, 16)
+    C = int(mats.get("n_channels", 3))
+    pf = take_rows(mats["packed_f"], mat_id)  # (N, L, 4C+4)
     pi_ = take_rows(mats["packed_i"], mat_id)  # (N, L, 12)
     out = {
         "_kinds": static_kinds,
+        "_C": C,
         "kind": pi_[..., 0],
         "flags": pi_[..., 1],
-        "s0": pf[..., 0:3],
-        "s1": pf[..., 3:6],
-        "s2": pf[..., 6:9],
+        "s0": pf[..., 0:C],
+        "s1": pf[..., C : 2 * C],
+        "s2": pf[..., 2 * C : 3 * C],
         "fresnel": pi_[..., 2],
         "dist": pi_[..., 3],
         "sample_visible": pi_[..., 5] != 0,
-        "scale": pf[..., 13:16],
+        "scale": pf[..., 3 * C + 4 : 4 * C + 4],
         "n_lobes": take_rows(mats["n_lobes"], mat_id),
         "eta": take_rows(mats["eta"], mat_id),
     }
-    fp = pf[..., 9:13]
+    fp = pf[..., 3 * C : 3 * C + 4]
     rough_u = fp[..., 0]
     rough_v = fp[..., 1]
     sigma = fp[..., 0]
@@ -246,7 +258,146 @@ def gather_lobes(mats, tex_vals, mat_id, static_kinds=None):
     # spec lobes store eta in f0/f1
     out["spec_eta_a"] = fp[..., 0]
     out["spec_eta_b"] = fp[..., 1]
+
+    import numpy as np
+
+    if bool(np.any(np.asarray(mats["is_disney_tex"]))):
+        _assemble_disney_textured(out, mats, tex_vals, mat_id)
     return out
+
+
+def _assemble_disney_textured(out, mats, tex_vals, mat_id):
+    """Per-hit Disney lobe assembly for textured parameters
+    (disney.rs:530-676): base params are texture-evaluated at the hit,
+    lobe weights/alphas recomputed, and the reference's per-hit gates
+    (diffuse_weight>0, sheen>0, clearcoat>0, spec_trans>0) disable slots
+    by setting kind = LOBE_NONE — identical to the reference not adding
+    the BxDF.  tex_vals None (e.g. the SPPM photon pass) falls back to
+    the constant base values."""
+    from ..core.tableops import take_rows
+
+    roles = take_rows(mats["disney_roles"], mat_id)  # (N, L)
+    base = take_rows(mats["disney_base_const"], mat_id)  # (N, 13, 3)
+    if tex_vals is not None and tex_vals.shape[0] > 0:
+        btex = take_rows(mats["disney_base_tex"], mat_id)  # (N, 13)
+        n_tex = tex_vals.shape[0]
+        tv = jnp.zeros(btex.shape + (3,), base.dtype)
+        for t in range(n_tex):
+            tv = jnp.where((btex == t)[..., None], tex_vals[t][:, None, :], tv)
+        base = jnp.where((btex >= 0)[..., None], tv, base)
+
+    c = jnp.clip(base[:, 0, :], 0.0, jnp.inf)
+    mw = base[:, 1, 0]
+    e = base[:, 2, 0]
+    rough = base[:, 3, 0]
+    st = base[:, 4, 0]
+    aniso = base[:, 5, 0]
+    sheen_w = base[:, 6, 0]
+    stint = base[:, 7, 0]
+    cc = base[:, 8, 0]
+    ccg = base[:, 9, 0]
+    strans = base[:, 10, 0]
+    flat = base[:, 11, 0]
+    dt = base[:, 12, 0]
+
+    dw = (1.0 - mw) * (1.0 - strans)
+    lum = 0.212671 * c[:, 0] + 0.715160 * c[:, 1] + 0.072169 * c[:, 2]
+    c_tint = jnp.where(lum[:, None] > 0.0, c / jnp.maximum(lum[:, None], 1e-20), 1.0)
+    c_sheen = jnp.where(
+        (sheen_w > 0.0)[:, None],
+        (1.0 - stint)[:, None] + stint[:, None] * c_tint,
+        0.0,
+    )
+    aspect = jnp.sqrt(jnp.maximum(1.0 - aniso * 0.9, 1e-6))
+    ax = jnp.maximum(rough * rough / aspect, 0.001)
+    ay = jnp.maximum(rough * rough * aspect, 0.001)
+    r0_eta = ((e - 1.0) / jnp.maximum(e + 1.0, 1e-6)) ** 2
+    c_spec0 = (1.0 - mw)[:, None] * (
+        ((1.0 - st)[:, None] + st[:, None] * c_tint) * r0_eta[:, None]
+    ) + mw[:, None] * c
+    gloss = (1.0 - ccg) * 0.1 + ccg * 0.001
+    t_trans = jnp.sqrt(jnp.maximum(c, 0.0)) * strans[:, None]
+    rs_thin = (0.65 * e - 0.35) * rough
+    axs = jnp.maximum(rs_thin * rs_thin / aspect, 0.001)
+    ays = jnp.maximum(rs_thin * rs_thin * aspect, 0.001)
+
+    # broadcast per-hit values over the lobe axis and write by role
+    def bcast(v):  # (N,) -> (N, 1)
+        return v[:, None]
+
+    def bcast3(v):  # (N,3) -> (N, 1, 3)
+        return v[:, None, :]
+
+    role_specs = [
+        (DR_DIFFUSE, dw > 0.0, bcast3(c * dw[:, None]), None, None, None, None, None),
+        (
+            DR_DIFFUSE_THIN,
+            dw > 0.0,
+            bcast3(c * (dw * (1.0 - flat) * (1.0 - dt))[:, None]),
+            None, None, None, None, None,
+        ),
+        (
+            DR_FAKE_SS,
+            dw > 0.0,
+            bcast3(c * (dw * flat * (1.0 - dt))[:, None]),
+            None, bcast(rough), None, None, None,
+        ),
+        (DR_RETRO, dw > 0.0, bcast3(c * dw[:, None]), None, bcast(rough), None, None, None),
+        (
+            DR_SHEEN,
+            (dw > 0.0) & (sheen_w > 0.0),
+            bcast3(c_sheen * (sheen_w * dw)[:, None]),
+            None, None, None, None, None,
+        ),
+        (
+            DR_MF_REFL,
+            jnp.ones_like(dw, bool),
+            None, bcast3(c_spec0), bcast(ax), bcast(ay), bcast(mw), bcast(e),
+        ),
+        (
+            DR_CLEARCOAT,
+            cc > 0.0,
+            None, None, bcast(cc), bcast(gloss), None, None,
+        ),
+        (
+            DR_MF_TRANS,
+            strans > 0.0,
+            bcast3(t_trans), None, bcast(ax), bcast(ay), None, bcast(e),
+        ),
+        (
+            DR_MF_TRANS_THIN,
+            strans > 0.0,
+            bcast3(t_trans), None, bcast(axs), bcast(ays), None, bcast(e),
+        ),
+        (DR_LAMBERT_TRANS, jnp.ones_like(dw, bool), bcast3(c * dt[:, None]), None, None, None, None, None),
+    ]
+
+    kind = out["kind"]
+    s0, s1 = out["s0"], out["s1"]
+    au, av = out["alpha_u"], out["alpha_v"]
+    ea, eb = out["eta_a"], out["eta_b"]
+    for role, gate, v_s0, v_s1, v_au, v_av, v_ea, v_eb in role_specs:
+        m = roles == role  # (N, L)
+        kind = jnp.where(m & ~gate[:, None], LOBE_NONE, kind)
+        if v_s0 is not None:
+            s0 = jnp.where(m[..., None], v_s0, s0)
+        if v_s1 is not None:
+            s1 = jnp.where(m[..., None], v_s1, s1)
+        if v_au is not None:
+            au = jnp.where(m, v_au, au)
+        if v_av is not None:
+            av = jnp.where(m, v_av, av)
+        if v_ea is not None:
+            ea = jnp.where(m, v_ea, ea)
+        if v_eb is not None:
+            eb = jnp.where(m, v_eb, eb)
+    out["kind"] = kind
+    out["s0"] = s0
+    out["s1"] = s1
+    out["alpha_u"] = au
+    out["alpha_v"] = av
+    out["eta_a"] = ea
+    out["eta_b"] = eb
 
 
 def _slot(params, j):
@@ -399,9 +550,9 @@ def _has_kind(p, k):
 
 
 def lobe_f(p, wo, wi):
-    """f(wo, wi) for one lobe slot: (N,3).  Specular kinds -> 0."""
+    """f(wo, wi) for one lobe slot: (N,C).  Specular kinds -> 0."""
     kind = p["kind"]
-    f = jnp.zeros_like(wo)
+    f = jnp.zeros_like(p["s0"])
     if _has_kind(p, LOBE_LAMBERT_REFL) or _has_kind(p, LOBE_LAMBERT_TRANS):
         lam = p["s0"] / PI  # lambert refl AND trans share this form
         f = jnp.where(
@@ -422,8 +573,14 @@ def lobe_f(p, wo, wi):
             (kind == LOBE_FRESNEL_BLEND)[..., None], _fresnel_blend_f(p, wo, wi), f
         )
     if _has_kind(p, LOBE_DEBUG_DIFFUSE):
-        dbg_d = jnp.broadcast_to(jnp.asarray([0.0, 1.0, 0.0], DTYPE), wo.shape)
+        dbg_d = jnp.zeros_like(f).at[..., 1].set(1.0)
         f = jnp.where((kind == LOBE_DEBUG_DIFFUSE)[..., None], dbg_d, f)
+    if _has_kind(p, LOBE_DEBUG_SPECULAR):
+        # DebugSpecularBxdf::f is a CONSTANT (0,0,1) — unlike real specular
+        # BxDFs it returns nonzero from f() (debug_material.rs:26-28), so
+        # the Debug integrator's specular-chain children carry blue
+        dbg_s = jnp.zeros_like(f).at[..., 2].set(1.0)
+        f = jnp.where((kind == LOBE_DEBUG_SPECULAR)[..., None], dbg_s, f)
     # ---- Disney lobes (disney.rs) ----
     if _has_kind(p, LOBE_DISNEY_DIFFUSE):
         fo = _schlick_weight(_abs_cos(wo))
@@ -600,7 +757,7 @@ def bsdf_f(params, fr: Frame, wo_w, wi_w, flags):
     wo = world_to_local(fr, wo_w)
     wi = world_to_local(fr, wi_w)
     reflect = (vec.dot(wi_w, fr.ng) * vec.dot(wo_w, fr.ng)) > 0.0
-    total = jnp.zeros_like(wo_w)
+    total = jnp.zeros(wo_w.shape[:-1] + (params["s0"].shape[-1],), DTYPE)
     for j in range(params["kind"].shape[1]):
         p = _slot(params, j)
         is_refl = (p["flags"] & BXDF_REFLECTION) > 0
@@ -965,7 +1122,7 @@ def bsdf_f_pdf(params, fr: Frame, wo_w, wi_w, flags):
     wo = world_to_local(fr, wo_w)
     wi = world_to_local(fr, wi_w)
     reflect = (vec.dot(wi_w, fr.ng) * vec.dot(wo_w, fr.ng)) > 0.0
-    f_total = jnp.zeros_like(wo_w)
+    f_total = jnp.zeros(wo_w.shape[:-1] + (params["s0"].shape[-1],), DTYPE)
     p_total = jnp.zeros(wo.shape[0], DTYPE)
     count = jnp.zeros(wo.shape[0], jnp.int32)
     for j in range(params["kind"].shape[1]):

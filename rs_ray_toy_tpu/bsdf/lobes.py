@@ -84,6 +84,29 @@ FRESNEL_DIELECTRIC = 1
 FRESNEL_CONDUCTOR = 2
 FRESNEL_DISNEY = 3
 
+# Disney textured-parameter lobe roles (disney.rs:530-676 evaluates every
+# parameter texture per hit and assembles lobes dynamically; the packed
+# table stores a canonical slot layout whose numeric params + per-hit
+# gates are recomputed on device by eval._assemble_disney_textured).
+DR_NONE = 0
+DR_DIFFUSE = 1
+DR_DIFFUSE_THIN = 2
+DR_FAKE_SS = 3
+DR_RETRO = 4
+DR_SHEEN = 5
+DR_MF_REFL = 6
+DR_CLEARCOAT = 7
+DR_MF_TRANS = 8
+DR_MF_TRANS_THIN = 9
+DR_LAMBERT_TRANS = 10
+
+# base-parameter column order for disney_base_const / disney_base_tex
+DISNEY_BASE_PARAMS = (
+    "color", "metallic", "eta", "roughness", "specular_tint", "anisotropic",
+    "sheen", "sheen_tint", "clearcoat", "clearcoat_gloss", "spec_trans",
+    "flatness", "diff_trans",
+)
+
 # microfacet distribution codes (microfacet.rs)
 DIST_TROWBRIDGE_REITZ = 0
 DIST_BECKMANN = 1
@@ -134,6 +157,11 @@ class HostMaterial:
     bssrdf_R: object = None
     bssrdf_d: object = None
     bssrdf_eta: float = 1.0
+    # textured Disney: per-slot role codes + base-param (const, tex) table;
+    # None for every other material
+    disney_roles: object = None  # list[int], len == len(lobes)
+    disney_base_const: object = None  # (13, 3) float
+    disney_base_tex: object = None  # (13,) int texture ids
 
 
 class MaterialTableBuilder:
@@ -145,18 +173,51 @@ class MaterialTableBuilder:
         self.materials.append(mat)
         return len(self.materials) - 1
 
-    def pack(self):
+    def pack(self, n_channels=3):
         """Pack to device arrays: dict of (M, L, ...) tables with L trimmed
-        to the scene's actual max lobe count (smaller unrolled loops)."""
+        to the scene's actual max lobe count (smaller unrolled loops).
+
+        n_channels=60 selects the sampled-spectral axis: 3-wide lobe
+        spectra are lifted via the Smits reflectance basis
+        (core/spectral.py), except conductor n/k which use the sampled
+        copper data when they carry the copper defaults."""
+        C = n_channels
+
+        def lift(v, lobe=None, which=None):
+            v = np.asarray(v, np.float64) * np.ones(3) if np.ndim(v) == 0 else np.asarray(v, np.float64)
+            if C == 3 or v.shape[-1] == C:
+                return v
+            import jax.numpy as _jnp
+
+            from ..core import spectral as _sp
+
+            if lobe is not None and lobe.fresnel == FRESNEL_CONDUCTOR and which in ("s1", "s2"):
+                from ..scene.loader import (
+                    COPPER_K_RGB,
+                    COPPER_N_RGB,
+                    _COPPER_K,
+                    _COPPER_N,
+                    _COPPER_WAVELENGTHS,
+                )
+
+                if which == "s2" and np.allclose(v, COPPER_N_RGB):
+                    return _sp.resample_to_bins(_COPPER_WAVELENGTHS, _COPPER_N, C)
+                if which == "s1" and np.allclose(v, COPPER_K_RGB):
+                    return _sp.resample_to_bins(_COPPER_WAVELENGTHS, _COPPER_K, C)
+            return np.asarray(
+                _sp.from_rgb(_jnp.asarray(v, _jnp.float32), _sp.REFLECTANCE),
+                np.float64,
+            )
+
         m = max(1, len(self.materials))
         MAX_LOBES = max(
             [1] + [len(mat.lobes) for mat in self.materials]
         )
         kind = np.zeros((m, MAX_LOBES), np.int32)
         flags = np.zeros((m, MAX_LOBES), np.int32)
-        s0 = np.zeros((m, MAX_LOBES, 3), np.float32)
-        s1 = np.zeros((m, MAX_LOBES, 3), np.float32)
-        s2 = np.zeros((m, MAX_LOBES, 3), np.float32)
+        s0 = np.zeros((m, MAX_LOBES, C), np.float32)
+        s1 = np.zeros((m, MAX_LOBES, C), np.float32)
+        s2 = np.zeros((m, MAX_LOBES, C), np.float32)
         fparams = np.zeros((m, MAX_LOBES, 4), np.float32)
         fresnel = np.zeros((m, MAX_LOBES), np.int32)
         dist = np.zeros((m, MAX_LOBES), np.int32)
@@ -166,7 +227,7 @@ class MaterialTableBuilder:
         rough_u_tex = np.full((m, MAX_LOBES), -1, np.int32)
         rough_v_tex = np.full((m, MAX_LOBES), -1, np.int32)
         sigma_tex = np.full((m, MAX_LOBES), -1, np.int32)
-        scale = np.ones((m, MAX_LOBES, 3), np.float32)
+        scale = np.ones((m, MAX_LOBES, C), np.float32)
         scale_tex = np.full((m, MAX_LOBES), -1, np.int32)
         scale_one_minus = np.zeros((m, MAX_LOBES), bool)
         n_lobes = np.zeros((m,), np.int32)
@@ -176,6 +237,10 @@ class MaterialTableBuilder:
         bssrdf_R = np.zeros((m, 3), np.float32)
         bssrdf_d = np.full((m, 3), 1.0, np.float32)
         bssrdf_eta = np.ones((m,), np.float32)
+        disney_roles = np.zeros((m, MAX_LOBES), np.int32)
+        disney_base_const = np.zeros((m, 13, 3), np.float32)
+        disney_base_tex = np.full((m, 13), -1, np.int32)
+        is_disney_tex = np.zeros((m,), bool)
 
         for i, mat in enumerate(self.materials):
             n_lobes[i] = len(mat.lobes)
@@ -186,12 +251,17 @@ class MaterialTableBuilder:
                 bssrdf_R[i] = mat.bssrdf_R
                 bssrdf_d[i] = np.maximum(mat.bssrdf_d, 1e-6)
                 bssrdf_eta[i] = mat.bssrdf_eta
+            if mat.disney_roles is not None:
+                is_disney_tex[i] = True
+                disney_roles[i, : len(mat.disney_roles)] = mat.disney_roles
+                disney_base_const[i] = mat.disney_base_const
+                disney_base_tex[i] = mat.disney_base_tex
             for j, lb in enumerate(mat.lobes):
                 kind[i, j] = lb.kind
                 flags[i, j] = LOBE_FLAGS[lb.kind]
-                s0[i, j] = lb.s0
-                s1[i, j] = lb.s1
-                s2[i, j] = lb.s2
+                s0[i, j] = lift(lb.s0, lb, "s0")
+                s1[i, j] = lift(lb.s1, lb, "s1")
+                s2[i, j] = lift(lb.s2, lb, "s2")
                 fparams[i, j] = [lb.f0, lb.f1, lb.f2, lb.f3]
                 fresnel[i, j] = lb.fresnel
                 dist[i, j] = lb.dist
@@ -201,7 +271,7 @@ class MaterialTableBuilder:
                 rough_u_tex[i, j] = lb.rough_u_tex
                 rough_v_tex[i, j] = lb.rough_v_tex
                 sigma_tex[i, j] = lb.sigma_tex
-                scale[i, j] = lb.scale
+                scale[i, j] = lift(lb.scale, lb, "scale")
                 scale_tex[i, j] = lb.scale_tex
                 scale_one_minus[i, j] = lb.scale_one_minus
 
@@ -209,7 +279,7 @@ class MaterialTableBuilder:
         # slot (shade-time gathers cost per-array; 2 gathers beat ~20)
         packed_f = np.concatenate(
             [s0, s1, s2, fparams, scale], axis=-1
-        ).astype(np.float32)  # (M, L, 16)
+        ).astype(np.float32)  # (M, L, 4C+4); 16 for RGB
         packed_i = np.stack(
             [
                 kind, flags, fresnel, dist,
@@ -248,4 +318,9 @@ class MaterialTableBuilder:
             "bssrdf_R": as_j(bssrdf_R),
             "bssrdf_d": as_j(bssrdf_d),
             "bssrdf_eta": as_j(bssrdf_eta),
+            "is_disney_tex": as_j(is_disney_tex),
+            "disney_roles": as_j(disney_roles[:, :MAX_LOBES]),
+            "disney_base_const": as_j(disney_base_const),
+            "disney_base_tex": as_j(disney_base_tex),
+            "n_channels": C,
         }

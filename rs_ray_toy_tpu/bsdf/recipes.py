@@ -45,6 +45,16 @@ from .lobes import (
     LOBE_DISNEY_CLEARCOAT,
     LOBE_DISNEY_MICROFACET_REFL,
     FRESNEL_DISNEY,
+    DR_DIFFUSE,
+    DR_DIFFUSE_THIN,
+    DR_FAKE_SS,
+    DR_RETRO,
+    DR_SHEEN,
+    DR_MF_REFL,
+    DR_CLEARCOAT,
+    DR_MF_TRANS,
+    DR_MF_TRANS_THIN,
+    DR_LAMBERT_TRANS,
 )
 
 
@@ -376,12 +386,25 @@ def disney(
 ) -> HostMaterial:
     """Disney BSDF lobe assembly (disney.rs:530-676).
 
-    Built from constant texture values (the overwhelmingly common case);
-    texture-driven Disney params fall back to their constants for now.
-    scatter_distance > 0 (non-thin) marks the material for BSSRDF handling
+    Constant params bake the lobe weights at load; any *textured* param
+    switches the material to the per-hit assembly path (a canonical slot
+    layout whose weights and gates eval._assemble_disney_textured
+    recomputes on device from the textured base params, matching the
+    reference's per-hit texture evaluation).  scatter_distance > 0
+    (non-thin, constant — a textured scatter_distance is treated as its
+    zero fallback) marks the material for BSSRDF handling
     (disney.rs:585-601): the diffuse lobe is replaced by a specular
     transmission lobe and the material carries the BSSRDF profile params.
     """
+    base_params = (
+        color, metallic, eta, roughness, specular_tint, anisotropic,
+        sheen, sheen_tint, clearcoat, clearcoat_gloss, spec_trans,
+        flatness, diff_trans,
+    )
+    sd_const = np.clip(scatter_distance.value, 0.0, np.inf)
+    bssrdf_marked = (not thin) and scatter_distance.tex < 0 and np.any(sd_const > 0.0)
+    if any(p is not None and p.tex >= 0 for p in base_params) and not bssrdf_marked:
+        return _disney_textured(name, base_params, thin, bump_tex)
     lobes = []
     c = np.clip(color.value, 0.0, np.inf)
     mw = metallic.value
@@ -489,4 +512,76 @@ def disney(
     mat.bssrdf_R = c * diffuse_weight if has_bssrdf else None
     mat.bssrdf_d = sd * 0.2 if has_bssrdf else None
     mat.bssrdf_eta = e
+    return mat
+
+
+def _disney_textured(name, base_params, thin, bump_tex) -> HostMaterial:
+    """Textured-parameter Disney: a canonical lobe slot layout whose
+    numeric params are recomputed per hit by eval._assemble_disney_textured
+    from the textured base values (disney.rs:530-676 per-hit assembly).
+
+    Slot order matches the reference's bsdf.add order exactly — lobe
+    selection in sample_f walks matching lobes in slot order, so the
+    canonical layout preserves the estimator when per-hit gates disable
+    slots (equivalent to the reference simply not adding them)."""
+    if thin:
+        lobes = [
+            Lobe(LOBE_DISNEY_DIFFUSE),
+            Lobe(LOBE_DISNEY_FAKE_SS),
+            Lobe(LOBE_DISNEY_RETRO),
+            Lobe(LOBE_DISNEY_SHEEN),
+            Lobe(
+                LOBE_DISNEY_MICROFACET_REFL,
+                s0=np.ones(3),
+                fresnel=FRESNEL_DISNEY,
+                dist=DIST_DISNEY_SEPARABLE_G,
+                sample_visible=True,
+            ),
+            Lobe(LOBE_DISNEY_CLEARCOAT),
+            Lobe(
+                LOBE_MF_TRANS,
+                f2=1.0,
+                dist=DIST_TROWBRIDGE_REITZ,
+                sample_visible=True,
+            ),
+            Lobe(LOBE_LAMBERT_TRANS),
+        ]
+        roles = [
+            DR_DIFFUSE_THIN, DR_FAKE_SS, DR_RETRO, DR_SHEEN,
+            DR_MF_REFL, DR_CLEARCOAT, DR_MF_TRANS_THIN, DR_LAMBERT_TRANS,
+        ]
+    else:
+        lobes = [
+            Lobe(LOBE_DISNEY_DIFFUSE),
+            Lobe(LOBE_DISNEY_RETRO),
+            Lobe(LOBE_DISNEY_SHEEN),
+            Lobe(
+                LOBE_DISNEY_MICROFACET_REFL,
+                s0=np.ones(3),
+                fresnel=FRESNEL_DISNEY,
+                dist=DIST_DISNEY_SEPARABLE_G,
+                sample_visible=True,
+            ),
+            Lobe(LOBE_DISNEY_CLEARCOAT),
+            Lobe(
+                LOBE_MF_TRANS,
+                f2=1.0,
+                dist=DIST_DISNEY_SEPARABLE_G,
+                sample_visible=True,
+            ),
+        ]
+        roles = [
+            DR_DIFFUSE, DR_RETRO, DR_SHEEN,
+            DR_MF_REFL, DR_CLEARCOAT, DR_MF_TRANS,
+        ]
+    base_const = np.zeros((13, 3), np.float32)
+    base_tex = np.full((13,), -1, np.int32)
+    for i, p in enumerate(base_params):
+        v = np.asarray(p.value, np.float64) * np.ones(3)
+        base_const[i] = v
+        base_tex[i] = p.tex
+    mat = HostMaterial(name, 1.0, lobes, bump_tex)
+    mat.disney_roles = roles
+    mat.disney_base_const = base_const
+    mat.disney_base_tex = base_tex
     return mat

@@ -44,6 +44,7 @@ class SceneCtx:
         self.dev_images = bundle.dev_images
         self.infinite_envs = bundle.infinite
         self.n_lights = int(self.lights.count)
+        self.n_channels = getattr(bundle, "n_channels", 3)
         if bundle.mediums:
             from ..scene.medium import pack_mediums
 
@@ -73,6 +74,7 @@ class SceneCtx:
                         "rough_v_tex",
                         "sigma_tex",
                         "scale_tex",
+                        "disney_base_tex",
                     )
                 ),
                 default=-1,
@@ -268,7 +270,7 @@ def estimate_direct(ctx: SceneCtx, si, params, frame, light_idx, u_light, u_scat
     """
     flags = BXDF_ALL & ~BXDF_SPECULAR
     ls = lmod.sample_li(ctx.lights, ctx.infinite_envs, light_idx, si.p, u_light)
-    ld = jnp.zeros_like(si.p)
+    ld = jnp.zeros_like(ls.li)
 
     # --- light-sampling branch ---
     f, scattering_pdf = beval.bsdf_f_pdf(params, frame, si.wo, ls.wi, flags)
@@ -343,13 +345,13 @@ def uniform_sample_all_lights(ctx: SceneCtx, si, params, frame, sampler, pixel_i
     requested 2D arrays become extra static sampler dimensions here."""
     import numpy as np
 
-    total = jnp.zeros_like(si.p)
+    total = jnp.zeros((si.p.shape[0], ctx.n_channels), DTYPE)
     dim = dim_base
     n_samples_tbl = np.asarray(ctx.lights.n_samples)
     for j in range(ctx.n_lights):
         ns = _round_up_pow2(int(n_samples_tbl[j]))
         idx = jnp.full(pixel_id.shape, j, jnp.int32)
-        acc = jnp.zeros_like(si.p)
+        acc = jnp.zeros_like(total)
         for k in range(ns):
             u_light = sampler.get_2d(pixel_id, s_idx, dim)
             u_scatter = sampler.get_2d(pixel_id, s_idx, dim + 1)
@@ -375,7 +377,7 @@ def uniform_sample_one_light(
     """(integrator/mod.rs:359-401): pick one light (uniform or by power
     distribution), estimate, divide by its pdf."""
     if ctx.n_lights == 0:
-        return jnp.zeros_like(si.p), dim_base
+        return jnp.zeros((si.p.shape[0], ctx.n_channels), DTYPE), dim_base
     u_pick = sampler.get_1d(pixel_id, s_idx, dim_base)
     if light_pdfs is None:
         idx = jnp.minimum(
@@ -395,8 +397,8 @@ def uniform_sample_one_light(
 def scrub_radiance(l):
     """NaN / negative / infinite luminance scrub
     (integrator/mod.rs:105-122) vectorized."""
-    from ..core.spectrum import luminance
+    from ..core.spectrum import lum_any
 
-    y = luminance(l)
+    y = lum_any(l)
     bad = ~jnp.isfinite(y) | (y < -1e-5) | ~jnp.all(jnp.isfinite(l), axis=-1)
     return jnp.where(bad[..., None], 0.0, l)

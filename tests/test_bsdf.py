@@ -213,3 +213,29 @@ def test_disney_thin_has_transmission():
     from rs_ray_toy_tpu.bsdf.lobes import LOBE_LAMBERT_TRANS, LOBE_MF_TRANS
     kinds = [lb.kind for lb in m.lobes]
     assert LOBE_LAMBERT_TRANS in kinds and LOBE_MF_TRANS in kinds
+
+
+def test_debug_specular_child_is_blue():
+    """DebugSpecularBxdf::f is a constant (0,0,1) — unlike real specular
+    BxDFs (debug_material.rs:26-28); the Debug integrator's specular-tree
+    children must carry it."""
+    from rs_ray_toy_tpu.bsdf.lobes import BXDF_REFLECTION
+
+    mats = _mats(recipes.debug("d"))
+    n = 4
+    fr = _flat_frame(n)
+    p = _params(mats, n)
+    wo = vec.normalize(jnp.tile(jnp.array([[0.3, 0.1, 0.95]]), (n, 1)))
+    u = jnp.asarray(
+        np.random.default_rng(0).uniform(size=(n, 2)), jnp.float32
+    )
+    bs = beval.bsdf_sample(p, fr, wo, u, BXDF_SPECULAR | BXDF_REFLECTION)
+    f = np.asarray(bs.f)
+    assert np.all(f[:, 2] > 0) and np.all(f[:, :2] == 0)
+    # and NEE-flag evaluation still excludes it (estimate_direct uses
+    # ALL & ~SPECULAR, integrator/mod.rs:413-416)
+    wi = vec.normalize(jnp.tile(jnp.array([[-0.2, 0.4, 0.7]]), (n, 1)))
+    f_nee = np.asarray(
+        beval.bsdf_f(p, fr, wo, wi, BXDF_ALL & ~BXDF_SPECULAR)
+    )
+    assert np.all(f_nee[:, 2] == 0) and np.all(f_nee[:, 1] > 0)
