@@ -42,6 +42,16 @@ def luminance(rgb):
     return jnp.sum(rgb * w, axis=-1)
 
 
+def lum_any(v):
+    """Channel-agnostic luminance: RGB y() for 3-wide, sampled-spectrum
+    y() (spectrum.rs:2602-2609) for N-wide arrays."""
+    if v.shape[-1] == 3:
+        return luminance(v)
+    from . import spectral
+
+    return spectral.y(v)
+
+
 def gamma_correct(v):
     """sRGB encode (misc.rs:46-52); jnp, batched."""
     return jnp.where(

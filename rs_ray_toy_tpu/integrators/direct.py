@@ -49,9 +49,10 @@ def li_levels(ctx: SceneCtx, o, d, cam_weight, sampler, pixel_id, s_idx, spec, d
     if not has_specular:
         max_depth = min(max_depth, 2)  # no children will ever contribute
 
-    L = jnp.zeros((n, 3), DTYPE)
+    C = ctx.n_channels
+    L = jnp.zeros((n, C), DTYPE)
     # level state
-    lo, ld_, beta = o, d, jnp.ones((n, 3), DTYPE)
+    lo, ld_, beta = o, d, jnp.ones((n, C), DTYPE)
     beta = beta * (cam_weight > 0.0)[:, None]
     lpix, lsamp = pixel_id, s_idx
     # per-ray dimension salt: tree branches at the same (pixel, sample) get
@@ -77,7 +78,7 @@ def li_levels(ctx: SceneCtx, o, d, cam_weight, sampler, pixel_id, s_idx, spec, d
         if debug:
             # flat base on any hit (intersect_debug.rs:69-72)
             level_l = level_l + jnp.where(
-                si.valid[:, None], jnp.full((1, 3), 0.1, DTYPE), 0.0
+                si.valid[:, None], jnp.full((1, C), 0.1, DTYPE), 0.0
             )
         elif ctx.n_lights and ctx.infinite_envs:
             # escaped rays collect the FIRST light's le only — the
@@ -166,8 +167,8 @@ def li_levels(ctx: SceneCtx, o, d, cam_weight, sampler, pixel_id, s_idx, spec, d
 
 
 def _accumulate(L, n, contrib):
-    """Fold a level's (k*n,3) contributions back onto the n camera rays."""
+    """Fold a level's (k*n,C) contributions back onto the n camera rays."""
     k = contrib.shape[0] // n
     if k == 1:
         return L + contrib
-    return L + jnp.sum(contrib.reshape(k, n, 3), axis=0)
+    return L + jnp.sum(contrib.reshape(k, n, contrib.shape[-1]), axis=0)

@@ -27,8 +27,9 @@ from .common import SceneCtx, uniform_sample_one_light
 
 def li_path(ctx: SceneCtx, o, d, cam_weight, sampler, pixel_id, s_idx, spec, diff=None):
     n = o.shape[0]
-    L = jnp.zeros((n, 3), DTYPE)
-    beta = jnp.ones((n, 3), DTYPE) * (cam_weight > 0.0)[:, None]
+    C = ctx.n_channels
+    L = jnp.zeros((n, C), DTYPE)
+    beta = jnp.ones((n, C), DTYPE) * (cam_weight > 0.0)[:, None]
     active = cam_weight > 0.0
     specular_bounce = jnp.zeros((n,), bool)
     eta_scale = jnp.ones((n,), DTYPE)

@@ -277,7 +277,7 @@ def power(lights: LightSoA):
     (integrator/mod.rs:560-571) and SPPM photon emission.
     point: 4*pi*I (point.rs:82-84); distant/infinite: pi*r^2*L
     (distant.rs / infinite.rs:188-191); area: L*area*pi (diffuse.rs)."""
-    from ..core.spectrum import luminance
+    from ..core.spectrum import lum_any as luminance
 
     r = lights.world_radius
     y = luminance(lights.emit)

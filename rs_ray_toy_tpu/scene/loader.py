@@ -187,6 +187,7 @@ class SceneBundle:
     max_prims_in_node: int
     mediums: List[MediumSpec] = field(default_factory=list)
     camera_medium: int = -1
+    n_channels: int = 3  # 3 = RGB, 60 = sampled-spectral (main.rs:45-49)
 
 
 @dataclass
@@ -240,7 +241,17 @@ _DEFAULT_SIGMA_A = np.array([0.0011, 0.0024, 0.014])
 _DEFAULT_SIGMA_S = np.array([2.55, 3.21, 3.77])
 
 
-def load_scene(path: str) -> RenderJob:
+def load_scene(path: str, spectral: bool = False) -> RenderJob:
+    """Parse a scene JSON (byte-compatible with renderprocess.rs).
+
+    spectral=True selects the sampled-spectral (N=60) channel axis the
+    reference picks at compile time (main.rs:45-49, SPECTRUM_N=60):
+    material reflectances and light spectra are lifted to 60 bins via the
+    Smits bases / sampled data (core/spectral.py), and integrators carry
+    (..., 60) radiometric arrays, converted to RGB at the film.
+    Current spectral subset: no media, no infinite lights, no BSSRDF, no
+    debug materials, no textured-Disney (falls back with a clear error).
+    """
     root_dir = os.path.dirname(os.path.abspath(path))
     with open(path) as fh:
         cfg = json.load(fh)
@@ -277,12 +288,18 @@ def load_scene(path: str) -> RenderJob:
 
     lights, infinite = _make_lights(cfg, meshes, world_bound, root_dir, registry)
 
+    if spectral:
+        used_ids = set(int(t.mat) for t in tris) | set(int(sp_.mat) for sp_ in sphs)
+        _check_spectral_subset(mat_builder, mediums, infinite, used_ids)
+        lights = _lights_to_spectral(lights)
+
     agg_cfg = cfg.get("Aggregate", {}) or {}
     bundle = SceneBundle(
         triangles=_pack_triangles(tris),
         spheres=_pack_spheres(sphs),
         lights=lights,
-        materials=mat_builder.pack(),
+        materials=mat_builder.pack(n_channels=60 if spectral else 3),
+        n_channels=60 if spectral else 3,
         registry=registry,
         dev_images=registry.device_images(),
         infinite=infinite,
@@ -1068,3 +1085,43 @@ def _make_integrator_spec(icfg) -> IntegratorSpec:
         photons_per_iter=read_i64(icfg, "photons_per_iter", 1),
         write_freq=read_i64(icfg, "write_freq", 1 << 31),
     )
+
+
+# ---- sampled-spectral mode helpers (main.rs:45-49 config axis) ----
+
+
+def _check_spectral_subset(mat_builder, mediums, infinite, used_ids):
+    """Validate the spectral mode's current subset: reject scenes whose
+    USED materials need features without a 60-channel lift yet — loud
+    failure beats silently wrong colors."""
+    from ..bsdf.lobes import LOBE_DEBUG_DIFFUSE, LOBE_DEBUG_SPECULAR
+
+    if mediums:
+        raise NotImplementedError("spectral mode: participating media not wired")
+    if infinite:
+        raise NotImplementedError("spectral mode: infinite lights not wired")
+    for mi, m in enumerate(mat_builder.materials):
+        if mi not in used_ids:
+            continue
+        if m.bssrdf_R is not None:
+            raise NotImplementedError("spectral mode: BSSRDF not wired")
+        if m.disney_roles is not None:
+            raise NotImplementedError("spectral mode: textured Disney not wired")
+        for lb in m.lobes:
+            if lb.kind in (LOBE_DEBUG_DIFFUSE, LOBE_DEBUG_SPECULAR):
+                raise NotImplementedError("spectral mode: debug material not wired")
+            if max(lb.s0_tex, lb.rough_u_tex, lb.rough_v_tex, lb.sigma_tex, lb.scale_tex) >= 0:
+                raise NotImplementedError("spectral mode: textured params not wired")
+        if m.bump_tex >= 0:
+            raise NotImplementedError("spectral mode: bump mapping not wired")
+
+
+def _lights_to_spectral(lights):
+    """Lift the light emission table (L,3) -> (L,60) via the Smits
+    illuminant basis (spectrum.rs from_rgb SpectrumType::Illuminant)."""
+    import dataclasses
+
+    from ..core import spectral as sp
+
+    emit60 = sp.from_rgb(jnp.asarray(np.asarray(lights.emit), jnp.float32), sp.ILLUMINANT)
+    return dataclasses.replace(lights, emit=emit60)
