@@ -41,10 +41,15 @@ from ..scene.types import LIGHT_POINT
 from ..bsdf.lobes import (
     LOBE_LAMBERT_REFL,
     LOBE_MF_REFL,
+    LOBE_SPEC_REFL,
+    LOBE_SPEC_TRANS,
+    LOBE_FRESNEL_SPEC,
     DIST_TROWBRIDGE_REITZ,
     FRESNEL_DIELECTRIC,
     FRESNEL_CONDUCTOR,
 )
+
+SPEC_KINDS = (LOBE_SPEC_REFL, LOBE_SPEC_TRANS, LOBE_FRESNEL_SPEC)
 
 TRI_EPS = 1e-7
 LANES = 128
@@ -66,6 +71,8 @@ def supports(ctx, spec, sampler, diff) -> bool:
     """Static host check: can the megakernel render this job exactly?"""
     if spec.kind != "path" or diff is not None:
         return False
+    if getattr(ctx, "n_channels", 3) != 3:
+        return False  # spectral scenes use the jnp path
     # the kernel evaluates the stratified sampler in-VMEM; its permutation
     # needs power-of-two strata (integer div/mod by non-constants does not
     # lower to Mosaic)
@@ -105,7 +112,15 @@ def supports(ctx, spec, sampler, diff) -> bool:
     if np.any(n_lobes[used] > LOBES_MAX):
         return False
     ok_kinds = (kinds == LOBE_LAMBERT_REFL) | (kinds == LOBE_MF_REFL)
+    for sk in SPEC_KINDS:
+        ok_kinds |= kinds == sk
     if np.any(~ok_kinds[live]):
+        return False
+    # transmission-capable stacks must be single-lobe: the kernel's pdf
+    # averaging omits the cross-lobe accumulation the reference applies
+    # when the chosen lobe is non-reflective (reflection.rs:358-364)
+    is_trans_lobe = (kinds == LOBE_SPEC_TRANS) | (kinds == LOBE_FRESNEL_SPEC)
+    if np.any(is_trans_lobe & live & (n_lobes[:, None] > 1)):
         return False
     # microfacet lobes: TR distribution with visible-normal sampling and
     # dielectric/conductor/noop fresnel only (plastic.rs / metal.rs)
@@ -116,6 +131,9 @@ def supports(ctx, spec, sampler, diff) -> bool:
         return False
     fres = np.asarray(mats["fresnel"])
     if np.any((fres[is_mf] < 0) | (fres[is_mf] > 2)):
+        return False
+    is_sr = live & (kinds == LOBE_SPEC_REFL)
+    if np.any((fres[is_sr] < 0) | (fres[is_sr] > 2)):
         return False
     from ..bsdf.eval import REFERENCE_QUIRKS
 
@@ -176,6 +194,14 @@ def pack_scene(ctx):
 
     au = np.where(remap, np_rough_to_alpha(fp[..., 0]), fp[..., 0])
     av = np.where(remap, np_rough_to_alpha(fp[..., 1]), fp[..., 1])
+    # specular lobes store their eta pair in f0/f1 (bsdf_sample's
+    # spec_eta_a/b); normalize to the kernel's eta_a/eta_b columns
+    is_spec = np.zeros(kinds.shape, bool)
+    for sk in SPEC_KINDS:
+        is_spec |= kinds == sk
+    ea = np.where(is_spec, fp[..., 0], fp[..., 2])
+    eb = np.where(is_spec, fp[..., 1], fp[..., 3])
+    mat_eta = np.asarray(m["eta"])[safe_mat]  # Bsdf eta for etaScale RR
 
     t_count = p0.shape[0]
     table = np.zeros((t_count, 16 + 16 * LOBES_MAX), np.float32)
@@ -195,8 +221,9 @@ def pack_scene(ctx):
         table[:, base + 10] = au[:, l]
         table[:, base + 11] = av[:, l]
         table[:, base + 12] = fres[:, l].astype(np.float32)
-        table[:, base + 13] = fp[:, l, 2]
-        table[:, base + 14] = fp[:, l, 3]
+        table[:, base + 13] = ea[:, l]
+        table[:, base + 14] = eb[:, l]
+    table[:, 31] = mat_eta  # lobe-0 pad column carries the Bsdf eta
 
     lights_p = tuple(
         tuple(float(v) for v in row) for row in np.asarray(ctx.lights.p)
@@ -218,17 +245,29 @@ def pack_scene(ctx):
     return jnp.asarray(table), lights_p, lights_emit, kinds_present, max_lobes
 
 
+def _has_spec(kinds_present):
+    return any(k in kinds_present for k in SPEC_KINDS)
+
+
+def _has_spec_trans(kinds_present):
+    return (LOBE_SPEC_TRANS in kinds_present) or (
+        LOBE_FRESNEL_SPEC in kinds_present
+    )
+
+
 def _attr_cols(kinds_present, max_lobes):
     """Table columns the specialized kernel actually needs."""
-    has_mf = LOBE_MF_REFL in kinds_present
+    has_full = LOBE_MF_REFL in kinds_present or _has_spec(kinds_present)
     mixed = len(kinds_present) > 1
     cols = [9, 10, 11, 12, 13, 14, 15]  # ng, dpdu, n_lobes
+    if _has_spec_trans(kinds_present):
+        cols.append(31)  # Bsdf eta (etaScale RR)
     for l in range(max_lobes):
         base = 16 + 16 * l
         if mixed:
             cols.append(base + 0)  # kind
         cols.extend([base + 1, base + 2, base + 3])  # s0
-        if has_mf:
+        if has_full:
             cols.extend(range(base + 4, base + 15))  # s1,s2,au,av,fres,etas
     return tuple(cols)
 
@@ -420,11 +459,31 @@ def _fresnel_k(lob, cos_i):
     return out
 
 
+def _spec_mask(lob, kinds_present):
+    """Per-lane mask: is this lobe a specular kind (f/pdf contribute 0 to
+    NEE evaluation, lobe_f semantics)?"""
+    present = [k for k in SPEC_KINDS if k in kinds_present]
+    if not present:
+        return None
+    if not isinstance(lob["kind"], int):
+        m = jnp.zeros_like(lob["kind"], bool)
+        for k in present:
+            m = m | (lob["kind"] == k)
+        return m
+    return True if lob["kind"] in SPEC_KINDS else None
+
+
 def _lobe_f_k(lob, wox, woy, woz, wix, wiy, wiz, kinds_present):
     """lobe_f for LAMBERT_REFL / MF_REFL on local-frame components;
-    returns (fr, fg, fb).  (bsdf/eval.py lobe_f subset.)  Branches for
-    kinds absent from the scene are pruned at trace time."""
+    returns (fr, fg, fb).  Specular kinds evaluate to 0 (lobe_f
+    semantics).  (bsdf/eval.py lobe_f subset.)  Branches for kinds absent
+    from the scene are pruned at trace time."""
+    sm = _spec_mask(lob, kinds_present)
+    if sm is True:
+        return (jnp.zeros_like(wox),) * 3
     lam = tuple(lob["s0"][c] / PI for c in range(3))
+    if sm is not None:
+        lam = tuple(jnp.where(sm, 0.0, v) for v in lam)
     if LOBE_MF_REFL not in kinds_present:
         return lam
 
@@ -450,17 +509,25 @@ def _lobe_f_k(lob, wox, woy, woz, wix, wiy, wiz, kinds_present):
     mf = tuple(
         jnp.where(ok, lob["s0"][c] * fr3[c] * scale, 0.0) for c in range(3)
     )
-    if LOBE_LAMBERT_REFL not in kinds_present:
+    if LOBE_LAMBERT_REFL not in kinds_present and sm is None:
         return mf
     is_mf = lob["kind"] == LOBE_MF_REFL
-    return tuple(jnp.where(is_mf, mf[c], lam[c]) for c in range(3))
+    out = tuple(jnp.where(is_mf, mf[c], lam[c]) for c in range(3))
+    if sm is not None:
+        out = tuple(jnp.where(sm, 0.0, v) for v in out)
+    return out
 
 
 def _lobe_pdf_k(lob, wox, woy, woz, wix, wiy, wiz, kinds_present):
     """lobe_pdf for the two kinds (visible-normal TR; cosine lambert),
-    statically pruned like _lobe_f_k."""
+    statically pruned like _lobe_f_k.  Specular kinds -> 0."""
+    sm = _spec_mask(lob, kinds_present)
+    if sm is True:
+        return jnp.zeros_like(wox)
     same = (woz * wiz) > 0.0
     cos_pdf = jnp.where(same, jnp.abs(wiz) / PI, 0.0)
+    if sm is not None:
+        cos_pdf = jnp.where(sm, 0.0, cos_pdf)
     if LOBE_MF_REFL not in kinds_present:
         return cos_pdf
     whx, why, whz = wox + wix, woy + wiy, woz + wiz
@@ -475,9 +542,12 @@ def _lobe_pdf_k(lob, wox, woy, woz, wix, wiy, wiz, kinds_present):
         d_val / (1.0 + lam_o) * jnp.abs(dot_owh) / jnp.maximum(jnp.abs(woz), 1e-20)
     )
     mf_pdf = jnp.where(same, pdf_wh / jnp.maximum(4.0 * dot_owh, 1e-20), 0.0)
-    if LOBE_LAMBERT_REFL not in kinds_present:
+    if LOBE_LAMBERT_REFL not in kinds_present and sm is None:
         return mf_pdf
-    return jnp.where(lob["kind"] == LOBE_MF_REFL, mf_pdf, cos_pdf)
+    out = jnp.where(lob["kind"] == LOBE_MF_REFL, mf_pdf, cos_pdf)
+    if sm is not None:
+        out = jnp.where(sm, 0.0, out)
+    return out
 
 
 def _tr_sample_wh_k(wox, woy, woz, au, av, u0, u1):
@@ -599,12 +669,16 @@ def _bounce_loop(
 ):
     n_lights = len(lights_p)
     has_mf = LOBE_MF_REFL in kinds_present
+    has_spec = _has_spec(kinds_present)
+    has_st = _has_spec_trans(kinds_present)
+    has_full = has_mf or has_spec
     mixed = len(kinds_present) > 1
     attr_cols = _attr_cols(kinds_present, max_lobes)
     one = jnp.ones(ox.shape, jnp.float32)
     zero = jnp.zeros(ox.shape, jnp.float32)
     br, bg, bb = one, one, one
     Lr, Lg, Lb = zero, zero, zero
+    es = one  # etaScale (path.rs:150-163); stays 1 without spec-trans
 
     # range(max_depth), not max_depth+1: the subset has no infinite lights,
     # so the loop's final intersect (escape-le collection in li_path) would
@@ -617,8 +691,11 @@ def _bounce_loop(
         ngx, ngy, ngz = out[1], out[2], out[3]
         dux, duy, duz = out[4], out[5], out[6]
         n_lob = out[7].astype(jnp.int32)
-        lobs = []
         cur = 8
+        if has_st:
+            mat_eta = out[cur]  # Bsdf eta (table col 31)
+            cur += 1
+        lobs = []
         zero_k = jnp.zeros(ox.shape, jnp.float32)
         for l in range(max_lobes):
             lob = {}
@@ -629,7 +706,7 @@ def _bounce_loop(
                 lob["kind"] = kinds_present[0]
             lob["s0"] = (out[cur], out[cur + 1], out[cur + 2])
             cur += 3
-            if has_mf:
+            if has_full:
                 lob["s1"] = (out[cur], out[cur + 1], out[cur + 2])
                 lob["s2"] = (out[cur + 3], out[cur + 4], out[cur + 5])
                 lob["au"] = out[cur + 6]
@@ -771,11 +848,16 @@ def _bounce_loop(
             u0 = jnp.minimum(ub0, ONE_MINUS_EPSILON)
             lob_c = lobs[0]
         u1 = ub1
-        is_mf_c = (
-            lob_c["kind"] == LOBE_MF_REFL
-            if mixed
-            else (kinds_present[0] == LOBE_MF_REFL)
-        )
+        kind_c = lob_c["kind"]
+
+        def k_is(k):
+            # static python bool when the scene has a single lobe kind
+            return (kind_c == k) if not isinstance(kind_c, int) else (kind_c == k)
+
+        is_mf_c = k_is(LOBE_MF_REFL)
+        is_sr_c = k_is(LOBE_SPEC_REFL)
+        is_st_c = k_is(LOBE_SPEC_TRANS)
+        is_fs_c = k_is(LOBE_FRESNEL_SPEC)
 
         # lambert candidate: cosine hemisphere in wo's half-space
         if LOBE_LAMBERT_REFL in kinds_present:
@@ -792,23 +874,115 @@ def _bounce_loop(
             mry = 2.0 * dot_owh * hy - wol_y
             mrz = 2.0 * dot_owh * hz - wo_z
             mr_ok = (dot_owh >= 0.0) & ((wo_z * mrz) > 0.0) & (wo_z != 0.0)
+        # specular candidates (reflection.rs:638-649, 686-715, 755-797)
+        if has_spec:
+            ea_c, eb_c = lob_c["eta_a"], lob_c["eta_b"]
+            srx, sry, srz = -wol_x, -wol_y, wo_z
+        if has_st:
+            entering = wo_z > 0.0
+            ei = jnp.where(entering, ea_c, eb_c)
+            et = jnp.where(entering, eb_c, ea_c)
+            eta_rel = ei / jnp.maximum(et, 1e-9)
+            abs_cz = jnp.abs(wo_z)
+            sin2_t = eta_rel * eta_rel * jnp.maximum(0.0, 1.0 - abs_cz * abs_cz)
+            st_ok = sin2_t < 1.0
+            cos_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin2_t))
+            nz_sign = jnp.where(entering, 1.0, -1.0)
+            stx = -eta_rel * wol_x
+            sty = -eta_rel * wol_y
+            stz = -eta_rel * wo_z + (eta_rel * abs_cz - cos_t) * nz_sign
+            scale_t = (ei * ei) / jnp.maximum(et * et, 1e-20)
+        if LOBE_FRESNEL_SPEC in kinds_present:
+            fr_fs = _fr_dielectric_k(wo_z, ea_c, eb_c)
+            fs_reflect = u0 < fr_fs
 
-        if not has_mf:
-            wsx, wsy, wsz = dxo, dyo, z_cos
-        elif LOBE_LAMBERT_REFL not in kinds_present:
-            wsx, wsy, wsz = mrx, mry, mrz
-        else:
-            wsx = jnp.where(is_mf_c, mrx, dxo)
-            wsy = jnp.where(is_mf_c, mry, dyo)
-            wsz = jnp.where(is_mf_c, mrz, z_cos)
+        # select the sampled direction by the chosen lobe's kind
+        wsx = wsy = wsz = None
+
+        def _put(mask, vx, vy, vz):
+            nonlocal wsx, wsy, wsz
+            if mask is False:
+                return
+            if wsx is None or mask is True:
+                wsx, wsy, wsz = vx, vy, vz
+                return
+            wsx = jnp.where(mask, vx, wsx)
+            wsy = jnp.where(mask, vy, wsy)
+            wsz = jnp.where(mask, vz, wsz)
+
+        if LOBE_LAMBERT_REFL in kinds_present:
+            _put(
+                k_is(LOBE_LAMBERT_REFL) if (mixed or has_spec) else True,
+                dxo, dyo, z_cos,
+            )
+        if has_mf:
+            _put(is_mf_c if mixed else True, mrx, mry, mrz)
+        if LOBE_SPEC_REFL in kinds_present:
+            _put(is_sr_c if mixed else True, srx, sry, srz)
+        if LOBE_SPEC_TRANS in kinds_present:
+            _put(is_st_c if mixed else True, stx, sty, stz)
+        if LOBE_FRESNEL_SPEC in kinds_present:
+            fsx = jnp.where(fs_reflect, srx, stx)
+            fsy = jnp.where(fs_reflect, sry, sty)
+            fsz = jnp.where(fs_reflect, srz, stz)
+            _put(is_fs_c if mixed else True, fsx, fsy, fsz)
+
         fs = _lobe_f_k(lob_c, wol_x, wol_y, wo_z, wsx, wsy, wsz, kinds_present)
         pdf = _lobe_pdf_k(lob_c, wol_x, wol_y, wo_z, wsx, wsy, wsz, kinds_present)
         if has_mf:
             # invalid microfacet sample -> f = 0 (eval.py bsdf_sample gate)
             dead_mf = is_mf_c & ~mr_ok
             fs = tuple(jnp.where(dead_mf, 0.0, fc) for fc in fs)
+
+        def _ovr_f(mask, new_f):
+            return tuple(
+                new_f[c] if mask is True else jnp.where(mask, new_f[c], fs[c])
+                for c in range(3)
+            )
+
+        def _ovr_p(mask, new_p):
+            return new_p if mask is True else jnp.where(mask, new_p, pdf)
+
+        if has_spec:
+            aci = jnp.maximum(jnp.abs(wsz), 1e-20)
+        if LOBE_SPEC_REFL in kinds_present:
+            # f = Fr(wi_z) * R / |cos| (reflection.rs:646-648), pdf = 1
+            fr3 = _fresnel_k(lob_c, wsz)
+            f_sr = tuple(lob_c["s0"][c] * fr3[c] / aci for c in range(3))
+            fs = _ovr_f(is_sr_c, f_sr)
+            pdf = _ovr_p(is_sr_c, jnp.ones_like(pdf))
+        if LOBE_SPEC_TRANS in kinds_present:
+            # f = T (1-Fr(wi_z)) (eta_i^2/eta_t^2) / |cos| (radiance mode)
+            fr_t = _fr_dielectric_k(wsz, ea_c, eb_c)
+            f_st3 = tuple(
+                jnp.where(st_ok, lob_c["s0"][c] * (1.0 - fr_t) * scale_t / aci, 0.0)
+                for c in range(3)
+            )
+            fs = _ovr_f(is_st_c, f_st3)
+            pdf = _ovr_p(is_st_c, jnp.where(st_ok, 1.0, 0.0))
+        if LOBE_FRESNEL_SPEC in kinds_present:
+            # reflect branch: R Fr / |cos| with pdf Fr; transmit branch:
+            # T (1-Fr)(eta_i^2/eta_t^2)/|cos| with pdf 1-Fr
+            f_fs3 = tuple(
+                jnp.where(
+                    fs_reflect,
+                    lob_c["s0"][c] * fr_fs / aci,
+                    jnp.where(
+                        st_ok,
+                        lob_c["s1"][c] * (1.0 - fr_fs) * scale_t / aci,
+                        0.0,
+                    ),
+                )
+                for c in range(3)
+            )
+            fs = _ovr_f(is_fs_c, f_fs3)
+            pdf = _ovr_p(
+                is_fs_c, jnp.where(fs_reflect, fr_fs, 1.0 - fr_fs)
+            )
         # REFERENCE_QUIRKS: pdf accumulation gate is !is_reflection —
-        # every subset lobe reflects, so only the 1/matching average
+        # every multi-lobe-capable subset lobe reflects (supports()
+        # forbids transmission lobes in stacks), so only the 1/matching
+        # average applies
         if max_lobes > 1:
             pdf = jnp.where(
                 matching > 1, pdf / matching.astype(jnp.float32), pdf
@@ -829,6 +1003,28 @@ def _bounce_loop(
         bb = jnp.where(ok, bb * fs[2] * inv_pdf, bb)
         active = active & ok
 
+        # etaScale tracking (path.rs:150-163)
+        if has_st:
+            spec_trans_sampled = is_st_c
+            if LOBE_FRESNEL_SPEC in kinds_present:
+                fs_trans = (
+                    ~fs_reflect if is_fs_c is True else (is_fs_c & ~fs_reflect)
+                )
+                spec_trans_sampled = (
+                    fs_trans
+                    if spec_trans_sampled is False
+                    else spec_trans_sampled | fs_trans
+                )
+            e2 = mat_eta * mat_eta
+            eta_fac = jnp.where(wo_z > 0.0, e2, 1.0 / jnp.maximum(e2, 1e-20))
+            if spec_trans_sampled is not False:
+                upd = active & (
+                    spec_trans_sampled
+                    if spec_trans_sampled is not True
+                    else jnp.ones_like(active)
+                )
+                es = jnp.where(upd, es * eta_fac, es)
+
         # next ray: offset along ng by sampled direction side
         wi_ng2 = _dot3(nwx, nwy, nwz, ngx, ngy, ngz)
         off2 = jnp.where(wi_ng2 < 0.0, -eps, eps)
@@ -839,9 +1035,9 @@ def _bounce_loop(
         dy = jnp.where(active, nwy, dy)
         dz = jnp.where(active, nwz, dz)
 
-        # ---- Russian roulette (path.rs:212-222); eta_scale == 1 here ----
+        # ---- Russian roulette (path.rs:212-222) on beta * etaScale ----
         if bounce > 3:
-            beta_max = jnp.maximum(br, jnp.maximum(bg, bb))
+            beta_max = jnp.maximum(br, jnp.maximum(bg, bb)) * es
             do_rr = active & (beta_max < rr_threshold)
             q = jnp.maximum(0.05, 1.0 - beta_max)
             u_rr = _sampler_dims(

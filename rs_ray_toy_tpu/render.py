@@ -114,6 +114,10 @@ def render_job(
     )
 
     integrator = job.integrator
+    if ctx.n_channels != 3 and integrator.kind not in ("path", "debug", "direct"):
+        raise NotImplementedError(
+            f"spectral mode: {integrator.kind} integrator not wired"
+        )
 
     # camera ray differentials feed filtered texture lookups at primary
     # hits; only worth the 3x primary raygen when filtered textures exist
@@ -126,6 +130,7 @@ def render_job(
     # fused Pallas bounce loop when the scene fits its subset (the whole
     # path loop runs in VMEM; ~10x less HBM traffic than the jnp loop)
     mega_packed = None
+    direct_packed = None
     if (
         integrator.kind == "path"
         and not want_diff
@@ -137,9 +142,27 @@ def render_job(
         if pmk.supports(ctx, integrator, sampler, None):
             mega_packed = pmk.pack_scene(ctx)
             mega_cam = pmk.pack_camera(cam)
+    if (
+        integrator.kind in ("debug", "direct")
+        and not want_diff
+        and os.environ.get("RS_MEGAKERNEL", "1") != "0"
+    ):
+        from .ops import direct_megakernel as dmk
+
+        if dmk.supports_direct(ctx, integrator, sampler, None):
+            direct_packed = dmk.pack_direct(ctx, integrator)
 
     def li_fn(o, d, weight, s_idx_arr, diff=None):
         if integrator.kind in ("debug", "direct"):
+            if direct_packed is not None and diff is None:
+                from .ops import direct_megakernel as dmk
+                import jax as _jax
+
+                return dmk.li_levels_mega(
+                    ctx, direct_packed, o, d, weight, sampler, pixel_id,
+                    s_idx_arr, integrator,
+                    interpret=_jax.default_backend() == "cpu",
+                )
             return li_levels(
                 ctx, o, d, weight, sampler, pixel_id, s_idx_arr, integrator, diff=diff
             )
@@ -198,6 +221,13 @@ def render_job(
                 diff = None
             l = li_fn(o, d, weight, s_idx_arr, diff)
         l = scrub_radiance(l)
+        if ctx.n_channels != 3:
+            # sampled-spectral: reduce to tristimulus at the film
+            # (film.rs add_sample calls to_xyz; xyz->rgb here is the same
+            # linear reduction, film stays 3-wide)
+            from .core import spectral as _sp
+
+            l = _sp.to_rgb(l)
         l = jnp.where((weight > 0.0)[:, None], l, 0.0)
         return fmod.add_samples(film, film_spec, p_film, l, weight, aligned=True)
 
@@ -257,5 +287,5 @@ def render_job(
         "camera_rays": n_rays,
         "mrays_per_s": stats.mrays_per_s,
         "stats": stats,
-        "render_path": "megakernel" if mega_packed is not None else "jnp",
+        "render_path": "megakernel" if (mega_packed is not None or direct_packed is not None) else "jnp",
     }

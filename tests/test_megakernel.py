@@ -18,15 +18,24 @@ import pytest
 SAMPLES = "/root/reference/samples"
 
 
-def _make_job(material="mat_matte"):
+def _make_job(material="mat_matte", extra_materials=(), split_first=None):
+    """split_first: material name for the FIRST cube instance (the other
+    two keep `material`) — lets specular cubes see diffuse neighbors."""
     from rs_ray_toy_tpu.scene.loader import load_scene
     from rs_ray_toy_tpu.integrators.common import SceneCtx
 
     cfg = json.load(open(os.path.join(SAMPLES, "scene.json")))
     cfg["Film"]["xres"], cfg["Film"]["yres"] = 64, 36
     cfg["Integrator"] = {"integrator_type": "Path", "max_depth": 5}
+    cfg["materials"].extend(extra_materials)
     for prim in cfg["Aggregate"]["primitives"]:
         prim["material_name"] = material
+    if split_first is not None:
+        prim = cfg["Aggregate"]["primitives"][0]
+        inst = prim["instances"]
+        first = dict(prim, material_name=split_first, instances=[inst[0]])
+        prim["instances"] = inst[1:]
+        cfg["Aggregate"]["primitives"].insert(0, first)
     td = tempfile.mkdtemp()
     shutil.copy(os.path.join(SAMPLES, "cube.obj"), td)
     path = os.path.join(td, "s.json")
@@ -58,6 +67,23 @@ def test_supports_rejects_unsupported(bench_ctx):
 
     assert not supports(ctx, FakeSpec(), None, None)
     assert not supports(ctx, job.integrator, None, object())  # diff present
+
+
+MIRROR_MAT = {"material_type": "MirrorMaterial", "material_name": "mat_mirror"}
+GLASS_MAT = {
+    "material_type": "GlassMaterial",
+    "material_name": "mat_glass",
+    "eta": 1.5,
+}
+
+
+def _spec_job(spec_mat):
+    """One specular cube in front of two matte ones + 3 point lights."""
+    return _make_job(
+        "mat_matte",
+        extra_materials=[MIRROR_MAT, GLASS_MAT],
+        split_first=spec_mat,
+    )
 
 
 @pytest.mark.parametrize("material", ["mat_matte", "mat_plastic", "mat_metal"])
@@ -103,6 +129,51 @@ def test_radiance_matches_jnp_loop(material):
     frac_diverged = float((rel.max(-1) > 1e-3).mean())
     assert frac_diverged < 5e-3, f"{frac_diverged:.2%} of rays diverged"
     assert float(np.quantile(rel, 0.99)) < 1e-5, "bulk not bit-level"
+    assert abs(l_mega.mean() - l_ref.mean()) < 1e-6 + 3e-3 * abs(l_ref.mean())
+
+
+@pytest.mark.parametrize("spec_mat", ["mat_mirror", "mat_glass"])
+def test_specular_radiance_matches_jnp_loop(spec_mat):
+    """Mirror/glass cubes: the specular lobes (SPEC_REFL / FRESNEL_SPEC)
+    + etaScale RR must reproduce the jnp estimator exactly."""
+    from rs_ray_toy_tpu.ops.path_megakernel import (
+        pack_scene,
+        li_path_mega,
+        supports,
+    )
+    from rs_ray_toy_tpu.integrators.path import li_path
+    from rs_ray_toy_tpu.camera.realistic import RealisticCamera
+    from rs_ray_toy_tpu.sampler.stratified import StratifiedSampler
+
+    job, ctx = _spec_job(spec_mat)
+    assert supports(ctx, job.integrator, None, None), spec_mat
+    cam = RealisticCamera(job.camera, job.film, pupil_samples=1 << 10)
+    sampler = StratifiedSampler(job.sampler, seed=0)
+
+    n = 64 * 36
+    pid = jnp.arange(n, dtype=jnp.uint32)
+    px = jnp.stack([(pid % 64) + 0.5, (pid // 64) + 0.5], -1).astype(jnp.float32)
+    s_idx = jnp.zeros((n,), jnp.uint32)
+    u_lens = sampler.get_2d(pid, s_idx, 1)
+    o, d, w = cam.generate_rays(px, u_lens)
+
+    l_ref = np.asarray(
+        li_path(ctx, o, d, w, sampler, pid, s_idx, job.integrator)
+    )
+    packed = pack_scene(ctx)
+    l_mega = np.asarray(
+        li_path_mega(
+            ctx, packed, o, d, w, sampler, pid, s_idx, job.integrator,
+            interpret=True,
+        )
+    )
+    assert np.isfinite(l_mega).all()
+    assert l_ref.max() > 0  # the specular scene is actually lit
+    denom = np.maximum(np.abs(l_ref), 1e-3)
+    rel = np.abs(l_mega - l_ref) / denom
+    frac_diverged = float((rel.max(-1) > 1e-3).mean())
+    assert frac_diverged < 5e-3, f"{frac_diverged:.2%} of rays diverged"
+    assert float(np.quantile(rel, 0.99)) < 1e-4, "bulk not bit-level"
     assert abs(l_mega.mean() - l_ref.mean()) < 1e-6 + 3e-3 * abs(l_ref.mean())
 
 
@@ -185,3 +256,71 @@ def test_supports_rejects_smooth_shading_normals(bench_ctx):
     ctx_smooth.__dict__.update(ctx.__dict__)
     ctx_smooth.tri = smooth_tri
     assert not supports(ctx_smooth, job.integrator, None, None)
+
+
+@pytest.mark.parametrize(
+    "integ,material",
+    [
+        ("Debug", "mat_matte"),
+        ("Debug", "mat_debug"),
+        ("DirectLighting", "mat_matte"),
+        ("DirectLighting", "mat_plastic"),
+    ],
+)
+def test_direct_radiance_matches_jnp_levels(integ, material):
+    """The Debug/DirectLighting chain kernel must reproduce li_levels
+    exactly on the chain subset (no specular transmission)."""
+    import dataclasses
+
+    from rs_ray_toy_tpu.ops.direct_megakernel import (
+        pack_direct,
+        li_levels_mega,
+        supports_direct,
+    )
+    from rs_ray_toy_tpu.integrators.direct import li_levels
+    from rs_ray_toy_tpu.camera.realistic import RealisticCamera
+    from rs_ray_toy_tpu.sampler.stratified import StratifiedSampler
+    from rs_ray_toy_tpu.scene.loader import load_scene
+    from rs_ray_toy_tpu.integrators.common import SceneCtx
+
+    cfg = json.load(open(os.path.join(SAMPLES, "scene.json")))
+    cfg["Film"]["xres"], cfg["Film"]["yres"] = 64, 36
+    cfg["Integrator"] = {"integrator_type": integ, "max_depth": 4}
+    for prim in cfg["Aggregate"]["primitives"]:
+        prim["material_name"] = material
+    td = tempfile.mkdtemp()
+    shutil.copy(os.path.join(SAMPLES, "cube.obj"), td)
+    path = os.path.join(td, "s.json")
+    json.dump(cfg, open(path, "w"))
+    job = load_scene(path)
+    ctx = SceneCtx(job.scene)
+
+    assert supports_direct(ctx, job.integrator, None, None)
+    cam = RealisticCamera(job.camera, job.film, pupil_samples=1 << 10)
+    sampler = StratifiedSampler(job.sampler, seed=0)
+
+    n = 64 * 36
+    pid = jnp.arange(n, dtype=jnp.uint32)
+    px = jnp.stack([(pid % 64) + 0.5, (pid // 64) + 0.5], -1).astype(jnp.float32)
+    s_idx = jnp.zeros((n,), jnp.uint32)
+    u_lens = sampler.get_2d(pid, s_idx, 1)
+    o, d, w = cam.generate_rays(px, u_lens)
+
+    l_ref = np.asarray(
+        li_levels(ctx, o, d, w, sampler, pid, s_idx, job.integrator)
+    )
+    packed = pack_direct(ctx, job.integrator)
+    l_mega = np.asarray(
+        li_levels_mega(
+            ctx, packed, o, d, w, sampler, pid, s_idx, job.integrator,
+            interpret=True,
+        )
+    )
+    assert np.isfinite(l_mega).all()
+    assert l_ref.max() > 0
+    denom = np.maximum(np.abs(l_ref), 1e-3)
+    rel = np.abs(l_mega - l_ref) / denom
+    frac_diverged = float((rel.max(-1) > 1e-3).mean())
+    assert frac_diverged < 5e-3, f"{frac_diverged:.2%} of rays diverged"
+    assert float(np.quantile(rel, 0.99)) < 1e-4, "bulk not bit-level"
+    assert abs(l_mega.mean() - l_ref.mean()) < 1e-6 + 3e-3 * abs(l_ref.mean())
