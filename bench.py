@@ -21,6 +21,39 @@ BASELINE_MRAYS = 50.0
 SCENE = "/root/reference/samples/scene.json"
 
 
+def _apply_material(scene_path, material, scene_tag):
+    """Rewrite the scene with every prim bound to `material` (mirror /
+    glass definitions appended when missing); returns (path, tag)."""
+    import tempfile
+    import shutil as _sh
+
+    cfg = json.load(open(scene_path))
+    names = {m.get("material_name") for m in cfg.get("materials", [])}
+    extra = {
+        "mat_mirror": {
+            "material_type": "MirrorMaterial", "material_name": "mat_mirror",
+        },
+        "mat_glass": {
+            "material_type": "GlassMaterial",
+            "material_name": "mat_glass",
+            "eta": 1.5,
+        },
+    }
+    if material in extra and material not in names:
+        cfg["materials"].append(extra[material])
+    for prim in cfg["Aggregate"]["primitives"]:
+        prim["material_name"] = material
+    td = tempfile.mkdtemp()
+    for aux in ("cube.obj", "s_01.png"):
+        src = os.path.join(os.path.dirname(scene_path), aux)
+        if os.path.exists(src):
+            _sh.copy(src, td)
+    out = os.path.join(td, "bench.json")
+    json.dump(cfg, open(out, "w"))
+    return out, scene_tag + "_" + material.removeprefix("mat_")
+
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -41,12 +74,38 @@ def main():
         n = int(os.environ.get("BENCH_GRID_N", "40"))
         scene_path = write_grid_scene(tempfile.mkdtemp(), ny=n, nz=n)
         scene_tag = f"grid{12 * n * n}tri"
-    job = load_scene(scene_path)
+    material = os.environ.get("BENCH_MATERIAL", "")
+    if material:
+        scene_path, scene_tag = _apply_material(scene_path, material, scene_tag)
     # benchmark the full 640x360 frame at the configured spp with the Path
     # integrator (BASELINE config 2; scene.json itself configures Debug —
-    # override via BENCH_INTEGRATOR=debug to bench that instead)
+    # override via BENCH_INTEGRATOR=debug to bench that instead).  The
+    # integrator is written into the scene BEFORE load: material lobe
+    # assembly depends on it (allow_multiple_lobes, renderprocess.rs
+    # passes it into compute_scattering_functions contexts)
     kind = os.environ.get("BENCH_INTEGRATOR", "path")
-    job.integrator.kind = kind
+    cfg_kind = {"path": "Path", "debug": "Debug", "direct": "DirectLighting",
+                "volpath": "Volpath"}.get(kind, "Path")
+    import tempfile as _tf
+    import shutil as _sh2
+
+    cfg = json.load(open(scene_path))
+    old = cfg.get("Integrator", {}) or {}
+    cfg["Integrator"] = {**old, "integrator_type": cfg_kind}
+    if os.environ.get("BENCH_FOG"):
+        # BASELINE config 4: homogeneous camera medium (VolPath)
+        cfg.setdefault("Camera", {})["medium"] = {
+            "medium_type": "Homogeneous", "g": 0.0,
+        }
+        scene_tag += "_fog"
+    td2 = _tf.mkdtemp()
+    for aux in ("cube.obj", "s_01.png"):
+        src = os.path.join(os.path.dirname(scene_path), aux)
+        if os.path.exists(src):
+            _sh2.copy(src, td2)
+    scene_path = os.path.join(td2, "bench.json")
+    json.dump(cfg, open(scene_path, "w"))
+    job = load_scene(scene_path)
     pupil = 1 << int(os.environ.get("BENCH_PUPIL_LOG2", "18"))
     try:
         res = render_job(job, spp_override=spp, pupil_samples=pupil)
@@ -59,7 +118,6 @@ def main():
               file=sys.stderr)
         os.environ["RS_MEGAKERNEL"] = "0"
         job = load_scene(scene_path)
-        job.integrator.kind = kind
         res = render_job(job, spp_override=spp, pupil_samples=pupil)
     value = res["mrays_per_s"]
     out_png = os.environ.get("BENCH_OUT", "")
@@ -74,6 +132,7 @@ def main():
                 "value": round(float(value), 3),
                 "unit": "Mrays/s",
                 "vs_baseline": round(float(value) / BASELINE_MRAYS, 4),
+                "spp": spp,
                 "path": res.get("render_path", "jnp"),
             }
         )

@@ -28,6 +28,12 @@ import jax
 import jax.numpy as jnp
 
 SELECT_MAX = 8
+# one-hot matmul costs O(N*M*K) MXU flops — a win over the serialized
+# ~20ns/row gather only while M is small.  At M=19200 (a real mesh's
+# shading table) the one-hot costs ~345 GFLOP per lookup batch (~160 ms
+# measured on the bench chip) vs ~5 ms for the gather.  Crossover:
+# gather ~ N*20ns; onehot ~ N*M*K/FLOPS -> M* ~ 20ns*FLOPS/K ~ O(10^3).
+ONEHOT_MAX = 1024
 
 
 def _select_chain(table, idx):
@@ -79,8 +85,10 @@ def take_rows(table, idx, strategy="auto"):
             strategy = "gather"
         elif table.shape[0] <= SELECT_MAX:
             strategy = "select"
-        else:
+        elif table.shape[0] <= ONEHOT_MAX:
             strategy = "onehot"
+        else:
+            strategy = "gather"
     if strategy == "gather":
         return jnp.take(table, idx, axis=0)
     if strategy == "select":
