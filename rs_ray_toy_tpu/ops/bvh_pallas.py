@@ -75,13 +75,83 @@ def pack_bvh_tables(bvh, tri):
     prims_f[:, 3:6] = p1 - p0
     prims_f[:, 6:9] = p2 - p0
     prims_i = order.reshape(p, 1)
+    nodes4_f, nodes4_i = pack_bvh4_tables(bvh)
     return {
         "nodes_f": jnp.asarray(nodes_f),
         "nodes_i": jnp.asarray(nodes_i),
+        "nodes4_f": nodes4_f,
+        "nodes4_i": nodes4_i,
         "prims_f": jnp.asarray(prims_f),
         "prims_i": jnp.asarray(prims_i),
         "max_leaf": int(bvh.max_leaf),
     }
+
+
+def pack_bvh4_tables(bvh):
+    """Collapse the binary flat BVH into 4-wide nodes (BVH4).
+
+    The scalar while-loop iteration is the packet kernel's dominant cost
+    on this hardware (each pop has a sequential SMEM/stack dependency);
+    a 4-ary tree tests four sibling AABBs per pop and handles leaf
+    children inline, cutting pops ~6x for ~2.5x per-pop vector work.
+
+    nodes4_f: (W, 24)  per child c: bmin.xyz, bmax.xyz  (cols 6c..6c+6)
+    nodes4_i: (W, 12)  per child c: kind (0 none / 1 interior / 2 leaf),
+                       a (wide-node id | prim offset), b (0 | n_prims)
+    Empty child slots carry an inverted AABB that never hits.
+    """
+    from collections import deque
+
+    bmin = np.asarray(bvh.bounds_min, np.float32)
+    bmax = np.asarray(bvh.bounds_max, np.float32)
+    off = np.asarray(bvh.offset, np.int64)
+    npr = np.asarray(bvh.n_prims, np.int64)
+
+    def collect(i):
+        """Up to 4 binary-node ids: the grandchildren where possible."""
+        if npr[i] > 0:
+            return [i]
+        out = []
+        for c in (i + 1, off[i]):
+            if npr[c] > 0:
+                out.append(c)
+            else:
+                out.extend([c + 1, off[c]])
+        return out
+
+    order = []
+    q = deque()
+
+    def alloc(bin_id):
+        order.append(bin_id)
+        q.append(bin_id)
+        return len(order) - 1
+
+    alloc(0)
+    rows_f, rows_i = [], []
+    while q:
+        b = q.popleft()
+        if npr[b] > 0:
+            kids = [b]  # degenerate: a leaf root becomes its own child
+        else:
+            kids = collect(b)
+        bf = np.zeros((4, 6), np.float32)
+        bi = np.zeros((4, 3), np.int32)
+        bf[:, 0:3] = 1e30
+        bf[:, 3:6] = -1e30
+        for c_ix, k in enumerate(kids):
+            bf[c_ix, 0:3] = bmin[k]
+            bf[c_ix, 3:6] = bmax[k]
+            if npr[k] > 0:
+                bi[c_ix] = (2, off[k], npr[k])
+            else:
+                bi[c_ix] = (1, alloc(k), 0)
+        rows_f.append(bf.reshape(-1))
+        rows_i.append(bi.reshape(-1))
+    return (
+        jnp.asarray(np.stack(rows_f)),
+        jnp.asarray(np.stack(rows_i)),
+    )
 
 
 def _inv_dir(d):
@@ -218,6 +288,158 @@ def _traverse_kernel(
     lax.while_loop(cond, body, (jnp.int32(1), jnp.int32(0)))
 
 
+def _traverse4_kernel(
+    nodes4_f_ref,
+    nodes4_i_ref,
+    prims_f_ref,
+    prims_i_ref,
+    ox_ref, oy_ref, oz_ref,
+    dx_ref, dy_ref, dz_ref,
+    tmax_ref,
+    tout_ref,
+    iout_ref,
+    stack_ref,
+    *,
+    max_leaf,
+    any_hit,
+):
+    """BVH4 packet traversal: per pop, test the 4 child AABBs, run leaf
+    children inline, and push hit interior children far-to-near (ordered
+    by the packet-minimum slab entry distance via a 4-element
+    compare-swap network)."""
+    ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
+    dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+    ix, iy, iz = _inv_dir(dx), _inv_dir(dy), _inv_dir(dz)
+    tout_ref[:] = tmax_ref[:]
+    iout_ref[:] = jnp.full(tout_ref.shape, -1, jnp.int32)
+
+    stack_ref[0] = jnp.int32(0)
+    BIG = jnp.float32(3.0e38)
+
+    def body(carry):
+        sp, done = carry
+        node = stack_ref[sp - 1]
+        sp = sp - 1
+        row_f = nodes4_f_ref[pl.ds(node, 1), :]  # (1, 24)
+        row_i = nodes4_i_ref[pl.ds(node, 1), :]  # (1, 12)
+
+        push_ids = []
+        push_flags = []
+        push_keys = []
+        for c in range(4):
+            kind = row_i[0, 3 * c]
+            a = row_i[0, 3 * c + 1]
+            b = row_i[0, 3 * c + 2]
+            bminx, bminy, bminz = (
+                row_f[0, 6 * c], row_f[0, 6 * c + 1], row_f[0, 6 * c + 2]
+            )
+            bmaxx, bmaxy, bmaxz = (
+                row_f[0, 6 * c + 3], row_f[0, 6 * c + 4], row_f[0, 6 * c + 5]
+            )
+            t_cur = tout_ref[:]
+            t0x = (bminx - ox) * ix
+            t1x = (bmaxx - ox) * ix
+            t0y = (bminy - oy) * iy
+            t1y = (bmaxy - oy) * iy
+            t0z = (bminz - oz) * iz
+            t1z = (bmaxz - oz) * iz
+            tn = jnp.maximum(
+                jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+                jnp.minimum(t0z, t1z),
+            )
+            tf = (
+                jnp.minimum(
+                    jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+                    jnp.maximum(t0z, t1z),
+                )
+                * 1.0000004
+            )
+            hit_c = (tn <= tf) & (tf > 0.0) & (tn < t_cur)
+            if any_hit:
+                hit_c = hit_c & (iout_ref[:] < 0)
+            any_c = jnp.any(hit_c)
+
+            @pl.when(any_c & (kind == 2))
+            def _leaf(hit_c=hit_c, off=a, npr=b):
+                for k in range(max_leaf):
+                    @pl.when(k < npr)
+                    def _prim(off=off, k=k, hit_c=hit_c):
+                        prow = prims_f_ref[pl.ds(off + k, 1), :]
+                        p0x, p0y, p0z = prow[0, 0], prow[0, 1], prow[0, 2]
+                        e1x, e1y, e1z = prow[0, 3], prow[0, 4], prow[0, 5]
+                        e2x, e2y, e2z = prow[0, 6], prow[0, 7], prow[0, 8]
+                        orig = prims_i_ref[off + k, 0]
+                        pvx = dy * e2z - dz * e2y
+                        pvy = dz * e2x - dx * e2z
+                        pvz = dx * e2y - dy * e2x
+                        det = e1x * pvx + e1y * pvy + e1z * pvz
+                        ok = jnp.abs(det) >= TRI_EPS
+                        inv = 1.0 / jnp.where(ok, det, 1.0)
+                        tvx, tvy, tvz = ox - p0x, oy - p0y, oz - p0z
+                        u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv
+                        qvx = tvy * e1z - tvz * e1y
+                        qvy = tvz * e1x - tvx * e1z
+                        qvz = tvx * e1y - tvy * e1x
+                        v = (dx * qvx + dy * qvy + dz * qvz) * inv
+                        t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv
+                        tb = tout_ref[:]
+                        upd = (
+                            hit_c
+                            & ok
+                            & (u >= 0.0) & (u <= 1.0)
+                            & (v >= 0.0) & (u + v <= 1.0)
+                            & (t >= TRI_EPS) & (t < tb)
+                        )
+                        if any_hit:
+                            iout_ref[:] = jnp.where(upd, orig, iout_ref[:])
+                        else:
+                            tout_ref[:] = jnp.where(upd, t, tb)
+                            iout_ref[:] = jnp.where(upd, orig, iout_ref[:])
+
+            is_int = any_c & (kind == 1)
+            push_ids.append(a)
+            push_flags.append(is_int)
+            push_keys.append(
+                jnp.min(jnp.where(hit_c & (kind == 1), tn, BIG))
+            )
+
+        # order interior pushes far-to-near (near pops first): 4-element
+        # compare-swap network on the packet-min entry distances
+        ids = list(push_ids)
+        fl = list(push_flags)
+        ky = list(push_keys)
+
+        def swap(i, j):
+            # after: slot i holds the FARTHER key (descending order)
+            lt = ky[i] < ky[j]
+            ky[i], ky[j] = (
+                jnp.where(lt, ky[j], ky[i]), jnp.where(lt, ky[i], ky[j])
+            )
+            ids[i], ids[j] = (
+                jnp.where(lt, ids[j], ids[i]), jnp.where(lt, ids[i], ids[j])
+            )
+            fl[i], fl[j] = (
+                jnp.where(lt, fl[j], fl[i]), jnp.where(lt, fl[i], fl[j])
+            )
+
+        swap(0, 1); swap(2, 3); swap(0, 2); swap(1, 3); swap(1, 2)
+        for s in range(4):
+            inc = jnp.where(fl[s], jnp.int32(1), jnp.int32(0))
+            sp_c = jnp.minimum(sp, STACK_DEPTH - 1)
+            stack_ref[sp_c] = jnp.where(fl[s], ids[s], stack_ref[sp_c])
+            sp = jnp.minimum(sp + inc, STACK_DEPTH)
+
+        if any_hit:
+            done = jnp.where(jnp.all(iout_ref[:] >= 0), jnp.int32(1), done)
+        return sp, done
+
+    def cond(carry):
+        sp, done = carry
+        return (sp > 0) & (done == 0)
+
+    lax.while_loop(cond, body, (jnp.int32(1), jnp.int32(0)))
+
+
 def _call(tables, o, d, t_max, any_hit, interpret):
     n = o.shape[0]
     pad = (-n) % (TILE_ROWS * LANES)
@@ -236,9 +458,21 @@ def _call(tables, o, d, t_max, any_hit, interpret):
         (TILE_ROWS, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
     whole = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
-    kernel = functools.partial(
-        _traverse_kernel, max_leaf=tables["max_leaf"], any_hit=any_hit
-    )
+    # BVH4 measured slower than binary on the bench chip (302 vs 254 ms on
+    # the 19200-tri grid): the kernel is VPU-bound, so 4 slab tests per pop
+    # do not pay for the fewer pops.  Kept as an option for healthier
+    # hardware where scalar-loop overhead dominates.
+    wide = os.environ.get("RS_BVH_WIDE", "0") == "1" and "nodes4_f" in tables
+    if wide:
+        kernel = functools.partial(
+            _traverse4_kernel, max_leaf=tables["max_leaf"], any_hit=any_hit
+        )
+        node_args = (tables["nodes4_f"], tables["nodes4_i"])
+    else:
+        kernel = functools.partial(
+            _traverse_kernel, max_leaf=tables["max_leaf"], any_hit=any_hit
+        )
+        node_args = (tables["nodes_f"], tables["nodes_i"])
     kwargs = {}
     if not interpret:
         # the XLA-side scoped-vmem default (16 MB) undercounts what a
@@ -260,7 +494,7 @@ def _call(tables, o, d, t_max, any_hit, interpret):
         interpret=interpret,
         **kwargs,
     )(
-        tables["nodes_f"], tables["nodes_i"], tables["prims_f"], tables["prims_i"],
+        *node_args, tables["prims_f"], tables["prims_i"],
         ox, oy, oz, dx, dy, dz, tm,
     )
     t_flat = t_out.reshape(-1)[:n]

@@ -113,3 +113,33 @@ def test_grid_scene_kernel_matches_jnp_traversal(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(hit_k.t)[hv], np.asarray(hit_j.t)[hv], rtol=1e-4
     )
+
+
+def test_blocked_order_film_equivalence(monkeypatch):
+    """Blocked camera-ray order (render.py packet-coherence layout) must
+    produce the identical film after host un-permutation — the sampler is
+    counter-based on raster pixel ids, so per-pixel radiance is
+    order-invariant."""
+    import json, shutil, tempfile
+
+    from rs_ray_toy_tpu.scene.gen import write_grid_scene
+    from rs_ray_toy_tpu.scene.loader import load_scene
+    from rs_ray_toy_tpu.render import render_job
+
+    monkeypatch.setenv("RS_BVH_PALLAS", "interp")
+    path = write_grid_scene(
+        tempfile.mkdtemp(), ny=6, nz=6, xres=48, yres=32, max_depth=2
+    )
+
+    outs = {}
+    for flag in ("1", "0"):
+        monkeypatch.setenv("RS_BLOCK_ORDER", flag)
+        job = load_scene(path)
+        outs[flag] = np.asarray(
+            render_job(job, spp_override=1, pupil_samples=1 << 10, seed=0)[
+                "rgb_srgb_input"
+            ]
+        )
+    assert np.isfinite(outs["1"]).all()
+    assert outs["1"].max() > 0
+    np.testing.assert_array_equal(outs["1"], outs["0"])
