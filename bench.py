@@ -38,6 +38,14 @@ def _apply_material(scene_path, material, scene_tag):
             "material_name": "mat_glass",
             "eta": 1.5,
         },
+        # BASELINE config 5: Disney subsurface (probe-chain BSSRDF)
+        "mat_sss": {
+            "material_type": "DisneyMaterial",
+            "material_name": "mat_sss",
+            "color": {"values": [0.8, 0.6, 0.4]},
+            "scatter_distance": {"values": [1.0, 0.8, 0.6]},
+            "roughness": 0.3,
+        },
     }
     if material in extra and material not in names:
         cfg["materials"].append(extra[material])
