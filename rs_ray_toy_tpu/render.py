@@ -75,7 +75,13 @@ def render_job(
     seed=0,
     resume_from=None,
     checkpoint_to=None,
+    stop_at_spp=None,
 ):
+    """Render `job`.  resume_from/checkpoint_to give interrupt/resume:
+    stop_at_spp renders only samples [resume_point, stop_at_spp) of the
+    FULL spp plan (the sampler's stratification depends on the total
+    spp, so a resumed render is bit-identical to the uninterrupted one
+    only when both use the same spp)."""
     film_spec = job.film
     cam = RealisticCamera(job.camera, film_spec, pupil_samples=pupil_samples)
     ctx = SceneCtx(job.scene)
@@ -277,6 +283,19 @@ def render_job(
     s_start = 0
     if resume_from:
         film0, s_start = load_checkpoint(resume_from)
+        if blocked_perm is not None:
+            # checkpoints store the raster layout (saved after
+            # un-permutation); re-block so the render loop's reshape-add
+            # lands on the right rows
+            def _block(a):
+                a = np.asarray(a)
+                flat = a.reshape(h * w, *a.shape[2:])
+                return jnp.asarray(flat[blocked_perm].reshape(a.shape))
+            film0 = fmod.FilmState(
+                xyz=_block(film0.xyz),
+                weight=_block(film0.weight),
+                splat_xyz=_block(film0.splat_xyz),
+            )
     else:
         film0 = fmod.make_film(film_spec)
     # AOT-compile outside the timed region (no extra execution)
@@ -287,10 +306,11 @@ def render_job(
     # device without running a single sample pass, so the timed region
     # measures render throughput, not one-time program upload
     jax.block_until_ready(compiled(film0, jnp.int32(0), jnp.int32(0)))
+    s_end = spp if stop_at_spp is None else min(int(stop_at_spp), spp)
     t0 = time.time()
     with maybe_profile():
         film = compiled(
-            film0, jnp.int32(s_start // k_spp), jnp.int32(spp // k_spp)
+            film0, jnp.int32(s_start // k_spp), jnp.int32(s_end // k_spp)
         )
         jax.block_until_ready(film)
     elapsed = time.time() - t0
@@ -313,10 +333,10 @@ def render_job(
         )
 
     if checkpoint_to:
-        save_checkpoint(checkpoint_to, film, spp)
+        save_checkpoint(checkpoint_to, film, s_end)
 
     rgb = fmod.to_rgb(film, film_spec, splat_scale=1.0)
-    n_rays = w * h * (spp - s_start)
+    n_rays = w * h * (s_end - s_start)
     stats = RenderStats(
         camera_rays=n_rays,
         elapsed_s=elapsed,
