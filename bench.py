@@ -28,7 +28,8 @@ def _apply_material(scene_path, material, scene_tag):
     import shutil as _sh
 
     cfg = json.load(open(scene_path))
-    names = {m.get("material_name") for m in cfg.get("materials", [])}
+    cfg.setdefault("materials", [])
+    names = {m.get("material_name") for m in cfg["materials"]}
     extra = {
         "mat_mirror": {
             "material_type": "MirrorMaterial", "material_name": "mat_mirror",

@@ -187,6 +187,11 @@ class MaterialTableBuilder:
             v = np.asarray(v, np.float64) * np.ones(3) if np.ndim(v) == 0 else np.asarray(v, np.float64)
             if C == 3 or v.shape[-1] == C:
                 return v
+            if v.min() == v.max():
+                # neutral constants (Spectrum::from(s)) are FLAT spectra in
+                # the reference, not Smits-lifted gray (which carries ~0.4%
+                # ripple): scale=1, metal R=1, glass kr/kt=1, zeros
+                return np.full(C, float(v[0]))
             import jax.numpy as _jnp
 
             from ..core import spectral as _sp

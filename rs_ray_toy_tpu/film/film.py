@@ -62,6 +62,18 @@ def _filter_eval(spec: FilmSpec, dx, dy):
     return jnp.where(inside, w, 0.0)
 
 
+def aligned_fast_path_ok(spec: "FilmSpec") -> bool:
+    """True when add_samples' aligned reshape-add fast path engages for a
+    full-grid batch: box filter fully inside one pixel.  render.py keys
+    the blocked camera-ray layout on this SAME predicate (the fast path
+    stores film rows in ray order; the scatter path is order-free)."""
+    return (
+        spec.filter_type == "BoxFilter"
+        and float(spec.filter_radius[0]) <= 0.5
+        and float(spec.filter_radius[1]) <= 0.5
+    )
+
+
 def add_samples(
     film: FilmState, spec: FilmSpec, p_film, radiance, sample_weight, aligned=False
 ):
@@ -79,9 +91,7 @@ def add_samples(
     rx, ry_ = float(spec.filter_radius[0]), float(spec.filter_radius[1])
     if (
         aligned
-        and spec.filter_type == "BoxFilter"
-        and rx <= 0.5
-        and ry_ <= 0.5
+        and aligned_fast_path_ok(spec)
         and p_film.shape[0] % (h * w) == 0
     ):
         if np.isfinite(spec.max_sample_luminance):

@@ -117,7 +117,14 @@ class SceneCtx:
             if int(self.tri.count) <= PALLAS_BVH_PRIM_MAX and (
                 not self._bvh_interpret or flag == "interp"
             ):
-                self.bvh_tables = pack_bvh_tables(self.bvh, self.tri)
+                tables = pack_bvh_tables(self.bvh, self.tri)
+                # the kernels clamp their traversal stack at STACK_DEPTH;
+                # deeper trees would silently drop subtrees — use the jnp
+                # traversal instead (binary pushes <=2/pop, BVH4 <=4)
+                from ..ops.bvh_pallas import STACK_DEPTH
+
+                if tables["depth"] * 2 + 4 <= STACK_DEPTH:
+                    self.bvh_tables = tables
         if self.use_pallas or int(self.tri.count) > 0:
             from ..ops.intersect_pallas import pack_triangles
 

@@ -76,6 +76,15 @@ def pack_bvh_tables(bvh, tri):
     prims_f[:, 6:9] = p2 - p0
     prims_i = order.reshape(p, 1)
     nodes4_f, nodes4_i = pack_bvh4_tables(bvh)
+    # host-side tree depth: the kernels clamp stack pushes at STACK_DEPTH,
+    # silently dropping subtrees on deeper trees — callers must fall back
+    # to the jnp traversal instead (SceneCtx gates on this)
+    depth = np.zeros(m, np.int32)
+    for i in range(m - 1, -1, -1):
+        if nodes_i[i, 1] > 0:
+            depth[i] = 1
+        else:
+            depth[i] = 1 + max(depth[i + 1], depth[nodes_i[i, 0]])
     return {
         "nodes_f": jnp.asarray(nodes_f),
         "nodes_i": jnp.asarray(nodes_i),
@@ -84,6 +93,7 @@ def pack_bvh_tables(bvh, tri):
         "prims_f": jnp.asarray(prims_f),
         "prims_i": jnp.asarray(prims_i),
         "max_leaf": int(bvh.max_leaf),
+        "depth": int(depth[0]),
     }
 
 

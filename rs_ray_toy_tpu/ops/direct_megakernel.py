@@ -76,40 +76,16 @@ _NEE_KINDS = (
 
 def supports_direct(ctx, spec, sampler, diff) -> bool:
     """Static host check for the Debug/DirectLighting chain kernel."""
+    from .path_megakernel import common_scene_checks
+
     if spec.kind not in ("debug", "direct") or diff is not None:
         return False
-    if getattr(ctx, "n_channels", 3) != 3:
-        return False  # spectral scenes use the jnp path
-    from ..sampler.stratified import StratifiedSampler
-    from .path_megakernel import _pow2
-
-    if sampler is not None:
-        if not isinstance(sampler, StratifiedSampler):
-            return False
-        if not (_pow2(sampler.spp) and _pow2(sampler.xs) and _pow2(sampler.ys)):
-            return False
     if spec.max_depth > DEPTH_MAX:
         return False
-    if int(ctx.sph.count) != 0 or not (0 < int(ctx.tri.count) <= TRI_MAX):
+    common = common_scene_checks(ctx, sampler)
+    if common is None:
         return False
-    has_n = np.asarray(ctx.tri.has_n).astype(bool)
-    if has_n.any():
-        ng = np.asarray(ctx.tri.ng)
-        for vn in (ctx.tri.n0, ctx.tri.n1, ctx.tri.n2):
-            if np.any(np.abs(np.asarray(vn)[has_n] - ng[has_n]) > 1e-6):
-                return False
-    if ctx.infinite_envs or ctx.mediums is not None:
-        return False
-    mats = ctx.mats
-    kinds = np.asarray(mats["kind"])
-    n_lobes = np.asarray(mats["n_lobes"])
-    tri_mat = np.asarray(ctx.tri.mat)
-    used = np.unique(tri_mat[tri_mat >= 0])
-    if used.size == 0:
-        return False
-    live = np.zeros_like(kinds, bool)
-    for i in used:
-        live[i, : int(n_lobes[i])] = True
+    kinds, n_lobes, live, used = common
     ok_kinds = np.zeros_like(kinds, bool)
     for k in _NEE_KINDS:
         ok_kinds |= kinds == k
@@ -120,33 +96,6 @@ def supports_direct(ctx, spec, sampler, diff) -> bool:
     for k in (LOBE_SPEC_TRANS, LOBE_FRESNEL_SPEC):
         if np.any(live & (kinds == k)):
             return False
-    is_mf = live & (kinds == LOBE_MF_REFL)
-    if np.any(np.asarray(mats["dist"])[is_mf] != DIST_TROWBRIDGE_REITZ):
-        return False
-    if np.any(~np.asarray(mats["sample_visible"])[is_mf]):
-        return False
-    fres = np.asarray(mats["fresnel"])
-    if np.any((fres[is_mf] < 0) | (fres[is_mf] > 2)):
-        return False
-    is_sr = live & (kinds == LOBE_SPEC_REFL)
-    if np.any((fres[is_sr] < 0) | (fres[is_sr] > 2)):
-        return False
-    from ..bsdf.eval import REFERENCE_QUIRKS
-
-    if not REFERENCE_QUIRKS:
-        return False
-    if np.any(np.asarray(mats["has_bssrdf"])[used]):
-        return False
-    if np.any(np.asarray(mats["bump_tex"])[used] >= 0):
-        return False
-    pi_ = np.asarray(mats["packed_i"])
-    if np.any(pi_[..., 6:11][live] >= 0):
-        return False
-    if np.any(np.abs(np.asarray(mats["scale"])[live] - 1.0) > 0):
-        return False
-    lk = np.asarray(ctx.lights.kind)
-    if lk.size == 0 or lk.size > LIGHT_MAX or np.any(lk != LIGHT_POINT):
-        return False
     return True
 
 
@@ -417,18 +366,11 @@ def _chain_loop(
                     kk: (
                         tuple(jnp.where(sel, vv[c], 0.0) for c in range(3))
                         if isinstance(vv, tuple)
-                        else (
-                            jnp.where(sel, vv, 0) if not isinstance(vv, int)
-                            else jnp.where(sel, vv, 0)
-                        )
+                        else jnp.where(sel, vv, 0)
                     )
                     for kk, vv in lobs[l].items()
                 }
-                m_kind = jnp.where(
-                    sel,
-                    k if isinstance(k, int) else k,
-                    0,
-                )
+                m_kind = jnp.where(sel, k, 0)
                 has_m = sel
             else:
                 for kk, vv in lobs[l].items():

@@ -67,27 +67,28 @@ def _pow2(n):
     return n > 0 and (n & (n - 1)) == 0
 
 
-def supports(ctx, spec, sampler, diff) -> bool:
-    """Static host check: can the megakernel render this job exactly?"""
-    if spec.kind != "path" or diff is not None:
-        return False
+def common_scene_checks(ctx, sampler):
+    """Host gates shared by BOTH megakernels (path + direct): RGB only,
+    in-VMEM stratified sampler, triangle-only VMEM-resident scene with
+    flat shading normals, no env/media, untextured/unbumped/unscaled
+    point-lit materials on the quirk-exact estimator.
+
+    Returns (kinds, n_lobes, live, used) or None when unsupported."""
     if getattr(ctx, "n_channels", 3) != 3:
-        return False  # spectral scenes use the jnp path
-    # the kernel evaluates the stratified sampler in-VMEM; its permutation
+        return None  # spectral scenes use the jnp path
+    # the kernels evaluate the stratified sampler in-VMEM; its permutation
     # needs power-of-two strata (integer div/mod by non-constants does not
     # lower to Mosaic)
     from ..sampler.stratified import StratifiedSampler
 
     if sampler is not None:
         if not isinstance(sampler, StratifiedSampler):
-            return False
+            return None
         if not (_pow2(sampler.spp) and _pow2(sampler.xs) and _pow2(sampler.ys)):
-            return False
-    if spec.max_depth > DEPTH_MAX:
-        return False
+            return None
     if int(ctx.sph.count) != 0 or not (0 < int(ctx.tri.count) <= TRI_MAX):
-        return False
-    # the kernel shades with ns == ng; reject meshes whose baked vertex
+        return None
+    # the kernels shade with ns == ng; reject meshes whose baked vertex
     # normals differ from the face normal (smooth shading — the jnp path
     # interpolates ns per hit, accel/geometry.py:230-236)
     has_n = np.asarray(ctx.tri.has_n).astype(bool)
@@ -95,9 +96,9 @@ def supports(ctx, spec, sampler, diff) -> bool:
         ng = np.asarray(ctx.tri.ng)
         for vn in (ctx.tri.n0, ctx.tri.n1, ctx.tri.n2):
             if np.any(np.abs(np.asarray(vn)[has_n] - ng[has_n]) > 1e-6):
-                return False
+                return None
     if ctx.infinite_envs or ctx.mediums is not None:
-        return False
+        return None
     mats = ctx.mats
     kinds = np.asarray(mats["kind"])
     n_lobes = np.asarray(mats["n_lobes"])
@@ -105,10 +106,53 @@ def supports(ctx, spec, sampler, diff) -> bool:
     tri_mat = np.asarray(ctx.tri.mat)
     used = np.unique(tri_mat[tri_mat >= 0])
     if used.size == 0:
-        return False
+        return None
     live = np.zeros_like(kinds, bool)
     for i in used:
         live[i, : int(n_lobes[i])] = True
+    # microfacet lobes: TR distribution with visible-normal sampling and
+    # dielectric/conductor/noop fresnel only (plastic.rs / metal.rs)
+    is_mf = live & (kinds == LOBE_MF_REFL)
+    if np.any(np.asarray(mats["dist"])[is_mf] != DIST_TROWBRIDGE_REITZ):
+        return None
+    if np.any(~np.asarray(mats["sample_visible"])[is_mf]):
+        return None
+    fres = np.asarray(mats["fresnel"])
+    if np.any((fres[is_mf] < 0) | (fres[is_mf] > 2)):
+        return None
+    is_sr = live & (kinds == LOBE_SPEC_REFL)
+    if np.any((fres[is_sr] < 0) | (fres[is_sr] > 2)):
+        return None
+    from ..bsdf.eval import REFERENCE_QUIRKS
+
+    if not REFERENCE_QUIRKS:
+        return None  # kernels implement the quirk-exact estimator only
+    if np.any(np.asarray(mats["has_bssrdf"])[used]):
+        return None
+    if np.any(np.asarray(mats["bump_tex"])[used] >= 0):
+        return None
+    pi_ = np.asarray(mats["packed_i"])  # tex ids live in cols 6..10
+    if np.any(pi_[..., 6:11][live] >= 0):
+        return None
+    # scale must be the identity (no ScaleTexture wrapping)
+    if np.any(np.abs(np.asarray(mats["scale"])[live] - 1.0) > 0):
+        return None
+    lk = np.asarray(ctx.lights.kind)
+    if lk.size == 0 or lk.size > LIGHT_MAX or np.any(lk != LIGHT_POINT):
+        return None
+    return kinds, n_lobes, live, used
+
+
+def supports(ctx, spec, sampler, diff) -> bool:
+    """Static host check: can the path megakernel render this job exactly?"""
+    if spec.kind != "path" or diff is not None:
+        return False
+    if spec.max_depth > DEPTH_MAX:
+        return False
+    common = common_scene_checks(ctx, sampler)
+    if common is None:
+        return False
+    kinds, n_lobes, live, used = common
     if np.any(n_lobes[used] > LOBES_MAX):
         return False
     ok_kinds = (kinds == LOBE_LAMBERT_REFL) | (kinds == LOBE_MF_REFL)
@@ -121,36 +165,6 @@ def supports(ctx, spec, sampler, diff) -> bool:
     # when the chosen lobe is non-reflective (reflection.rs:358-364)
     is_trans_lobe = (kinds == LOBE_SPEC_TRANS) | (kinds == LOBE_FRESNEL_SPEC)
     if np.any(is_trans_lobe & live & (n_lobes[:, None] > 1)):
-        return False
-    # microfacet lobes: TR distribution with visible-normal sampling and
-    # dielectric/conductor/noop fresnel only (plastic.rs / metal.rs)
-    is_mf = live & (kinds == LOBE_MF_REFL)
-    if np.any(np.asarray(mats["dist"])[is_mf] != DIST_TROWBRIDGE_REITZ):
-        return False
-    if np.any(~np.asarray(mats["sample_visible"])[is_mf]):
-        return False
-    fres = np.asarray(mats["fresnel"])
-    if np.any((fres[is_mf] < 0) | (fres[is_mf] > 2)):
-        return False
-    is_sr = live & (kinds == LOBE_SPEC_REFL)
-    if np.any((fres[is_sr] < 0) | (fres[is_sr] > 2)):
-        return False
-    from ..bsdf.eval import REFERENCE_QUIRKS
-
-    if not REFERENCE_QUIRKS:
-        return False  # kernel implements the quirk-exact estimator only
-    if np.any(np.asarray(mats["has_bssrdf"])[used]):
-        return False
-    if np.any(np.asarray(mats["bump_tex"])[used] >= 0):
-        return False
-    pi_ = np.asarray(mats["packed_i"])  # tex ids live in cols 6..10
-    if np.any(pi_[..., 6:11][live] >= 0):
-        return False
-    # scale must be the identity (no ScaleTexture wrapping)
-    if np.any(np.abs(np.asarray(mats["scale"])[live] - 1.0) > 0):
-        return False
-    lk = np.asarray(ctx.lights.kind)
-    if lk.size == 0 or lk.size > LIGHT_MAX or np.any(lk != LIGHT_POINT):
         return False
     return True
 
@@ -851,8 +865,9 @@ def _bounce_loop(
         kind_c = lob_c["kind"]
 
         def k_is(k):
-            # static python bool when the scene has a single lobe kind
-            return (kind_c == k) if not isinstance(kind_c, int) else (kind_c == k)
+            # python bool when kind_c is a static int (single lobe kind),
+            # a lane mask otherwise — same expression either way
+            return kind_c == k
 
         is_mf_c = k_is(LOBE_MF_REFL)
         is_sr_c = k_is(LOBE_SPEC_REFL)

@@ -117,15 +117,9 @@ def render_job(
     # tile shape itself is fixed by Mosaic's 8-row minimum).  The film is
     # accumulated in blocked layout and un-permuted once on host.
     blocked_perm = None
-    _aligned_film = (
-        film_spec.filter_type == "BoxFilter"
-        and float(film_spec.filter_radius[0]) <= 0.5
-        and float(film_spec.filter_radius[1]) <= 0.5
-    )  # must match add_samples' aligned fast-path gate: only that path
-    # stores film rows in ray order (the scatter path is order-free)
     if (
         ctx.bvh_tables is not None
-        and _aligned_film
+        and fmod.aligned_fast_path_ok(film_spec)
         and os.environ.get("RS_BLOCK_ORDER", "1") != "0"
     ):
         BS = 32
@@ -283,6 +277,12 @@ def render_job(
     s_start = 0
     if resume_from:
         film0, s_start = load_checkpoint(resume_from)
+        if s_start % k_spp:
+            raise ValueError(
+                f"checkpoint cursor {s_start} is not a multiple of the "
+                f"samples-per-pass k_spp={k_spp} (RS_SAMPLES_PER_PASS "
+                "differs between save and resume?)"
+            )
         if blocked_perm is not None:
             # checkpoints store the raster layout (saved after
             # un-permutation); re-block so the render loop's reshape-add
@@ -307,6 +307,8 @@ def render_job(
     # measures render throughput, not one-time program upload
     jax.block_until_ready(compiled(film0, jnp.int32(0), jnp.int32(0)))
     s_end = spp if stop_at_spp is None else min(int(stop_at_spp), spp)
+    # only whole k_spp passes execute; record the truly-rendered cursor
+    s_end = (s_end // k_spp) * k_spp if s_end < spp else spp
     t0 = time.time()
     with maybe_profile():
         film = compiled(
