@@ -195,9 +195,14 @@ def gather_lobes(mats, tex_vals, mat_id, static_kinds=None):
     C = int(mats.get("n_channels", 3))
     pf = take_rows(mats["packed_f"], mat_id)  # (N, L, 4C+4)
     pi_ = take_rows(mats["packed_i"], mat_id)  # (N, L, 12)
+    import numpy as _np
+
     out = {
         "_kinds": static_kinds,
         "_C": C,
+        # static fact: does any lobe use the Beckmann distribution?
+        # (prunes the Beckmann wh sampler from the trace otherwise)
+        "_has_beckmann": bool(_np.any(_np.asarray(mats["dist"]) == DIST_BECKMANN)),
         "kind": pi_[..., 0],
         "flags": pi_[..., 1],
         "s0": pf[..., 0:C],
@@ -845,6 +850,17 @@ def _lobe_sample(p, wo, u, mode_radiance=True):
     if need_mf:
         wh_vis = mf.tr_sample_wh_visible(wo, p["alpha_u"], p["alpha_v"], u)
         wh_full = mf.tr_sample_wh_full(wo, p["alpha_u"], p["alpha_v"], u)
+        if p.get("_has_beckmann"):
+            # Beckmann lobes sample their own wh (microfacet.rs sample_wh)
+            bk_vis = mf.beckmann_sample_wh_visible(
+                wo, p["alpha_u"], p["alpha_v"], u
+            )
+            bk_full = mf.beckmann_sample_wh_full(
+                wo, p["alpha_u"], p["alpha_v"], u
+            )
+            is_bk = (p["dist"] == DIST_BECKMANN)[..., None]
+            wh_vis = jnp.where(is_bk, bk_vis, wh_vis)
+            wh_full = jnp.where(is_bk, bk_full, wh_full)
         wh = jnp.where(p["sample_visible"][..., None], wh_vis, wh_full)
         wi_mr = vec.reflect(wo, wh)
         mr_ok = (

@@ -176,3 +176,99 @@ def tr_sample_wh_full(wo, ax, ay, u):
     wh = vec.spherical_direction(sin_t, cos_t, phi)
     flip = wo[..., 2] * wh[..., 2] <= 0.0
     return jnp.where(flip[..., None], -wh, wh)
+
+
+def _beckmann_sample_11(cos_theta_i, u1, u2):
+    """Visible-area slope sampling for Beckmann, vectorized
+    (microfacet.rs:60-133): Newton-bisection inversion in the erf
+    domain, 10 fixed trips with converged lanes frozen."""
+    from ..core.math import erf, erf_inv
+
+    sqrt_pi_inv = 1.0 / jnp.sqrt(jnp.pi)
+    u1s = jnp.maximum(u1, 1e-6)
+    u2s = jnp.maximum(u2, 1e-6)
+
+    # general incidence
+    cos_i = jnp.clip(cos_theta_i, -0.99999, 0.99999)
+    sin_i = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_i * cos_i))
+    tan_i = sin_i / cos_i
+    cot_i = 1.0 / jnp.where(tan_i == 0.0, 1e-9, tan_i)
+    a = jnp.full_like(u1, -1.0)
+    c_hi = erf(cot_i)
+    theta_i = jnp.arccos(cos_i)
+    fit = 1.0 + theta_i * (-0.876 + theta_i * (0.4265 - 0.0594 * theta_i))
+    b = c_hi - (1.0 + c_hi) * jnp.power(1.0 - u1s, fit)
+    norm = 1.0 / (
+        1.0 + c_hi + sqrt_pi_inv * tan_i * jnp.exp(-cot_i * cot_i)
+    )
+    done = jnp.zeros_like(u1, bool)
+    for _ in range(10):
+        b = jnp.where(~((b >= a) & (b <= c_hi)), 0.5 * (a + c_hi), b)
+        inv_erf = erf_inv(b)
+        value = (
+            norm * (1.0 + b + sqrt_pi_inv * tan_i * jnp.exp(-inv_erf * inv_erf))
+            - u1s
+        )
+        deriv = norm * (1.0 - inv_erf * tan_i)
+        conv = jnp.abs(value) < 1e-5
+        step = value / jnp.where(jnp.abs(deriv) < 1e-12, 1e-12, deriv)
+        c_hi = jnp.where(~done & ~conv & (value > 0.0), b, c_hi)
+        a = jnp.where(~done & ~conv & (value <= 0.0), b, a)
+        b = jnp.where(done | conv, b, b - step)
+        done = done | conv
+    slope_x = erf_inv(jnp.clip(b, -0.99999, 0.99999))
+    slope_y = erf_inv(jnp.clip(2.0 * u2s - 1.0, -0.99999, 0.99999))
+
+    # normal-incidence special case (microfacet.rs:62-68)
+    r = jnp.sqrt(-jnp.log(jnp.maximum(1.0 - u1, 1e-12)))
+    phi = 2.0 * PI * u2
+    near_n = cos_theta_i > 0.9999
+    slope_x = jnp.where(near_n, r * jnp.cos(phi), slope_x)
+    slope_y = jnp.where(near_n, r * jnp.sin(phi), slope_y)
+    return slope_x, slope_y
+
+
+def beckmann_sample_wh_visible(wo, ax, ay, u):
+    """(microfacet.rs beckmann_sample + sample_wh visible branch):
+    stretch, sample P22, rotate, unstretch — same scaffold as TR."""
+    flip = wo[..., 2] < 0.0
+    w = jnp.where(flip[..., None], -wo, wo)
+    ws = vec.normalize(
+        jnp.stack([ax * w[..., 0], ay * w[..., 1], w[..., 2]], axis=-1)
+    )
+    sx, sy = _beckmann_sample_11(ws[..., 2], u[..., 0], u[..., 1])
+    s2 = _sin2_theta(ws)
+    sin_t = jnp.sqrt(s2)
+    safe = jnp.where(sin_t == 0.0, 1.0, sin_t)
+    cos_p = jnp.where(sin_t == 0.0, 1.0, ws[..., 0] / safe)
+    sin_p = jnp.where(sin_t == 0.0, 0.0, ws[..., 1] / safe)
+    rx = cos_p * sx - sin_p * sy
+    ry = sin_p * sx + cos_p * sy
+    wh = vec.normalize(jnp.stack([-ax * rx, -ay * ry, jnp.ones_like(rx)], axis=-1))
+    return jnp.where(flip[..., None], -wh, wh)
+
+
+def beckmann_sample_wh_full(wo, ax, ay, u):
+    """Full-distribution Beckmann sampling (microfacet.rs:196-231), the
+    anisotropic log-sample form; reduces to the isotropic branch when
+    ax == ay."""
+    log_sample = jnp.log(jnp.maximum(1.0 - u[..., 0], 1e-12))
+    # anisotropic phi (atan tan quadrant-corrected)
+    phi_a = jnp.arctan(ay / ax * jnp.tan(2.0 * PI * u[..., 1] + 0.5 * PI))
+    phi_a = jnp.where(u[..., 1] > 0.5, phi_a + PI, phi_a)
+    phi_i = 2.0 * PI * u[..., 1]
+    iso = ax == ay
+    phi = jnp.where(iso, phi_i, phi_a)
+    sin_p = jnp.sin(phi)
+    cos_p = jnp.cos(phi)
+    tan2_a = -log_sample / (
+        cos_p * cos_p / jnp.maximum(ax * ax, 1e-12)
+        + sin_p * sin_p / jnp.maximum(ay * ay, 1e-12)
+    )
+    tan2_i = -ax * ax * log_sample
+    tan2 = jnp.where(iso, tan2_i, tan2_a)
+    cos_t = 1.0 / jnp.sqrt(1.0 + tan2)
+    sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_t * cos_t))
+    wh = vec.spherical_direction(sin_t, cos_t, phi)
+    flip = wo[..., 2] * wh[..., 2] <= 0.0
+    return jnp.where(flip[..., None], -wh, wh)

@@ -239,3 +239,98 @@ def test_debug_specular_child_is_blue():
         beval.bsdf_f(p, fr, wo, wi, BXDF_ALL & ~BXDF_SPECULAR)
     )
     assert np.all(f_nee[:, 2] == 0) and np.all(f_nee[:, 1] > 0)
+
+
+class TestBeckmannSampling:
+    """Beckmann wh samplers (microfacet.rs:60-231) — completes the one
+    microfacet component no reference material instantiates."""
+
+    def test_full_sampling_matches_analytic_cdf(self):
+        # isotropic Beckmann: tan^2(theta) = -a^2 ln(1-u) =>
+        # P(tan(theta) < t) = 1 - exp(-t^2/a^2)
+        a = 0.4
+        n = 200000
+        rng = np.random.default_rng(0)
+        u = jnp.asarray(rng.uniform(size=(n, 2)), jnp.float32)
+        wo = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0], jnp.float32), (n, 3))
+        wh = mf.beckmann_sample_wh_full(
+            wo, jnp.full((n,), a), jnp.full((n,), a), u
+        )
+        wh = np.asarray(wh)
+        tan_t = np.sqrt(np.maximum(1.0 - wh[:, 2] ** 2, 0.0)) / wh[:, 2]
+        for q in (0.2, 0.4, 0.8):
+            ana = 1.0 - np.exp(-(q * q) / (a * a))
+            assert abs((tan_t < q).mean() - ana) < 4e-3
+
+    def test_full_sampling_anisotropic_normalized(self):
+        # estimate int D(wh) cos(theta) dwh = 1 with the full sampler:
+        # pdf_full = D * |cos|, so E[1] trivially -> instead check the
+        # sampled phi marginal matches D's anisotropy (x-heavy alpha
+        # concentrates wh in the y=0 plane)
+        ax, ay = 0.6, 0.15
+        n = 100000
+        rng = np.random.default_rng(1)
+        u = jnp.asarray(rng.uniform(size=(n, 2)), jnp.float32)
+        wo = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0], jnp.float32), (n, 3))
+        wh = np.asarray(
+            mf.beckmann_sample_wh_full(
+                wo, jnp.full((n,), ax), jnp.full((n,), ay), u
+            )
+        )
+        assert np.mean(np.abs(wh[:, 0])) > 2.0 * np.mean(np.abs(wh[:, 1]))
+
+    def test_visible_sampling_normalization(self):
+        """E[ D(wh) |cos th_h| / pdf_vis(wh) ] = int D cos dwh = 1 —
+        the visible sampler's density is G1 D |wo.wh| / cos(th_o)."""
+        ax = ay = 0.35
+        n = 200000
+        rng = np.random.default_rng(2)
+        u = jnp.asarray(rng.uniform(size=(n, 2)), jnp.float32)
+        wo = vec.normalize(
+            jnp.broadcast_to(jnp.asarray([0.4, -0.2, 0.8], jnp.float32), (n, 3))
+        )
+        axv = jnp.full((n,), ax)
+        wh = mf.beckmann_sample_wh_visible(wo, axv, axv, u)
+        d = mf.beckmann_d(wh, axv, axv)
+        lam_o = mf.beckmann_lambda(wo, axv, axv)
+        pdf = mf.mf_pdf(d, lam_o, wo, wh, jnp.ones((n,), bool))
+        w = np.asarray(d * jnp.abs(wh[..., 2]) / jnp.maximum(pdf, 1e-12))
+        est = w[np.isfinite(w)].mean()
+        assert abs(est - 1.0) < 0.02, est
+
+    def test_beckmann_lobe_sample_roundtrip(self):
+        """A Beckmann microfacet lobe through the full bsdf_sample path:
+        f * cos / pdf stays bounded and the white-furnace-ish mean is
+        finite and positive."""
+        from rs_ray_toy_tpu.bsdf.lobes import (
+            DIST_BECKMANN,
+            FRESNEL_NOOP,
+            LOBE_MF_REFL,
+            Lobe,
+        )
+
+        m = recipes.HostMaterial(
+            "bk", 1.0,
+            [Lobe(
+                LOBE_MF_REFL, s0=np.array([0.8, 0.8, 0.8]),
+                f0=0.3, f1=0.3, fresnel=FRESNEL_NOOP,
+                dist=DIST_BECKMANN, sample_visible=True,
+            )],
+        )
+        mats = _mats(m)
+        n = 20000
+        fr = _flat_frame(n)
+        p = _params(mats, n)
+        wo = vec.normalize(jnp.tile(jnp.array([[0.2, 0.1, 0.9]]), (n, 1)))
+        u = jnp.asarray(
+            np.random.default_rng(3).uniform(size=(n, 2)), jnp.float32
+        )
+        bs = beval.bsdf_sample(p, fr, wo, u, BXDF_ALL)
+        est = (
+            bs.f * vec.absdot(bs.wi_world, fr.ns)[:, None]
+            / jnp.maximum(bs.pdf, 1e-9)[:, None]
+        )
+        est = np.asarray(jnp.where(bs.valid[:, None], est, 0.0))
+        assert np.isfinite(est).all()
+        mean = est.mean(axis=0)
+        assert np.all(mean > 0.2) and np.all(mean < 1.0)
