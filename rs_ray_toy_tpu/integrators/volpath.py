@@ -78,7 +78,70 @@ def _estimate_direct_volumetric(
     delta = lmod.is_delta(take_rows(ctx.lights.kind, light_idx))
     weight = jnp.where(delta, 1.0, power_heuristic(1, ls.pdf, 1, scattering_pdf))
     ld = li * f * (weight / jnp.maximum(ls.pdf, 1e-20))[..., None]
-    return jnp.where(valid[..., None], ld, 0.0), rng_state
+    ld = jnp.where(valid[..., None], ld, 0.0)
+
+    # --- scattering-sampling branch (integrator/mod.rs:483-558) ---
+    # Phase fn sampled at medium vertices, BSDF at surfaces; transmittance
+    # walked along the sampled ray (intersect_tr, scene.rs:36-61).  Hits
+    # never identify the sampled area light (the aggregate carries no
+    # emissive prims, renderprocess.rs:1192 — common.estimate_direct
+    # docstring), so radiance flows only from infinite lights on escape.
+    import numpy as np
+
+    kinds = np.asarray(ctx.lights.kind)
+    if kinds.size and np.any((kinds != 0) & (kinds != 1)):
+        non_delta = ~delta
+        wi_med, p_med = med.hg_sample(wo, g_med, u_scatter)
+        bs = beval.bsdf_sample(
+            params, frame, wo, u_scatter, BXDF_ALL & ~BXDF_SPECULAR
+        )
+        f2_surf = bs.f * vec.absdot(bs.wi_world, frame.ns)[..., None]
+        wi2 = jnp.where(is_medium[..., None], wi_med, bs.wi_world)
+        f2 = jnp.where(is_medium[..., None], p_med[..., None], f2_surf)
+        spdf2 = jnp.where(is_medium, p_med, bs.pdf)
+        sampled_spec = ~is_medium & ((bs.sampled_flags & BXDF_SPECULAR) != 0)
+        light_pdf2 = lmod.pdf_li(ctx.lights, ctx.infinite_envs, light_idx, p, wi2)
+        w2 = jnp.where(sampled_spec, 1.0, power_heuristic(1, spdf2, 1, light_pdf2))
+        live2 = (
+            valid
+            & non_delta
+            & (is_medium | bs.valid)
+            & jnp.any(f2 > 0.0, axis=-1)
+            & (spdf2 > 0.0)
+            & (sampled_spec | (light_pdf2 > 0.0))
+        )
+        origin2 = jnp.where(
+            is_medium[..., None], p, geom.offset_ray_origin(p, si.ng, wi2)
+        )
+        big = jnp.full(origin2.shape[:-1], jnp.inf, DTYPE)
+        hit2 = ctx.intersect(origin2, wi2, big)
+        tr2 = jnp.ones_like(f2)
+        if ctx.mediums is not None and ctx.mediums["n"] > 0 and med_id is not None:
+            # escape keeps t_max = inf in the reference, so homogeneous tr
+            # over the escape segment is exp(-sigma_t*MAX_FLT) = 0
+            # (homogeneous.rs:34-36); grid tr is bounded by its box.  A
+            # huge finite segment reproduces both without inf*0 NaNs.
+            seg2 = jnp.where(hit2.valid, hit2.t, 1e8)
+            tr2, rng_state = med.medium_tr(
+                ctx.mediums, med_id, origin2, wi2, seg2, rng_state
+            )
+        li2 = jnp.zeros_like(f2)
+        lkind = take_rows(ctx.lights.kind, light_idx)
+        for env_id, env in enumerate(ctx.infinite_envs):
+            if not bool(np.any(np.asarray(ctx.lights.shape_index) == env_id)):
+                continue
+            sel = (
+                (lkind == lmod.LIGHT_INFINITE)
+                & (take_rows(ctx.lights.shape_index, light_idx) == env_id)
+                & ~hit2.valid
+            )
+            li2 = jnp.where(sel[..., None], lmod._env_lookup(env, wi2), li2)
+        ld = ld + jnp.where(
+            live2[..., None],
+            li2 * f2 * tr2 * (w2 / jnp.maximum(spdf2, 1e-20))[..., None],
+            0.0,
+        )
+    return ld, rng_state
 
 
 def li_volpath(ctx: SceneCtx, o, d, cam_weight, sampler, pixel_id, s_idx, spec, camera_medium=-1):

@@ -124,3 +124,107 @@ def test_sppm_statistically_matches_path(monkeypatch):
     # and the spatial distribution correlates
     corr = np.corrcoef(lum_ref[lit], lum_got[lit])[0, 1]
     assert corr > 0.6, corr
+
+
+def test_volpath_estimate_direct_both_branches():
+    """The scattering-sampling MIS branch of _estimate_direct_volumetric
+    (integrator/mod.rs:483-558).  At a medium vertex inside a bounded grid
+    medium under a constant sampleable infinite light, the two-branch
+    estimator must (a) consume u_scatter, (b) match the brute-force
+    integral E = int p_HG(wo.wi) L Tr(p->escape, wi) dw, and (c) agree in
+    mean with / beat the variance of the light-sampling-only estimator
+    for a forward-peaked phase function."""
+    import jax.numpy as jnp
+    from rs_ray_toy_tpu.config import DTYPE
+    from rs_ray_toy_tpu.core import vec
+    from rs_ray_toy_tpu.core.sampling import power_heuristic, uniform_sample_sphere
+    from rs_ray_toy_tpu.integrators.common import SceneCtx
+    from rs_ray_toy_tpu.integrators.volpath import _estimate_direct_volumetric
+    from rs_ray_toy_tpu.lights import lights as lmod
+    from rs_ray_toy_tpu.scene import medium as med
+    from rs_ray_toy_tpu.scene.loader import MediumSpec
+
+    def mut(cfg):
+        cfg["lights"] = [{"light_type": "infinite", "l": {"values": [1.0, 1.0, 1.0]}}]
+        cfg["infinite_lights"] = []
+
+    ctx = SceneCtx(_job(mut).scene)
+    # unit-box grid medium far from the cubes (their solid angle from p is
+    # negligible, so the light branch's 2R shadow target and the oracle's
+    # escape test agree to well under the MC tolerance)
+    g = 0.7
+    p0 = np.array([0.0, 0.0, -200.0])
+    w2m = np.eye(4)
+    w2m[:3, 3] = -p0
+    spec = MediumSpec(
+        "grid", np.zeros(3), np.full(3, 2.0), g,
+        nx=2, ny=2, nz=2, density=np.ones((2, 2, 2)), world_to_medium=w2m,
+    )
+    ctx.mediums = med.pack_mediums([spec])
+
+    n = 30000
+    p = jnp.tile(jnp.asarray([p0 + 0.5], dtype=DTYPE), (n, 1))
+    wo = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]], dtype=DTYPE), (n, 1))
+    g_arr = jnp.full((n,), g, DTYPE)
+    # dead surface records (all rays are medium vertices)
+    o_miss = jnp.tile(jnp.asarray([[0.0, 5000.0, 0.0]], dtype=DTYPE), (n, 1))
+    d_miss = jnp.tile(jnp.asarray([[0.0, 1.0, 0.0]], dtype=DTYPE), (n, 1))
+    hit = ctx.intersect(o_miss, d_miss, jnp.full((n,), jnp.inf, DTYPE))
+    si = ctx.surface(hit, o_miss, d_miss)
+    params = ctx.shade_params(si)
+    frame = ctx.frame(si)
+
+    rng = np.random.default_rng(7)
+    u_light = jnp.asarray(rng.random((n, 2)), DTYPE)
+    u_scatter = jnp.asarray(rng.random((n, 2)), DTYPE)
+    light_idx = jnp.zeros((n,), jnp.int32)
+    is_medium = jnp.ones((n,), bool)
+    valid = jnp.ones((n,), bool)
+    med_id = jnp.zeros((n,), jnp.int32)
+    state = jnp.arange(n, dtype=jnp.uint32)
+
+    ld, _ = _estimate_direct_volumetric(
+        ctx, p, is_medium, si, params, frame, wo, g_arr, light_idx,
+        u_light, u_scatter, state, valid, med_id=med_id,
+    )
+    est_both = np.asarray(ld)[:, 0]
+
+    # (a) u_scatter is consumed: a different draw changes per-sample values
+    ld_b, _ = _estimate_direct_volumetric(
+        ctx, p, is_medium, si, params, frame, wo, g_arr, light_idx,
+        u_light, jnp.asarray(rng.random((n, 2)), DTYPE), state, valid,
+        med_id=med_id,
+    )
+    assert np.abs(np.asarray(ld_b)[:, 0] - est_both).max() > 1e-4
+
+    # (b) brute-force oracle: E = mean over uniform sphere dirs of
+    # 4pi * p_HG * L * Tr * [escaped]
+    w_or = uniform_sample_sphere(jnp.asarray(rng.random((n, 2)), DTYPE))
+    phg = med.phase_hg(vec.dot(wo, w_or), g_arr)
+    hit_o = ctx.intersect(p, w_or, jnp.full((n,), jnp.inf, DTYPE))
+    seg_o = jnp.where(hit_o.valid, hit_o.t, 1e8)
+    tr_o, _ = med.medium_tr(ctx.mediums, med_id, p, w_or, seg_o, state + 13)
+    li_o = jnp.where(hit_o.valid, 0.0, 1.0)
+    oracle = float(jnp.mean(4.0 * np.pi * phg * li_o * tr_o[:, 0]))
+
+    mean_both = est_both.mean()
+    assert abs(mean_both - oracle) < 0.05 * oracle, (mean_both, oracle)
+
+    # (c) unbiased light-sampling-only estimator (MIS weight = 1),
+    # re-derived inline: same mean, higher variance at g=0.7.  (The
+    # pre-fix code applied the power-heuristic weight WITHOUT the
+    # counter-branch — a biased estimator for non-delta lights; measured
+    # here it returns 0.09 vs the true 0.365.)
+    ls = lmod.sample_li(ctx.lights, ctx.infinite_envs, light_idx, p, u_light)
+    phg_l = med.phase_hg(vec.dot(wo, ls.wi), g_arr)
+    dvec = ls.p_light - p
+    seg_l = vec.length(dvec)
+    d_unit = dvec / seg_l[..., None]
+    occ = ctx.occluded(p, d_unit, jnp.full((n,), 1.0 - 1e-4, DTYPE) * seg_l)
+    tr_l, _ = med.medium_tr(ctx.mediums, med_id, p, d_unit, seg_l, state)
+    live_l = (ls.pdf > 0.0) & ~occ
+    est_light = np.asarray(
+        jnp.where(live_l, ls.li[:, 0] * tr_l[:, 0] * phg_l / jnp.maximum(ls.pdf, 1e-20), 0.0)
+    )
+    assert abs(est_light.mean() - oracle) < 0.05 * oracle, (est_light.mean(), oracle)
+    assert est_both.var() < 0.6 * est_light.var(), (est_both.var(), est_light.var())
