@@ -647,14 +647,8 @@ def _sampler_dims(pid, sid, dim, spp, xs, ys, jitter, seed, want_2d):
 
     dk = jnp.uint32((dim * 2654435761 + 0) & 0xFFFFFFFF) + jnp.uint32(seed)
     key = _rng.hash_combine(pid, dk)
-    # _permute, power-of-two branch (xor / odd-multiply / xorshift rounds)
-    x = sid
-    mask = jnp.uint32(spp - 1)
-    for salt in (0x9E3779B9, 0x85EBCA6B, 0xC2B2AE35):
-        x = (x ^ key ^ jnp.uint32(salt)) & mask
-        x = (x * jnp.uint32(0xED5AD4BB)) & mask
-        x = (x ^ (x >> 3)) & mask
-    strat = x
+    # _permute, power-of-two branch (Kensler CMJ, rng.permute_pow2)
+    strat = _rng.permute_pow2(sid, spp, key).astype(jnp.uint32)
     if not want_2d:
         if jitter:
             j = _rng.uniform_float(pid, sid, jnp.uint32(dim * 64), seed)

@@ -26,19 +26,13 @@ from ..scene.loader import SamplerSpec
 def _permute(i, n, key):
     """Stateless pseudorandom permutation of [0, n).
 
-    For power-of-two n: rounds of {xor, odd-multiply, xorshift} masked to
-    k bits — each step is bijective mod 2^k, so the composition is an exact
-    permutation.  Otherwise: keyed cyclic rotation (still a permutation,
-    mildly weaker mixing)."""
+    Power-of-two n: Kensler CMJ permutation (rng.permute_pow2) — bijective
+    per key with uniform fixed-index marginals across keys.  Otherwise:
+    keyed cyclic rotation (still a permutation, mildly weaker mixing)."""
     x = i.astype(jnp.uint32)
     key = key.astype(jnp.uint32)
     if n & (n - 1) == 0:
-        mask = jnp.uint32(n - 1)
-        for salt in (0x9E3779B9, 0x85EBCA6B, 0xC2B2AE35):
-            x = (x ^ key ^ jnp.uint32(salt)) & mask
-            x = (x * jnp.uint32(0xED5AD4BB)) & mask  # odd multiplier
-            x = (x ^ (x >> 3)) & mask
-        return x.astype(jnp.int32)
+        return rng.permute_pow2(x, n, key)
     rot = key % jnp.uint32(n)
     return ((x + rot) % jnp.uint32(n)).astype(jnp.int32)
 

@@ -168,3 +168,27 @@ def test_camera_rear_z_quirk():
         np.asarray(w_s)[live] * area0 * shutter_span,
         rtol=1e-5,
     )
+
+
+def test_permute_pow2_bijective_and_marginally_uniform():
+    """rng.permute_pow2 must be (1) a permutation for every key and (2)
+    near-uniform per fixed sample index across keys — consumers that do
+    not exhaust all spp indices per pixel (single-sample probes, partial
+    renders) otherwise inherit stratum bias (the pre-Kensler construction
+    left several strata unreachable at fixed index)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from rs_ray_toy_tpu.core import rng
+
+    for n in (2, 4, 16, 64, 1024):
+        key = jnp.full((n,), 0xDEADBEEF, jnp.uint32)
+        s = np.asarray(rng.permute_pow2(jnp.arange(n, dtype=jnp.uint32), n, key))
+        assert sorted(s) == list(range(n)), n
+
+    m = 200000
+    pid = jnp.arange(m, dtype=jnp.uint32)
+    key = rng.hash_combine(pid, jnp.uint32(123457))
+    for i in (0, 3, 15):
+        s = np.asarray(rng.permute_pow2(jnp.full((m,), i, jnp.uint32), 16, key))
+        h = np.bincount(s, minlength=16)
+        assert h.min() > 0.9 * m / 16 and h.max() < 1.1 * m / 16, (i, h)
