@@ -58,9 +58,23 @@ def _render_sppm_job(job, cam, ctx, seed):
     }
 
 
-def deploy_render(scene_path, save_to, spp_override=None, pupil_samples=1 << 20):
+def deploy_render(
+    scene_path, save_to, spp_override=None, pupil_samples=1 << 20, n_devices=None
+):
+    """CLI entry (renderprocess.rs:92-105).  n_devices > 1 (or the
+    RS_DEVICES env var) renders data-parallel over a 'dp' device mesh —
+    the production equivalent of the reference's rayon tile fan-out."""
     job = load_scene(scene_path)
-    result = render_job(job, spp_override=spp_override, pupil_samples=pupil_samples)
+    if n_devices is None:
+        n_devices = int(os.environ.get("RS_DEVICES", "1"))
+    mesh = None
+    if n_devices and int(n_devices) > 1:
+        from .parallel.mesh import make_mesh
+
+        mesh = make_mesh(int(n_devices))
+    result = render_job(
+        job, spp_override=spp_override, pupil_samples=pupil_samples, mesh=mesh
+    )
     colored = fmod.write_png(result["rgb_srgb_input"], save_to)
     print(
         f"Total pixels: {job.film.xres * job.film.yres}. Colored Pixels: {colored}"
@@ -76,12 +90,22 @@ def render_job(
     resume_from=None,
     checkpoint_to=None,
     stop_at_spp=None,
+    mesh=None,
 ):
     """Render `job`.  resume_from/checkpoint_to give interrupt/resume:
     stop_at_spp renders only samples [resume_point, stop_at_spp) of the
     FULL spp plan (the sampler's stratification depends on the total
     spp, so a resumed render is bit-identical to the uninterrupted one
-    only when both use the same spp)."""
+    only when both use the same spp).
+
+    mesh: a jax.sharding.Mesh with a 'dp' axis (parallel.mesh.make_mesh).
+    The pixel megabatch is sharded over 'dp' inside the same fori-loop
+    single-dispatch driver; per-device film deltas (xyz, weight AND
+    splat_xyz) are psum'd each pass — the ICI replacement for the
+    reference's rayon tile fan-out + merge_film_tile RwLock
+    (integrator/mod.rs:64-65, film.rs:248).  Megakernel paths run
+    under shard_map unchanged.  Results are bit-equal to single-device
+    for box-filter films (each pixel's adds land in one shard)."""
     film_spec = job.film
     cam = RealisticCamera(job.camera, film_spec, pupil_samples=pupil_samples)
     ctx = SceneCtx(job.scene)
@@ -138,6 +162,30 @@ def render_job(
         np.repeat(np.arange(k_spp), h * w), jnp.uint32
     )
 
+    use_mesh = mesh is not None and int(mesh.devices.size) > 1
+    pixel_valid = None
+    if use_mesh:
+        # pad the megabatch to a multiple of the mesh; padded lanes carry
+        # zero weight and land outside the film so every accumulation
+        # masks them (mesh.py local_pass semantics)
+        n_dev = int(mesh.devices.size)
+        nb = pixel_xy.shape[0]
+        pad = (-nb) % n_dev
+        if pad:
+            pixel_xy = jnp.concatenate([pixel_xy, jnp.zeros((pad, 2), DTYPE)])
+            pixel_id = jnp.concatenate(
+                [pixel_id, jnp.zeros((pad,), pixel_id.dtype)]
+            )
+            sample_offset = jnp.concatenate(
+                [sample_offset, jnp.zeros((pad,), sample_offset.dtype)]
+            )
+        pixel_valid = jnp.concatenate(
+            [jnp.ones((nb,), bool), jnp.zeros((pad,), bool)]
+        )
+    # the aligned reshape-add leaves the film in ray (blocked) order; the
+    # sharded scatter path writes raster coordinates directly
+    film_is_blocked = blocked_perm is not None and not use_mesh
+
     integrator = job.integrator
     if ctx.n_channels != 3 and integrator.kind not in ("path", "debug", "direct"):
         raise NotImplementedError(
@@ -177,19 +225,19 @@ def render_job(
         if dmk.supports_direct(ctx, integrator, sampler, None):
             direct_packed = dmk.pack_direct(ctx, integrator)
 
-    def li_fn(o, d, weight, s_idx_arr, diff=None):
+    def li_fn(o, d, weight, pid, s_idx_arr, diff=None):
         if integrator.kind in ("debug", "direct"):
             if direct_packed is not None and diff is None:
                 from .ops import direct_megakernel as dmk
                 import jax as _jax
 
                 return dmk.li_levels_mega(
-                    ctx, direct_packed, o, d, weight, sampler, pixel_id,
+                    ctx, direct_packed, o, d, weight, sampler, pid,
                     s_idx_arr, integrator,
                     interpret=_jax.default_backend() == "cpu",
                 )
             return li_levels(
-                ctx, o, d, weight, sampler, pixel_id, s_idx_arr, integrator, diff=diff
+                ctx, o, d, weight, sampler, pid, s_idx_arr, integrator, diff=diff
             )
         elif integrator.kind == "path":
             if mega_packed is not None and diff is None:
@@ -197,33 +245,38 @@ def render_job(
                 import jax as _jax
 
                 return pmk.li_path_mega(
-                    ctx, mega_packed, o, d, weight, sampler, pixel_id,
+                    ctx, mega_packed, o, d, weight, sampler, pid,
                     s_idx_arr, integrator,
                     interpret=_jax.default_backend() == "cpu",
                 )
             from .integrators.path import li_path
 
             return li_path(
-                ctx, o, d, weight, sampler, pixel_id, s_idx_arr, integrator, diff=diff
+                ctx, o, d, weight, sampler, pid, s_idx_arr, integrator, diff=diff
             )
         elif integrator.kind == "volpath":
             from .integrators.volpath import li_volpath
 
             return li_volpath(
-                ctx, o, d, weight, sampler, pixel_id, s_idx_arr, integrator,
+                ctx, o, d, weight, sampler, pid, s_idx_arr, integrator,
                 camera_medium=ctx.camera_medium,
             )
         elif integrator.kind == "ao":
             from .integrators.ao import li_ao
 
-            return li_ao(ctx, o, d, weight, sampler, pixel_id, s_idx_arr, integrator)
+            return li_ao(ctx, o, d, weight, sampler, pid, s_idx_arr, integrator)
         raise NotImplementedError(integrator.kind)
 
-    def sample_pass(film, s_base):
-        s_idx_arr = s_base.astype(jnp.uint32) + sample_offset
+    def compute_pass(film, s_base, pxy, pid, soff, pvalid, aligned):
+        """One sample pass over a (possibly shard-local) pixel batch."""
+        s_idx_arr = s_base.astype(jnp.uint32) + soff
         # camera sample (samplers/mod.rs:28-34): film jitter + lens + time
-        u_film = sampler.get_2d(pixel_id, s_idx_arr, 0)
-        p_film = pixel_xy + u_film
+        u_film = sampler.get_2d(pid, s_idx_arr, 0)
+        p_film = pxy + u_film
+        if pvalid is not None:
+            # padded lanes land outside the film: bounds mask zeroes both
+            # the radiance and the filter weight (film.rs:77-130)
+            p_film = jnp.where(pvalid[:, None], p_film, -10.0)
         if mega_packed is not None:
             # raygen + bounce loop fused in one Pallas kernel; the kernel
             # re-derives the same film jitter (sampler dim 0) internally
@@ -231,12 +284,12 @@ def render_job(
             import jax as _jax
 
             l, weight = pmk.li_path_mega_cam(
-                ctx, mega_packed, mega_cam, pixel_xy, pixel_id, s_idx_arr,
+                ctx, mega_packed, mega_cam, pxy, pid, s_idx_arr,
                 sampler, integrator,
                 interpret=_jax.default_backend() == "cpu",
             )
         else:
-            u_lens = sampler.get_2d(pixel_id, s_idx_arr, 1)
+            u_lens = sampler.get_2d(pid, s_idx_arr, 1)
             if want_diff:
                 o, d, weight, diff = cam.generate_ray_differentials(
                     p_film, u_lens, spp=spp
@@ -244,7 +297,9 @@ def render_job(
             else:
                 o, d, weight = cam.generate_rays(p_film, u_lens)
                 diff = None
-            l = li_fn(o, d, weight, s_idx_arr, diff)
+            l = li_fn(o, d, weight, pid, s_idx_arr, diff)
+        if pvalid is not None:
+            weight = jnp.where(pvalid, weight, 0.0)
         l = scrub_radiance(l)
         if ctx.n_channels != 3:
             # sampled-spectral: reduce to tristimulus at the film
@@ -254,10 +309,60 @@ def render_job(
 
             l = _sp.to_rgb(l)
         l = jnp.where((weight > 0.0)[:, None], l, 0.0)
-        return fmod.add_samples(film, film_spec, p_film, l, weight, aligned=True)
+        return fmod.add_samples(film, film_spec, p_film, l, weight, aligned=aligned)
 
     # one dispatch for the whole render: spp passes under a fori_loop —
     # the per-call host<->device round trip would otherwise dominate
+    if use_mesh:
+        from jax.sharding import PartitionSpec as P
+
+        try:  # jax >= 0.6 moved shard_map out of experimental
+            from jax import shard_map
+        except ImportError:  # pragma: no cover
+            from jax.experimental.shard_map import shard_map
+
+        def local_pass(film, s_base, pxy, pid, soff, pvalid):
+            zero = fmod.FilmState(
+                jnp.zeros_like(film.xyz),
+                jnp.zeros_like(film.weight),
+                jnp.zeros_like(film.splat_xyz),
+            )
+            delta = compute_pass(
+                zero, s_base, pxy, pid, soff, pvalid, aligned=False
+            )
+            # film merge = psum over the mesh (replaces merge_film_tile's
+            # RwLock, film.rs:248); splat_xyz rides along so splatting
+            # integrators stay shard-safe
+            return fmod.FilmState(
+                film.xyz + jax.lax.psum(delta.xyz, "dp"),
+                film.weight + jax.lax.psum(delta.weight, "dp"),
+                film.splat_xyz + jax.lax.psum(delta.splat_xyz, "dp"),
+            )
+
+        specs = (P(), P(), P("dp"), P("dp"), P("dp"), P("dp"))
+        try:
+            smapped = shard_map(
+                local_pass, mesh=mesh, in_specs=specs, out_specs=P(),
+                check_vma=False,
+            )
+        except TypeError:  # older jax: check_rep
+            smapped = shard_map(
+                local_pass, mesh=mesh, in_specs=specs, out_specs=P(),
+                check_rep=False,
+            )
+
+        def sample_pass(film, s_base):
+            return smapped(
+                film, s_base, pixel_xy, pixel_id, sample_offset, pixel_valid
+            )
+    else:
+
+        def sample_pass(film, s_base):
+            return compute_pass(
+                film, s_base, pixel_xy, pixel_id, sample_offset, None,
+                aligned=True,
+            )
+
     @jax.jit
     def render_range(film, pass_begin, pass_end):
         return jax.lax.fori_loop(
@@ -283,7 +388,7 @@ def render_job(
                 f"samples-per-pass k_spp={k_spp} (RS_SAMPLES_PER_PASS "
                 "differs between save and resume?)"
             )
-        if blocked_perm is not None:
+        if film_is_blocked:
             # checkpoints store the raster layout (saved after
             # un-permutation); re-block so the render loop's reshape-add
             # lands on the right rows
@@ -317,7 +422,7 @@ def render_job(
         jax.block_until_ready(film)
     elapsed = time.time() - t0
 
-    if blocked_perm is not None:
+    if film_is_blocked:
         # un-permute the blocked-layout film back to raster (host, once).
         # (The aligned add_samples path is a pure reshape-add, so the film
         # rows are in ray order = blocked order.)

@@ -196,3 +196,51 @@ def test_dryrun_multichip_entry_point():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
+
+
+def _setup_kind(kind, xres=32, yres=16, max_depth=2):
+    cfg = json.load(open(os.path.join(SAMPLES, "scene.json")))
+    cfg["Film"]["xres"], cfg["Film"]["yres"] = xres, yres
+    cfg["Integrator"] = {"integrator_type": kind, "max_depth": max_depth}
+    td = tempfile.mkdtemp()
+    shutil.copy(os.path.join(SAMPLES, "cube.obj"), td)
+    path = os.path.join(td, "s.json")
+    json.dump(cfg, open(path, "w"))
+    from rs_ray_toy_tpu.scene.loader import load_scene
+
+    return load_scene(path)
+
+
+def test_render_job_mesh_matches_single_device():
+    """The PRODUCTION multi-device path: render_job(mesh=) must reproduce
+    the single-device render for Debug (fused chain kernel under
+    shard_map) and Path (path megakernel under shard_map) — the
+    deploy_render(n_devices=N) code path, not a test harness.
+
+    Path's megakernel is bit-equal (fixed Pallas tile shapes make the
+    per-ray math shape-independent).  Where jnp stages see a different
+    batch shape per shard, XLA may emit different fma contractions —
+    measured <=4.8e-7 (1-2 ulps) on this scene — so those paths get an
+    ulp-tight tolerance, not equality."""
+    from rs_ray_toy_tpu.parallel.mesh import make_mesh
+    from rs_ray_toy_tpu.render import render_job
+
+    assert len(jax.devices()) >= 8
+    mesh = make_mesh(8)
+    for kind in ("Debug", "Path"):
+        job = _setup_kind(kind)
+        single = render_job(job, spp_override=4, pupil_samples=1 << 10)
+        job2 = _setup_kind(kind)
+        multi = render_job(job2, spp_override=4, pupil_samples=1 << 10, mesh=mesh)
+        a = np.asarray(single["film"].xyz)
+        b = np.asarray(multi["film"].xyz)
+        assert a.shape == b.shape
+        assert np.array_equal(
+            np.asarray(single["film"].weight), np.asarray(multi["film"].weight)
+        ), kind
+        if kind == "Path":
+            assert single["render_path"] == "megakernel"
+            assert np.array_equal(a, b), (kind, np.abs(a - b).max())
+        else:
+            assert np.abs(a - b).max() < 1e-5, (kind, np.abs(a - b).max())
+        assert a.max() > 0.0, kind
