@@ -1,6 +1,11 @@
-"""Benchmark: render samples/scene.json and report Mrays/s on this chip.
+"""Benchmark: render the BASELINE configs and report Mrays/s on this chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Default (BENCH_MATRIX=1): runs every BASELINE config (1-5 + SPPM) in one
+process and prints ONE JSON line PER config as it completes, with the
+flagship Path line LAST (a last-line parser still records the headline).
+BENCH_MATRIX=0 restores the single-config env-driven mode
+(BENCH_SCENE/BENCH_MATERIAL/BENCH_INTEGRATOR/BENCH_FOG/BENCH_SPP).
+
 Baseline (BASELINE.json north star): 50 Mrays/s on one v5e chip.
 """
 
@@ -20,38 +25,63 @@ import numpy as np
 BASELINE_MRAYS = 50.0
 SCENE = "/root/reference/samples/scene.json"
 
+EXTRA_MATERIALS = {
+    "mat_mirror": {
+        "material_type": "MirrorMaterial", "material_name": "mat_mirror",
+    },
+    "mat_glass": {
+        "material_type": "GlassMaterial",
+        "material_name": "mat_glass",
+        "eta": 1.5,
+    },
+    # BASELINE config 5: Disney subsurface (probe-chain BSSRDF)
+    "mat_sss": {
+        "material_type": "DisneyMaterial",
+        "material_name": "mat_sss",
+        "color": {"values": [0.8, 0.6, 0.4]},
+        "scatter_distance": {"values": [1.0, 0.8, 0.6]},
+        "roughness": 0.3,
+    },
+}
 
-def _apply_material(scene_path, material, scene_tag):
-    """Rewrite the scene with every prim bound to `material` (mirror /
-    glass definitions appended when missing); returns (path, tag)."""
+
+def _build_scene(scene_kind, material, integrator_kind, fog, sppm_cfg=None):
+    """Materialize one benchmark scene; returns (path, tag)."""
     import tempfile
     import shutil as _sh
 
+    scene_path = SCENE
+    tag = "scene_json"
+    if scene_kind == "grid":
+        from rs_ray_toy_tpu.scene.gen import write_grid_scene
+
+        n = int(os.environ.get("BENCH_GRID_N", "40"))
+        scene_path = write_grid_scene(tempfile.mkdtemp(), ny=n, nz=n)
+        tag = f"grid{12 * n * n}tri"
+
     cfg = json.load(open(scene_path))
-    cfg.setdefault("materials", [])
-    names = {m.get("material_name") for m in cfg["materials"]}
-    extra = {
-        "mat_mirror": {
-            "material_type": "MirrorMaterial", "material_name": "mat_mirror",
-        },
-        "mat_glass": {
-            "material_type": "GlassMaterial",
-            "material_name": "mat_glass",
-            "eta": 1.5,
-        },
-        # BASELINE config 5: Disney subsurface (probe-chain BSSRDF)
-        "mat_sss": {
-            "material_type": "DisneyMaterial",
-            "material_name": "mat_sss",
-            "color": {"values": [0.8, 0.6, 0.4]},
-            "scatter_distance": {"values": [1.0, 0.8, 0.6]},
-            "roughness": 0.3,
-        },
-    }
-    if material in extra and material not in names:
-        cfg["materials"].append(extra[material])
-    for prim in cfg["Aggregate"]["primitives"]:
-        prim["material_name"] = material
+    if material:
+        cfg.setdefault("materials", [])
+        names = {m.get("material_name") for m in cfg["materials"]}
+        if material in EXTRA_MATERIALS and material not in names:
+            cfg["materials"].append(EXTRA_MATERIALS[material])
+        for prim in cfg["Aggregate"]["primitives"]:
+            prim["material_name"] = material
+        tag += "_" + material.removeprefix("mat_")
+    cfg_kind = {
+        "path": "Path", "debug": "Debug", "direct": "DirectLighting",
+        "volpath": "Volpath", "sppm": "SPPM",
+    }.get(integrator_kind, "Path")
+    old = cfg.get("Integrator", {}) or {}
+    cfg["Integrator"] = {**old, "integrator_type": cfg_kind}
+    if cfg_kind == "SPPM":
+        cfg["Integrator"].update(sppm_cfg or {})
+    if fog:
+        # BASELINE config 4: homogeneous camera medium (VolPath)
+        cfg.setdefault("Camera", {})["medium"] = {
+            "medium_type": "Homogeneous", "g": 0.0,
+        }
+        tag += "_fog"
     td = tempfile.mkdtemp()
     for aux in ("cube.obj", "s_01.png"):
         src = os.path.join(os.path.dirname(scene_path), aux)
@@ -59,63 +89,22 @@ def _apply_material(scene_path, material, scene_tag):
             _sh.copy(src, td)
     out = os.path.join(td, "bench.json")
     json.dump(cfg, open(out, "w"))
-    return out, scene_tag + "_" + material.removeprefix("mat_")
+    return out, tag
 
 
-
-def main():
-    import jax
-    import jax.numpy as jnp
+def _run_one(scene_kind, material, integrator_kind, fog, spp, sppm_cfg=None):
     from rs_ray_toy_tpu.scene.loader import load_scene
     from rs_ray_toy_tpu.render import render_job
 
-    spp = int(os.environ.get("BENCH_SPP", "64"))
-    # BENCH_SCENE=grid builds the BASELINE config-3 scene: an NxN cube-
-    # instance grid (12*N*N triangles) exercising the BVH packet kernel
-    scene_kind = os.environ.get("BENCH_SCENE", "ref")
-    scene_path = SCENE
-    scene_tag = "scene_json"
-    if scene_kind == "grid":
-        import tempfile
-
-        from rs_ray_toy_tpu.scene.gen import write_grid_scene
-
-        n = int(os.environ.get("BENCH_GRID_N", "40"))
-        scene_path = write_grid_scene(tempfile.mkdtemp(), ny=n, nz=n)
-        scene_tag = f"grid{12 * n * n}tri"
-    material = os.environ.get("BENCH_MATERIAL", "")
-    if material:
-        scene_path, scene_tag = _apply_material(scene_path, material, scene_tag)
-    # benchmark the full 640x360 frame at the configured spp with the Path
-    # integrator (BASELINE config 2; scene.json itself configures Debug —
-    # override via BENCH_INTEGRATOR=debug to bench that instead).  The
-    # integrator is written into the scene BEFORE load: material lobe
-    # assembly depends on it (allow_multiple_lobes, renderprocess.rs
-    # passes it into compute_scattering_functions contexts)
-    kind = os.environ.get("BENCH_INTEGRATOR", "path")
-    cfg_kind = {"path": "Path", "debug": "Debug", "direct": "DirectLighting",
-                "volpath": "Volpath"}.get(kind, "Path")
-    import tempfile as _tf
-    import shutil as _sh2
-
-    cfg = json.load(open(scene_path))
-    old = cfg.get("Integrator", {}) or {}
-    cfg["Integrator"] = {**old, "integrator_type": cfg_kind}
-    if os.environ.get("BENCH_FOG"):
-        # BASELINE config 4: homogeneous camera medium (VolPath)
-        cfg.setdefault("Camera", {})["medium"] = {
-            "medium_type": "Homogeneous", "g": 0.0,
-        }
-        scene_tag += "_fog"
-    td2 = _tf.mkdtemp()
-    for aux in ("cube.obj", "s_01.png"):
-        src = os.path.join(os.path.dirname(scene_path), aux)
-        if os.path.exists(src):
-            _sh2.copy(src, td2)
-    scene_path = os.path.join(td2, "bench.json")
-    json.dump(cfg, open(scene_path, "w"))
-    job = load_scene(scene_path)
+    scene_path, tag = _build_scene(
+        scene_kind, material, integrator_kind, fog, sppm_cfg
+    )
     pupil = 1 << int(os.environ.get("BENCH_PUPIL_LOG2", "18"))
+    job = load_scene(scene_path)
+    # film override for quick local smoke runs (driver uses the defaults)
+    if os.environ.get("BENCH_XRES"):
+        job.film.xres = int(os.environ["BENCH_XRES"])
+        job.film.yres = int(os.environ.get("BENCH_YRES", job.film.xres * 9 // 16))
     try:
         res = render_job(job, spp_override=spp, pupil_samples=pupil)
     except Exception as e:  # pragma: no cover - environment insurance
@@ -128,24 +117,70 @@ def main():
         os.environ["RS_MEGAKERNEL"] = "0"
         job = load_scene(scene_path)
         res = render_job(job, spp_override=spp, pupil_samples=pupil)
-    value = res["mrays_per_s"]
+    value = (
+        res["camera_mrays_per_s"]
+        if integrator_kind == "sppm"
+        else res["mrays_per_s"]
+    )
+    line = {
+        "metric": f"camera_mrays_per_s_{tag}_{integrator_kind}",
+        "value": round(float(value), 3),
+        "unit": "Mrays/s",
+        "vs_baseline": round(float(value) / BASELINE_MRAYS, 4),
+        "spp": spp,
+        "path": res.get("render_path", "jnp"),
+    }
+    if integrator_kind == "sppm":
+        line["photon_mrays_per_s"] = round(float(res["photon_mrays_per_s"]), 3)
+        line["spp"] = res.get("camera_rays", 0) // (job.film.xres * job.film.yres)
     out_png = os.environ.get("BENCH_OUT", "")
     if out_png:
         from rs_ray_toy_tpu.film.film import write_png
 
         write_png(res["rgb_srgb_input"], out_png)
-    print(
-        json.dumps(
-            {
-                "metric": f"camera_mrays_per_s_{scene_tag}_{kind}",
-                "value": round(float(value), 3),
-                "unit": "Mrays/s",
-                "vs_baseline": round(float(value) / BASELINE_MRAYS, 4),
-                "spp": spp,
-                "path": res.get("render_path", "jnp"),
-            }
-        )
-    )
+    return line
+
+
+# BASELINE config matrix (configs 1-5 + SPPM); the flagship Path row runs
+# LAST so single-line parsers record the headline number.
+MATRIX = [
+    # (key, scene_kind, material, integrator, fog, spp, sppm_cfg)
+    ("debug", "ref", "", "debug", False, 16, None),
+    ("glass", "ref", "mat_glass", "path", False, 64, None),
+    ("grid", "grid", "", "path", False, 8, None),
+    ("fog", "ref", "", "volpath", True, 16, None),
+    ("sss", "ref", "mat_sss", "path", False, 16, None),
+    ("sppm", "ref", "", "sppm", False, 0,
+     {"radius": 1.0, "n_iters": 4, "max_depth": 3,
+      "photons_per_iter": 1 << 17}),
+    ("path", "ref", "", "path", False, 64, None),
+]
+
+
+def main():
+    if os.environ.get("BENCH_MATRIX", "1") != "0":
+        only = [
+            s for s in os.environ.get("BENCH_CONFIGS", "").split(",") if s
+        ]
+        for key, sk, mat, integ, fog, spp, scfg in MATRIX:
+            if only and key not in only:
+                continue
+            try:
+                line = _run_one(sk, mat, integ, fog, spp, scfg)
+            except Exception as e:  # keep the matrix alive per-config
+                print(f"config {key} failed: {type(e).__name__}: {e}",
+                      file=sys.stderr)
+                continue
+            line["config"] = key
+            print(json.dumps(line), flush=True)
+        return
+    # single-config env-driven mode
+    spp = int(os.environ.get("BENCH_SPP", "64"))
+    scene_kind = os.environ.get("BENCH_SCENE", "ref")
+    material = os.environ.get("BENCH_MATERIAL", "")
+    kind = os.environ.get("BENCH_INTEGRATOR", "path")
+    fog = bool(os.environ.get("BENCH_FOG"))
+    print(json.dumps(_run_one(scene_kind, material, kind, fog, spp)), flush=True)
 
 
 if __name__ == "__main__":

@@ -17,8 +17,7 @@ from .common import SceneCtx
 def li_ao(ctx: SceneCtx, o, d, cam_weight, sampler, pixel_id, s_idx, spec):
     n = o.shape[0]
     t_max = jnp.full((n,), jnp.inf, DTYPE)
-    hit = ctx.intersect(o, d, t_max)
-    si = ctx.surface(hit, o, d)
+    hit, si = ctx.intersect_shaded(o, d, t_max)
     valid = si.valid & (cam_weight > 0.0)
 
     # build frame; flip normal to face wo (ao.rs does this with the shading

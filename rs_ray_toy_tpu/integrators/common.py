@@ -179,6 +179,45 @@ class SceneCtx:
             self.tri, self.sph, hit, o, d, shade_tables=self.shade_tables
         )
 
+    def intersect_shaded(self, o, d, t_max):
+        """Closest hit + surface interaction, fused where possible.
+
+        On packet-BVH scenes the traversal kernel emits the winning
+        triangle's shading attributes directly (ops/bvh_pallas.py shaded
+        kernel), skipping surface_interaction's per-ray take_rows gathers
+        — the round-2 config-3 bottleneck (~300ms per 230K-ray pass).
+        Everywhere else: plain intersect + surface."""
+        if self.bvh_tables is not None and "shade_f" in self.bvh_tables:
+            from ..ops.bvh_pallas import intersect_bvh_pallas_shaded
+
+            t, idx, valid, at = intersect_bvh_pallas_shaded(
+                self.bvh_tables, o, d, t_max, interpret=self._bvh_interpret
+            )
+            hit = geom.Hit(
+                t=t,
+                kind=jnp.where(valid, geom.PRIM_TRI, geom.PRIM_NONE),
+                index=idx,
+                valid=valid,
+            )
+            t_safe = jnp.where(valid, t, 0.0)
+            si = geom.SurfaceHit(
+                p=o + d * t_safe[:, None],
+                ng=at["ng"],
+                ns=at["ns"],
+                uv=at["uv"],
+                dpdu=at["dpdu"],
+                dpdv=at["dpdv"],
+                wo=-d,
+                mat=jnp.where(valid, at["mat"], -1),
+                area_light=jnp.where(valid, at["area_light"], -1),
+                valid=valid,
+                dndu=at["dndu"],
+                dndv=at["dndv"],
+            )
+            return hit, si
+        hit = self.intersect(o, d, t_max)
+        return hit, self.surface(hit, o, d)
+
     def occluded(self, o, d, t_max):
         if self.bvh_tables is not None:
             from ..ops.bvh_pallas import occluded_bvh_pallas

@@ -65,8 +65,7 @@ def li_levels(ctx: SceneCtx, o, d, cam_weight, sampler, pixel_id, s_idx, spec, d
         dim_base = dim_off + branch * 257
         t_max = jnp.full(lo.shape[:-1], jnp.inf, DTYPE)
         active = jnp.any(beta != 0.0, axis=-1)
-        hit = ctx.intersect(lo, ld_, t_max)
-        si = ctx.surface(hit, lo, ld_)
+        hit, si = ctx.intersect_shaded(lo, ld_, t_max)
         si = si._replace(valid=si.valid & active)
         duv = dpdx = dpdy = None
         if diff is not None:

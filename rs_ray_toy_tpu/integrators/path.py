@@ -40,7 +40,7 @@ def li_path(ctx: SceneCtx, o, d, cam_weight, sampler, pixel_id, s_idx, spec, dif
     for bounces in range(spec.max_depth + 1):
         dim0 = sdims.path_dim0(bounces)
         t_max = jnp.full((n,), jnp.inf, DTYPE)
-        hit = ctx.intersect(ro, rd, t_max)
+        hit, si = ctx.intersect_shaded(ro, rd, t_max)
         found = hit.valid & active
 
         # emitted light at vertex 0 / after specular (path.rs:79-88):
@@ -61,7 +61,6 @@ def li_path(ctx: SceneCtx, o, d, cam_weight, sampler, pixel_id, s_idx, spec, dif
         if bounces == spec.max_depth:
             break
 
-        si = ctx.surface(hit, ro, rd)
         si = si._replace(valid=si.valid & active)
         duv = dpdx = dpdy = None
         if diff is not None:

@@ -161,9 +161,8 @@ def li_volpath(ctx: SceneCtx, o, d, cam_weight, sampler, pixel_id, s_idx, spec, 
     for bounces in range(spec.max_depth + 1):
         dim0 = sdims.volpath_dim0(bounces)
         t_max = jnp.full((n,), jnp.inf, DTYPE)
-        hit = ctx.intersect(ro, rd, t_max)
+        hit, si = ctx.intersect_shaded(ro, rd, t_max)
         found = hit.valid & active
-        si = ctx.surface(hit, ro, rd)
 
         # ---- medium sampling over the segment (volpath.rs:70-85) ----
         seg_len = jnp.where(found, hit.t, 2.0 * ctx.lights.world_radius + 1000.0)

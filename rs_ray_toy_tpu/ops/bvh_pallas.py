@@ -44,6 +44,11 @@ LANES = 128
 TILE_ROWS = int(os.environ.get("RS_BVH_TILE_ROWS", "8"))
 STACK_DEPTH = 64
 PALLAS_BVH_PRIM_MAX = 120_000
+# shaded-traversal attribute row widths (see pack_bvh_tables):
+# flat:   uv0 uv1 uv2 | dpdu dpdv ng                      (15 cols)
+# smooth: ... | n0 n1 n2 | dndu dndv | has_n              (31 cols)
+SHADE_COLS_FLAT = 15
+SHADE_COLS_SMOOTH = 31
 
 
 def pack_bvh_tables(bvh, tri):
@@ -74,7 +79,30 @@ def pack_bvh_tables(bvh, tri):
     prims_f[:, 0:3] = p0
     prims_f[:, 3:6] = p1 - p0
     prims_f[:, 6:9] = p2 - p0
-    prims_i = order.reshape(p, 1)
+    prims_i = np.zeros((p, 4), np.int32)
+    prims_i[:, 0] = order
+    prims_i[:, 1] = np.asarray(tri.mat, np.int32)[order]
+    prims_i[:, 2] = np.asarray(tri.area_light, np.int32)[order]
+
+    # shading-attribute rows in leaf order for the fused shaded traversal
+    # (interaction.rs:95-113 fields; same bakes as geom.pack_shade_tables):
+    # the winning prim's attributes are accumulated INSIDE the leaf test,
+    # killing the post-intersect take_rows gathers (~650ns/row serialized
+    # HBM access on this chip — the round-2 config-3 bottleneck)
+    from ..accel import geometry as _geom
+
+    tri_tabs = _geom.pack_shade_tables(tri, type("E", (), {"count": 0})())
+    tf = np.asarray(tri_tabs["tri_f"], np.float32)[order]
+    ti = np.asarray(tri_tabs["tri_i"], np.int32)[order]
+    smooth = bool((ti[:, 0] != 0).any())
+    ncol = SHADE_COLS_SMOOTH if smooth else SHADE_COLS_FLAT
+    shade_f = np.zeros((p, ncol), np.float32)
+    shade_f[:, 0:6] = tf[:, 9:15]     # uv0, uv1, uv2
+    shade_f[:, 6:15] = tf[:, 24:33]   # dpdu, dpdv, ng
+    if smooth:
+        shade_f[:, 15:24] = tf[:, 15:24]   # n0, n1, n2
+        shade_f[:, 24:30] = tf[:, 33:39]   # dndu, dndv
+        shade_f[:, 30] = (ti[:, 0] != 0).astype(np.float32)
     nodes4_f, nodes4_i = pack_bvh4_tables(bvh)
     # host-side tree depth: the kernels clamp stack pushes at STACK_DEPTH,
     # silently dropping subtrees on deeper trees — callers must fall back
@@ -92,6 +120,8 @@ def pack_bvh_tables(bvh, tri):
         "nodes4_i": nodes4_i,
         "prims_f": jnp.asarray(prims_f),
         "prims_i": jnp.asarray(prims_i),
+        "shade_f": jnp.asarray(shade_f),
+        "smooth": smooth,
         "max_leaf": int(bvh.max_leaf),
         "depth": int(depth[0]),
     }
@@ -296,6 +326,187 @@ def _traverse_kernel(
         return (sp > 0) & (done == 0)
 
     lax.while_loop(cond, body, (jnp.int32(1), jnp.int32(0)))
+
+
+def _traverse_shaded_kernel(
+    nodes_f_ref,
+    nodes_i_ref,
+    prims_f_ref,
+    prims_i_ref,
+    shade_f_ref,
+    ox_ref, oy_ref, oz_ref,
+    dx_ref, dy_ref, dz_ref,
+    tmax_ref,
+    tout_ref,
+    iout_ref,
+    mat_ref,
+    al_ref,
+    u_ref,
+    v_ref,
+    acc_ref,
+    stack_ref,
+    *,
+    max_leaf,
+    smooth,
+):
+    """Closest-hit packet traversal that also EMITS the winning prim's
+    shading attributes (VERDICT r2 #1): the leaf test already holds the
+    prim's VMEM row, so its per-prim constants are accumulated with
+    per-lane selects and interpolated once at the end — replacing the
+    take_rows(tri_f) gather after intersect (~650ns/row serialized HBM on
+    this chip; interaction.rs:95-113 / triangle.rs:220-320 semantics).
+
+    acc_ref: (K, R, L) attribute accumulator in shade_f column layout;
+    finalized in place: [0:2]=uv_hit, [2:5]=ns, [6:9]=dpdu, [9:12]=dpdv,
+    [12:15]=ng(faceforwarded), smooth also [24:27]=dndu, [27:30]=dndv.
+    """
+    ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
+    dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+    ix, iy, iz = _inv_dir(dx), _inv_dir(dy), _inv_dir(dz)
+    tout_ref[:] = tmax_ref[:]
+    iout_ref[:] = jnp.full(tout_ref.shape, -1, jnp.int32)
+    mat_ref[:] = jnp.full(tout_ref.shape, -1, jnp.int32)
+    al_ref[:] = jnp.full(tout_ref.shape, -1, jnp.int32)
+    u_ref[:] = jnp.zeros_like(tout_ref[:])
+    v_ref[:] = jnp.zeros_like(tout_ref[:])
+    n_cols = SHADE_COLS_SMOOTH if smooth else SHADE_COLS_FLAT
+    for j in range(n_cols):
+        acc_ref[j, :, :] = jnp.zeros_like(tout_ref[:])
+
+    sx = jnp.sum(dx)
+    sy = jnp.sum(dy)
+    sz = jnp.sum(dz)
+    stack_ref[0] = jnp.int32(0)
+
+    def body(carry):
+        sp, done = carry
+        node = stack_ref[sp - 1]
+        sp = sp - 1
+        row_f = nodes_f_ref[pl.ds(node, 1), :]
+        bminx, bminy, bminz = row_f[0, 0], row_f[0, 1], row_f[0, 2]
+        bmaxx, bmaxy, bmaxz = row_f[0, 3], row_f[0, 4], row_f[0, 5]
+        row_i = nodes_i_ref[pl.ds(node, 1), :]
+        off = row_i[0, 0]
+        npr = row_i[0, 1]
+        ax = row_i[0, 2]
+
+        t_cur = tout_ref[:]
+        t0x = (bminx - ox) * ix
+        t1x = (bmaxx - ox) * ix
+        t0y = (bminy - oy) * iy
+        t1y = (bmaxy - oy) * iy
+        t0z = (bminz - oz) * iz
+        t1z = (bmaxz - oz) * iz
+        tn = jnp.maximum(
+            jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+            jnp.minimum(t0z, t1z),
+        )
+        tf = (
+            jnp.minimum(
+                jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+                jnp.maximum(t0z, t1z),
+            )
+            * 1.0000004
+        )
+        hit_node = (tn <= tf) & (tf > 0.0) & (tn < t_cur)
+        node_any = jnp.any(hit_node)
+        is_leaf = npr > 0
+
+        @pl.when(node_any & is_leaf)
+        def _leaf():
+            for k in range(max_leaf):
+                @pl.when(k < npr)
+                def _prim():
+                    prow = prims_f_ref[pl.ds(off + k, 1), :]
+                    p0x, p0y, p0z = prow[0, 0], prow[0, 1], prow[0, 2]
+                    e1x, e1y, e1z = prow[0, 3], prow[0, 4], prow[0, 5]
+                    e2x, e2y, e2z = prow[0, 6], prow[0, 7], prow[0, 8]
+                    irow = prims_i_ref[pl.ds(off + k, 1), :]
+                    orig = irow[0, 0]
+                    mat_s = irow[0, 1]
+                    al_s = irow[0, 2]
+                    pvx = dy * e2z - dz * e2y
+                    pvy = dz * e2x - dx * e2z
+                    pvz = dx * e2y - dy * e2x
+                    det = e1x * pvx + e1y * pvy + e1z * pvz
+                    ok = jnp.abs(det) >= TRI_EPS
+                    inv = 1.0 / jnp.where(ok, det, 1.0)
+                    tvx, tvy, tvz = ox - p0x, oy - p0y, oz - p0z
+                    u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv
+                    qvx = tvy * e1z - tvz * e1y
+                    qvy = tvz * e1x - tvx * e1z
+                    qvz = tvx * e1y - tvy * e1x
+                    v = (dx * qvx + dy * qvy + dz * qvz) * inv
+                    t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv
+                    tb = tout_ref[:]
+                    upd = (
+                        hit_node
+                        & ok
+                        & (u >= 0.0) & (u <= 1.0)
+                        & (v >= 0.0) & (u + v <= 1.0)
+                        & (t >= TRI_EPS) & (t < tb)
+                    )
+                    tout_ref[:] = jnp.where(upd, t, tb)
+                    iout_ref[:] = jnp.where(upd, orig, iout_ref[:])
+                    mat_ref[:] = jnp.where(upd, mat_s, mat_ref[:])
+                    al_ref[:] = jnp.where(upd, al_s, al_ref[:])
+                    u_ref[:] = jnp.where(upd, u, u_ref[:])
+                    v_ref[:] = jnp.where(upd, v, v_ref[:])
+                    srow = shade_f_ref[pl.ds(off + k, 1), :]
+                    for j in range(n_cols):
+                        acc_ref[j, :, :] = jnp.where(upd, srow[0, j], acc_ref[j, :, :])
+
+        d_ax = jnp.where(ax == 0, sx, jnp.where(ax == 1, sy, sz))
+        left = node + 1
+        near = jnp.where(d_ax >= 0.0, left, off)
+        far = left + off - near
+        do_push = node_any & (~is_leaf)
+        inc = jnp.where(do_push, jnp.int32(1), jnp.int32(0))
+        sp_c = jnp.minimum(sp, STACK_DEPTH - 1)
+        stack_ref[sp_c] = jnp.where(do_push, far, stack_ref[sp_c])
+        sp1 = jnp.minimum(sp + inc, STACK_DEPTH - 1)
+        stack_ref[sp1] = jnp.where(do_push, near, stack_ref[sp1])
+        sp = jnp.minimum(sp + 2 * inc, STACK_DEPTH)
+        return sp, done
+
+    def cond(carry):
+        sp, done = carry
+        return (sp > 0) & (done == 0)
+
+    lax.while_loop(cond, body, (jnp.int32(1), jnp.int32(0)))
+
+    # ---- finalize (triangle.rs:220-320 interpolation, vectorized once) ----
+    u = u_ref[:]
+    v = v_ref[:]
+    w = 1.0 - u - v
+    uv_x = acc_ref[0, :, :] * w + acc_ref[2, :, :] * u + acc_ref[4, :, :] * v
+    uv_y = acc_ref[1, :, :] * w + acc_ref[3, :, :] * u + acc_ref[5, :, :] * v
+    ngx, ngy, ngz = acc_ref[12, :, :], acc_ref[13, :, :], acc_ref[14, :, :]
+    if smooth:
+        nsx = acc_ref[15, :, :] * w + acc_ref[18, :, :] * u + acc_ref[21, :, :] * v
+        nsy = acc_ref[16, :, :] * w + acc_ref[19, :, :] * u + acc_ref[22, :, :] * v
+        nsz = acc_ref[17, :, :] * w + acc_ref[20, :, :] * u + acc_ref[23, :, :] * v
+        len2 = nsx * nsx + nsy * nsy + nsz * nsz
+        has_n = (acc_ref[30, :, :] != 0.0) & (len2 > 0.0)
+        rinv = 1.0 / jnp.sqrt(jnp.maximum(len2, 1e-30))
+        nsx = jnp.where(has_n, nsx * rinv, ngx)
+        nsy = jnp.where(has_n, nsy * rinv, ngy)
+        nsz = jnp.where(has_n, nsz * rinv, ngz)
+        # faceforward ng onto ns (surface_interaction convention)
+        flip = ngx * nsx + ngy * nsy + ngz * nsz < 0.0
+        ngx = jnp.where(flip, -ngx, ngx)
+        ngy = jnp.where(flip, -ngy, ngy)
+        ngz = jnp.where(flip, -ngz, ngz)
+    else:
+        nsx, nsy, nsz = ngx, ngy, ngz
+    acc_ref[0, :, :] = uv_x
+    acc_ref[1, :, :] = uv_y
+    acc_ref[2, :, :] = nsx
+    acc_ref[3, :, :] = nsy
+    acc_ref[4, :, :] = nsz
+    acc_ref[12, :, :] = ngx
+    acc_ref[13, :, :] = ngy
+    acc_ref[14, :, :] = ngz
 
 
 def _traverse4_kernel(
@@ -522,3 +733,91 @@ def intersect_bvh_pallas(tables, o, d, t_max, interpret=False):
 def occluded_bvh_pallas(tables, o, d, t_max, interpret=False):
     _, idx = _call(tables, o, d, t_max, any_hit=True, interpret=interpret)
     return idx >= 0
+
+
+def intersect_bvh_pallas_shaded(tables, o, d, t_max, interpret=False):
+    """Closest hit + shading attributes in one kernel.
+
+    Returns (t, idx, valid, attrs) where attrs carries uv (N,2), ns, ng,
+    dpdu, dpdv, dndu, dndv (N,3) and mat, area_light (N,) — everything
+    surface_interaction's triangle branch would otherwise gather
+    per ray (interaction.rs:95-113)."""
+    n = o.shape[0]
+    pad = (-n) % (TILE_ROWS * LANES)
+    if pad:
+        o = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)])
+        d = jnp.concatenate([d, jnp.ones((pad, 3), d.dtype)])
+        t_max = jnp.concatenate([t_max, jnp.zeros((pad,), t_max.dtype)])
+    m = (n + pad) // LANES
+    comp = lambda a, c: a[:, c].reshape(m, LANES).astype(jnp.float32)
+    ox, oy, oz = comp(o, 0), comp(o, 1), comp(o, 2)
+    dx, dy, dz = comp(d, 0), comp(d, 1), comp(d, 2)
+    tm = t_max.reshape(m, LANES).astype(jnp.float32)
+
+    smooth = tables["smooth"]
+    n_cols = SHADE_COLS_SMOOTH if smooth else SHADE_COLS_FLAT
+    grid = (m // TILE_ROWS,)
+    tile = lambda: pl.BlockSpec(
+        (TILE_ROWS, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    tile3 = lambda: pl.BlockSpec(
+        (n_cols, TILE_ROWS, LANES), lambda i: (0, i, 0),
+        memory_space=pltpu.VMEM,
+    )
+    whole = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    kernel = functools.partial(
+        _traverse_shaded_kernel, max_leaf=tables["max_leaf"], smooth=smooth
+    )
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        )
+    f32 = jnp.float32
+    t_out, i_out, mat_o, al_o, u_o, v_o, acc = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[whole() for _ in range(5)] + [tile() for _ in range(7)],
+        out_specs=(
+            tile(), tile(), tile(), tile(), tile(), tile(), tile3(),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((m, LANES), f32),
+            jax.ShapeDtypeStruct((m, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((m, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((m, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((m, LANES), f32),
+            jax.ShapeDtypeStruct((m, LANES), f32),
+            jax.ShapeDtypeStruct((n_cols, m, LANES), f32),
+        ),
+        scratch_shapes=[pltpu.SMEM((STACK_DEPTH,), jnp.int32)],
+        interpret=interpret,
+        **kwargs,
+    )(
+        tables["nodes_f"], tables["nodes_i"], tables["prims_f"],
+        tables["prims_i"], tables["shade_f"],
+        ox, oy, oz, dx, dy, dz, tm,
+    )
+    flat = lambda a: a.reshape(-1)[:n]
+    ch = lambda j: acc[j].reshape(-1)[:n]
+    v3 = lambda j: jnp.stack([ch(j), ch(j + 1), ch(j + 2)], axis=-1)
+    idx = flat(i_out)
+    valid = idx >= 0
+    t = jnp.where(valid, flat(t_out), t_max.reshape(-1)[:n].astype(f32))
+    zeros3 = None
+    if smooth:
+        dndu, dndv = v3(24), v3(27)
+    else:
+        dndu = dndv = jnp.zeros((n, 3), f32)
+    attrs = {
+        "uv": jnp.stack([ch(0), ch(1)], axis=-1),
+        "ns": v3(2),
+        "ng": v3(12),
+        "dpdu": v3(6),
+        "dpdv": v3(9),
+        "dndu": dndu,
+        "dndv": dndv,
+        "mat": flat(mat_o),
+        "area_light": flat(al_o),
+    }
+    return t, idx, valid, attrs

@@ -143,3 +143,73 @@ def test_blocked_order_film_equivalence(monkeypatch):
     assert np.isfinite(outs["1"]).all()
     assert outs["1"].max() > 0
     np.testing.assert_array_equal(outs["1"], outs["0"])
+
+
+def _with_shading(tri, seed=0):
+    """Give the random mesh vertex normals + UVs (smooth shading path)."""
+    rng = np.random.default_rng(seed)
+    n = int(tri.count)
+    f32 = lambda a: jnp.asarray(a, jnp.float32)
+    nrm = rng.normal(size=(3, n, 3))
+    nrm /= np.linalg.norm(nrm, axis=-1, keepdims=True)
+    # keep vertex normals in the geometric normal's hemisphere
+    ngn = np.asarray(tri.ng)
+    ngn = ngn / np.maximum(np.linalg.norm(ngn, axis=-1, keepdims=True), 1e-20)
+    for k in range(3):
+        flip = (nrm[k] * ngn).sum(-1) < 0
+        nrm[k][flip] *= -1
+    uvs = rng.random((3, n, 2))
+    return tri.replace(
+        n0=f32(nrm[0]), n1=f32(nrm[1]), n2=f32(nrm[2]),
+        uv0=f32(uvs[0]), uv1=f32(uvs[1]), uv2=f32(uvs[2]),
+        has_n=jnp.ones(n, bool),
+        mat=jnp.asarray(rng.integers(0, 5, n), jnp.int32),
+    )
+
+
+def test_shaded_traversal_matches_surface_interaction():
+    """The fused shaded kernel must reproduce intersect + a full
+    surface_interaction on the triangle branch — flat and smooth."""
+    from rs_ray_toy_tpu.ops.bvh_pallas import intersect_bvh_pallas_shaded
+
+    for smooth in (False, True):
+        tri = _random_tris(300, seed=11)
+        if smooth:
+            tri = _with_shading(tri, seed=12)
+        sph = empty_spheres()
+        o, d = _random_rays(1500, seed=13)
+        t_max = jnp.full((1500,), jnp.inf, jnp.float32)
+        bvh = build_bvh(tri, sph, 4)
+        tables = pack_bvh_tables(bvh, tri)
+        assert tables["smooth"] == smooth
+
+        t, idx, valid, at = intersect_bvh_pallas_shaded(
+            tables, o, d, t_max, interpret=True
+        )
+        hit = geom.Hit(
+            t=t,
+            kind=jnp.where(valid, geom.PRIM_TRI, geom.PRIM_NONE),
+            index=idx,
+            valid=valid,
+        )
+        si = geom.surface_interaction(tri, sph, hit, o, d)
+        hv = np.asarray(valid)
+        assert hv.any()
+        for name, got, want, tol in [
+            ("uv", at["uv"], si.uv, 1e-5),
+            ("ns", at["ns"], si.ns, 1e-5),
+            ("ng", at["ng"], si.ng, 1e-5),
+            ("dpdu", at["dpdu"], si.dpdu, 1e-5),
+            ("dpdv", at["dpdv"], si.dpdv, 1e-5),
+            ("dndu", at["dndu"], si.dndu, 1e-4),
+            ("dndv", at["dndv"], si.dndv, 1e-4),
+        ]:
+            g = np.asarray(got)[hv]
+            w = np.asarray(want)[hv]
+            assert np.allclose(g, w, atol=tol), (
+                smooth, name, np.abs(g - w).max(),
+            )
+        assert np.array_equal(np.asarray(at["mat"])[hv], np.asarray(si.mat)[hv])
+        assert np.array_equal(
+            np.asarray(at["area_light"])[hv], np.asarray(si.area_light)[hv]
+        )
