@@ -223,7 +223,7 @@ def gather_lobes(mats, tex_vals, mat_id, static_kinds=None):
     if tex_vals is not None and tex_vals.shape[0] > 0:
         n_tex = tex_vals.shape[0]
 
-        def tex_gather(tex_id):
+        def tex_gather(tex_id, lift=False):
             # select-chain over the (small) texture registry: the fancy
             # index tex_vals[id, row] is a serialized gather on TPU
             acc = jnp.zeros(tex_id.shape + (3,), tex_vals.dtype)
@@ -231,13 +231,22 @@ def gather_lobes(mats, tex_vals, mat_id, static_kinds=None):
                 acc = jnp.where(
                     (tex_id == t)[..., None], tex_vals[t][:, None, :], acc
                 )
-            return acc  # (N,L,3)
+            if lift and C != 3:
+                # spectral mode: texture RGB -> N channels per hit on
+                # device (Spectrum::from_rgb Reflectance; linear einsum
+                # against the Smits bases)
+                from ..core import spectral as _sp
+
+                acc = _sp.from_rgb(acc, _sp.REFLECTANCE)
+            return acc  # (N,L,3|C)
 
         def tex_gather_f(tex_id):
             return tex_gather(tex_id)[..., 0]
 
         s0_tex = pi_[..., 6]
-        out["s0"] = jnp.where((s0_tex >= 0)[..., None], tex_gather(s0_tex), out["s0"])
+        out["s0"] = jnp.where(
+            (s0_tex >= 0)[..., None], tex_gather(s0_tex, lift=True), out["s0"]
+        )
         ru_tex = pi_[..., 7]
         rough_u = jnp.where(ru_tex >= 0, tex_gather_f(ru_tex), rough_u)
         rv_tex = pi_[..., 8]
@@ -245,7 +254,7 @@ def gather_lobes(mats, tex_vals, mat_id, static_kinds=None):
         sg_tex = pi_[..., 9]
         sigma = jnp.where(sg_tex >= 0, jnp.clip(tex_gather_f(sg_tex), 0.0, 90.0), sigma)
         sc_tex = pi_[..., 10]
-        sc = tex_gather(sc_tex)
+        sc = tex_gather(sc_tex, lift=True)
         sc = jnp.where((pi_[..., 11] != 0)[..., None], 1.0 - sc, sc)
         out["scale"] = jnp.where(
             (sc_tex >= 0)[..., None], jnp.clip(sc, 0.0, jnp.inf) * out["scale"], out["scale"]
@@ -327,10 +336,16 @@ def _assemble_disney_textured(out, mats, tex_vals, mat_id):
     ays = jnp.maximum(rs_thin * rs_thin * aspect, 0.001)
 
     # broadcast per-hit values over the lobe axis and write by role
+    C = out.get("_C", 3)
+
     def bcast(v):  # (N,) -> (N, 1)
         return v[:, None]
 
-    def bcast3(v):  # (N,3) -> (N, 1, 3)
+    def bcast3(v):  # (N,3) -> (N, 1, C); spectral mode lifts per hit
+        if C != 3:
+            from ..core import spectral as _sp
+
+            v = _sp.from_rgb(v, _sp.REFLECTANCE)
         return v[:, None, :]
 
     role_specs = [

@@ -46,4 +46,4 @@ def li_ao(ctx: SceneCtx, o, d, cam_weight, sampler, pixel_id, s_idx, spec):
 
     total = lax.fori_loop(0, spec.n_samples, body, jnp.zeros((n,), DTYPE))
     l = jnp.where(valid, total / (spec.n_samples * PI), 0.0)
-    return jnp.stack([l, l, l], axis=-1)
+    return jnp.tile(l[:, None], (1, ctx.n_channels))

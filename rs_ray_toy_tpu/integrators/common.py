@@ -33,6 +33,8 @@ class SceneCtx:
     """Host-side wrapper over SceneBundle device tables."""
 
     def __init__(self, bundle):
+        import os
+
         import numpy as np
 
         self.b = bundle
@@ -48,7 +50,9 @@ class SceneCtx:
         if bundle.mediums:
             from ..scene.medium import pack_mediums
 
-            self.mediums = pack_mediums(bundle.mediums)
+            self.mediums = pack_mediums(
+                bundle.mediums, n_channels=getattr(bundle, "n_channels", 3)
+            )
         else:
             self.mediums = None
         self.camera_medium = bundle.camera_medium
@@ -87,14 +91,14 @@ class SceneCtx:
         from ..accel.bvh import BRUTE_FORCE_CUTOFF, build_bvh
 
         n_prims = int(self.tri.count) + int(self.sph.count)
+        max_leaf = int(os.environ.get("RS_BVH_LEAF", "0")) or bundle.max_prims_in_node
         self.bvh = (
-            build_bvh(self.tri, self.sph, bundle.max_prims_in_node)
+            build_bvh(self.tri, self.sph, max_leaf)
             if n_prims > BRUTE_FORCE_CUTOFF
             else None
         )
         # Pallas brute-force kernel on TPU (memory-bound otherwise)
         import jax
-        import os
 
         self.use_pallas = (
             self.bvh is None
@@ -109,7 +113,6 @@ class SceneCtx:
         if (
             self.bvh is not None
             and flag != "0"
-            and int(self.sph.count) == 0
             and int(self.tri.count) > 0
         ):
             from ..ops.bvh_pallas import PALLAS_BVH_PRIM_MAX, pack_bvh_tables
@@ -117,7 +120,18 @@ class SceneCtx:
             if int(self.tri.count) <= PALLAS_BVH_PRIM_MAX and (
                 not self._bvh_interpret or flag == "interp"
             ):
-                tables = pack_bvh_tables(self.bvh, self.tri)
+                # the kernel tables cover TRIANGLES; scenes with spheres
+                # get a triangle-only tree for the kernel (spheres are a
+                # handful of hand-placed lights/subjects — intersected
+                # brute-force and min-combined outside, so mesh scenes no
+                # longer lose the packet kernel to one sphere)
+                if int(self.sph.count) > 0:
+                    from ..scene.types import empty_spheres
+
+                    bvh_tbl = build_bvh(self.tri, empty_spheres(), max_leaf)
+                else:
+                    bvh_tbl = self.bvh
+                tables = pack_bvh_tables(bvh_tbl, self.tri)
                 # the kernels clamp their traversal stack at STACK_DEPTH;
                 # deeper trees would silently drop subtrees — use the jnp
                 # traversal instead (binary pushes <=2/pop, BVH4 <=4)
@@ -125,6 +139,14 @@ class SceneCtx:
 
                 if tables["depth"] * 2 + 4 <= STACK_DEPTH:
                     self.bvh_tables = tables
+        # sphere-only shade tables for the fused kernel's sphere combine
+        if self.bvh_tables is not None and int(self.sph.count) > 0:
+            from ..scene.types import empty_triangles
+
+            self._empty_tri = empty_triangles()
+            self.sph_shade_tables = geom.pack_shade_tables(
+                self._empty_tri, self.sph
+            )
         if self.use_pallas or int(self.tri.count) > 0:
             from ..ops.intersect_pallas import pack_triangles
 
@@ -141,12 +163,15 @@ class SceneCtx:
             t, idx, valid = intersect_bvh_pallas(
                 self.bvh_tables, o, d, t_max, interpret=self._bvh_interpret
             )
-            return geom.Hit(
+            hit = geom.Hit(
                 t=t,
                 kind=jnp.where(valid, geom.PRIM_TRI, geom.PRIM_NONE),
                 index=idx,
                 valid=valid,
             )
+            if int(self.sph.count) > 0:
+                hit = self._combine_spheres(hit, o, d, t_max)
+            return hit
         if self.bvh is not None:
             from ..accel.traverse import intersect_bvh
 
@@ -214,17 +239,62 @@ class SceneCtx:
                 dndu=at["dndu"],
                 dndv=at["dndv"],
             )
+            if int(self.sph.count) > 0:
+                hit2 = self._combine_spheres(hit, o, d, t_max)
+                is_s = hit2.kind == geom.PRIM_SPHERE
+                si_s = geom.surface_interaction(
+                    self._empty_tri, self.sph,
+                    geom.Hit(
+                        t=hit2.t,
+                        kind=jnp.where(is_s, geom.PRIM_SPHERE, geom.PRIM_NONE),
+                        index=hit2.index,
+                        valid=is_s,
+                    ),
+                    o, d, shade_tables=self.sph_shade_tables,
+                )
+                sel = is_s[:, None]
+                si = geom.SurfaceHit(
+                    p=jnp.where(sel, si_s.p, si.p),
+                    ng=jnp.where(sel, si_s.ng, si.ng),
+                    ns=jnp.where(sel, si_s.ns, si.ns),
+                    uv=jnp.where(sel, si_s.uv, si.uv),
+                    dpdu=jnp.where(sel, si_s.dpdu, si.dpdu),
+                    dpdv=jnp.where(sel, si_s.dpdv, si.dpdv),
+                    wo=si.wo,
+                    mat=jnp.where(is_s, si_s.mat, si.mat),
+                    area_light=jnp.where(is_s, si_s.area_light, si.area_light),
+                    valid=hit2.valid,
+                    dndu=jnp.where(sel, si_s.dndu, si.dndu),
+                    dndv=jnp.where(sel, si_s.dndv, si.dndv),
+                )
+                return hit2, si
             return hit, si
         hit = self.intersect(o, d, t_max)
         return hit, self.surface(hit, o, d)
+
+    def _combine_spheres(self, hit, o, d, t_max):
+        """Min-combine brute-force sphere hits with the kernel's triangle
+        hits (spheres are few; primitives.rs intersect semantics)."""
+        st, sidx, sh = geom.intersect_spheres(self.sph, o, d, t_max)
+        t_cur = jnp.where(hit.valid, hit.t, t_max)
+        use_s = sh & (st < t_cur)
+        return geom.Hit(
+            t=jnp.where(use_s, st, hit.t),
+            kind=jnp.where(use_s, geom.PRIM_SPHERE, hit.kind),
+            index=jnp.where(use_s, sidx, hit.index),
+            valid=hit.valid | sh,
+        )
 
     def occluded(self, o, d, t_max):
         if self.bvh_tables is not None:
             from ..ops.bvh_pallas import occluded_bvh_pallas
 
-            return occluded_bvh_pallas(
+            occ = occluded_bvh_pallas(
                 self.bvh_tables, o, d, t_max, interpret=self._bvh_interpret
             )
+            if int(self.sph.count) > 0:
+                occ = occ | geom.intersect_spheres(self.sph, o, d, t_max)[2]
+            return occ
         if self.bvh is not None:
             from ..accel.traverse import occluded_bvh
 
@@ -304,7 +374,8 @@ def shadow_unoccluded(ctx: SceneCtx, si: geom.SurfaceHit, p_light):
     in parametric units (interaction.rs:66-75)."""
     origin = geom.offset_ray_origin(si.p, si.ng, p_light - si.p)
     d = p_light - origin
-    t_max = jnp.full(d.shape[:-1], 1.0 - SHADOW_EPSILON, DTYPE)
+    # dead lanes carry t_max = 0 so the packet kernels cull them
+    t_max = jnp.where(si.valid, 1.0 - SHADOW_EPSILON, 0.0).astype(DTYPE)
     return ~ctx.occluded(origin, d, t_max)
 
 
@@ -359,7 +430,7 @@ def estimate_direct(ctx: SceneCtx, si, params, frame, light_idx, u_light, u_scat
             & (sampled_spec | (light_pdf2 > 0.0))
         )
         origin = geom.offset_ray_origin(si.p, si.ng, bs.wi_world)
-        big = jnp.full(origin.shape[:-1], jnp.inf, DTYPE)
+        big = jnp.where(live2, jnp.inf, 0.0).astype(DTYPE)
         hit2 = ctx.intersect(origin, bs.wi_world, big)
         # hits never identify the sampled area light (aggregate carries no
         # emissive prims, see docstring); escaped rays collect the sampled

@@ -63,8 +63,8 @@ def li_levels(ctx: SceneCtx, o, d, cam_weight, sampler, pixel_id, s_idx, spec, d
     depth = 1
     while True:
         dim_base = dim_off + branch * 257
-        t_max = jnp.full(lo.shape[:-1], jnp.inf, DTYPE)
         active = jnp.any(beta != 0.0, axis=-1)
+        t_max = jnp.where(active, jnp.inf, 0.0).astype(DTYPE)
         hit, si = ctx.intersect_shaded(lo, ld_, t_max)
         si = si._replace(valid=si.valid & active)
         duv = dpdx = dpdy = None

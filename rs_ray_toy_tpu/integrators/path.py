@@ -39,7 +39,9 @@ def li_path(ctx: SceneCtx, o, d, cam_weight, sampler, pixel_id, s_idx, spec, dif
 
     for bounces in range(spec.max_depth + 1):
         dim0 = sdims.path_dim0(bounces)
-        t_max = jnp.full((n,), jnp.inf, DTYPE)
+        # dead lanes get t_max = 0: the packet kernels cull them, so a
+        # mostly-dead bounce costs ~one root test per tile
+        t_max = jnp.where(active, jnp.inf, 0.0).astype(DTYPE)
         hit, si = ctx.intersect_shaded(ro, rd, t_max)
         found = hit.valid & active
 

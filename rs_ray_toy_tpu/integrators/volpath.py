@@ -66,7 +66,7 @@ def _estimate_direct_volumetric(
     delta_vec = ls.p_light - origin
     seg_len = vec.length(delta_vec)
     d_unit = delta_vec / jnp.maximum(seg_len, 1e-20)[..., None]
-    t_max = jnp.full(seg_len.shape, 1.0 - 1e-4, DTYPE) * seg_len
+    t_max = jnp.where(live, 1.0 - 1e-4, 0.0).astype(DTYPE) * seg_len
     occluded = ctx.occluded(origin, d_unit, t_max)
     tr = jnp.ones_like(f)
     if ctx.mediums is not None and ctx.mediums["n"] > 0 and med_id is not None:
@@ -113,7 +113,7 @@ def _estimate_direct_volumetric(
         origin2 = jnp.where(
             is_medium[..., None], p, geom.offset_ray_origin(p, si.ng, wi2)
         )
-        big = jnp.full(origin2.shape[:-1], jnp.inf, DTYPE)
+        big = jnp.where(live2, jnp.inf, 0.0).astype(DTYPE)
         hit2 = ctx.intersect(origin2, wi2, big)
         tr2 = jnp.ones_like(f2)
         if ctx.mediums is not None and ctx.mediums["n"] > 0 and med_id is not None:
@@ -146,8 +146,9 @@ def _estimate_direct_volumetric(
 
 def li_volpath(ctx: SceneCtx, o, d, cam_weight, sampler, pixel_id, s_idx, spec, camera_medium=-1):
     n = o.shape[0]
-    L = jnp.zeros((n, 3), DTYPE)
-    beta = jnp.ones((n, 3), DTYPE) * (cam_weight > 0.0)[:, None]
+    C = ctx.n_channels
+    L = jnp.zeros((n, C), DTYPE)
+    beta = jnp.ones((n, C), DTYPE) * (cam_weight > 0.0)[:, None]
     active = cam_weight > 0.0
     specular_bounce = jnp.zeros((n,), bool)
     eta_scale = jnp.ones((n,), DTYPE)
@@ -160,7 +161,7 @@ def li_volpath(ctx: SceneCtx, o, d, cam_weight, sampler, pixel_id, s_idx, spec, 
 
     for bounces in range(spec.max_depth + 1):
         dim0 = sdims.volpath_dim0(bounces)
-        t_max = jnp.full((n,), jnp.inf, DTYPE)
+        t_max = jnp.where(active, jnp.inf, 0.0).astype(DTYPE)
         hit, si = ctx.intersect_shaded(ro, rd, t_max)
         found = hit.valid & active
 

@@ -71,7 +71,8 @@ def le_escape(infinite_envs, d):
     """Sum of infinite-light le along escaped rays (path.rs:84-87).
     Only the `infinite_lights`-section envs contribute — the reference's
     escape loop reads scene.infinite_lights, not scene.lights."""
-    total = jnp.zeros(d.shape, DTYPE)
+    c = infinite_envs[0]["mipmap"]["data"].shape[-1] if infinite_envs else 3
+    total = jnp.zeros(d.shape[:-1] + (c,), DTYPE)
     for env in infinite_envs:
         if env.get("escape_le", False):
             total = total + _env_lookup(env, d)

@@ -258,7 +258,10 @@ def _traverse_kernel(
             )
             * 1.0000004
         )
-        hit_node = (tn <= tf) & (tf > 0.0) & (tn < t_cur)
+        # t_cur > 0 culls dead lanes (callers pass t_max = 0 for inactive
+        # rays): without it a dead ray whose origin sits inside the node
+        # box (tn < 0) would keep driving packet descent
+        hit_node = (tn <= tf) & (tf > 0.0) & (tn < t_cur) & (t_cur > 0.0)
         if any_hit:
             hit_node = hit_node & (iout_ref[:] < 0)
         node_any = jnp.any(hit_node)
@@ -408,7 +411,7 @@ def _traverse_shaded_kernel(
             )
             * 1.0000004
         )
-        hit_node = (tn <= tf) & (tf > 0.0) & (tn < t_cur)
+        hit_node = (tn <= tf) & (tf > 0.0) & (tn < t_cur) & (t_cur > 0.0)
         node_any = jnp.any(hit_node)
         is_leaf = npr > 0
 
@@ -575,7 +578,7 @@ def _traverse4_kernel(
                 )
                 * 1.0000004
             )
-            hit_c = (tn <= tf) & (tf > 0.0) & (tn < t_cur)
+            hit_c = (tn <= tf) & (tf > 0.0) & (tn < t_cur) & (t_cur > 0.0)
             if any_hit:
                 hit_c = hit_c & (iout_ref[:] < 0)
             any_c = jnp.any(hit_c)

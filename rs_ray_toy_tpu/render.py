@@ -163,7 +163,7 @@ def render_job(
         and fmod.aligned_fast_path_ok(film_spec)
         and os.environ.get("RS_BLOCK_ORDER", "1") != "0"
     ):
-        BS = 32
+        BS = int(os.environ.get("RS_BLOCK_SIZE", "32"))
         key = (
             ((ys // BS) * ((w + BS - 1) // BS) + (xs // BS)) * (BS * BS)
             + (ys % BS) * BS + (xs % BS)
@@ -204,7 +204,9 @@ def render_job(
     film_is_blocked = blocked_perm is not None and not use_mesh
 
     integrator = job.integrator
-    if ctx.n_channels != 3 and integrator.kind not in ("path", "debug", "direct"):
+    if ctx.n_channels != 3 and integrator.kind not in (
+        "path", "debug", "direct", "volpath", "ao"
+    ):
         raise NotImplementedError(
             f"spectral mode: {integrator.kind} integrator not wired"
         )

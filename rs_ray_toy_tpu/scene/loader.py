@@ -249,8 +249,11 @@ def load_scene(path: str, spectral: bool = False) -> RenderJob:
     material reflectances and light spectra are lifted to 60 bins via the
     Smits bases / sampled data (core/spectral.py), and integrators carry
     (..., 60) radiometric arrays, converted to RGB at the film.
-    Current spectral subset: no media, no infinite lights, no BSSRDF, no
-    debug materials, no textured-Disney (falls back with a clear error).
+    Spectral coverage: media sigma spectra, env maps, textured params
+    (per-hit device from_rgb), bump, debug materials, and the
+    path/debug/direct/volpath/ao integrators.  The one remaining gate is
+    the Disney BSSRDF (beam-diffusion tables are baked 3-channel) and
+    SPPM (loud NotImplementedError in both cases).
     """
     root_dir = os.path.dirname(os.path.abspath(path))
     with open(path) as fh:
@@ -292,6 +295,7 @@ def load_scene(path: str, spectral: bool = False) -> RenderJob:
         used_ids = set(int(t.mat) for t in tris) | set(int(sp_.mat) for sp_ in sphs)
         _check_spectral_subset(mat_builder, mediums, infinite, used_ids)
         lights = _lights_to_spectral(lights)
+        infinite = [_env_to_spectral(env) for env in infinite]
 
     agg_cfg = cfg.get("Aggregate", {}) or {}
     bundle = SceneBundle(
@@ -1093,27 +1097,34 @@ def _make_integrator_spec(icfg) -> IntegratorSpec:
 def _check_spectral_subset(mat_builder, mediums, infinite, used_ids):
     """Validate the spectral mode's current subset: reject scenes whose
     USED materials need features without a 60-channel lift yet — loud
-    failure beats silently wrong colors."""
-    from ..bsdf.lobes import LOBE_DEBUG_DIFFUSE, LOBE_DEBUG_SPECULAR
+    failure beats silently wrong colors.
 
-    if mediums:
-        raise NotImplementedError("spectral mode: participating media not wired")
-    if infinite:
-        raise NotImplementedError("spectral mode: infinite lights not wired")
+    Round 3 lifted media (sigma spectra), infinite lights (env maps),
+    textured params (device from_rgb per hit), debug materials, and bump
+    mapping; the one remaining gate is the Disney BSSRDF (its beam-
+    diffusion tables are baked 3-channel)."""
     for mi, m in enumerate(mat_builder.materials):
         if mi not in used_ids:
             continue
         if m.bssrdf_R is not None:
             raise NotImplementedError("spectral mode: BSSRDF not wired")
-        if m.disney_roles is not None:
-            raise NotImplementedError("spectral mode: textured Disney not wired")
-        for lb in m.lobes:
-            if lb.kind in (LOBE_DEBUG_DIFFUSE, LOBE_DEBUG_SPECULAR):
-                raise NotImplementedError("spectral mode: debug material not wired")
-            if max(lb.s0_tex, lb.rough_u_tex, lb.rough_v_tex, lb.sigma_tex, lb.scale_tex) >= 0:
-                raise NotImplementedError("spectral mode: textured params not wired")
-        if m.bump_tex >= 0:
-            raise NotImplementedError("spectral mode: bump mapping not wired")
+
+
+def _env_to_spectral(env):
+    """Lift an env map's radiance pyramid (L,H,W,3) -> (L,H,W,60).
+
+    The reference's InfiniteAreaLight texels are reconstructed with the
+    REFLECTANCE Smits basis (infinite.rs:65); from_rgb is linear, so
+    lifting the mip levels equals building the pyramid from lifted
+    texels.  The sampling distribution stays luminance-based (built from
+    RGB before the lift)."""
+    from ..core import spectral as sp
+
+    out = dict(env)
+    mip = dict(env["mipmap"])
+    mip["data"] = sp.from_rgb(mip["data"], sp.REFLECTANCE)
+    out["mipmap"] = mip
+    return out
 
 
 def _lights_to_spectral(lights):

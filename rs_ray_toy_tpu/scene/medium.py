@@ -31,12 +31,17 @@ MEDIUM_GRID = 1
 _MAX_TRACK_STEPS = 256  # bounded delta/ratio-tracking trips
 
 
-def pack_mediums(specs: List[MediumSpec]):
-    """Device medium table; grid densities padded to a common shape."""
+def pack_mediums(specs: List[MediumSpec], n_channels=3):
+    """Device medium table; grid densities padded to a common shape.
+
+    n_channels=60 lifts the sigma spectra via the Smits reflectance basis
+    (Spectrum::from_rgb(..., SpectrumType::Reflectance) in
+    get_medium_scattering_properties, renderprocess.rs:1126-1131)."""
     m = len(specs)
+    C = n_channels
     kind = np.zeros(max(m, 1), np.int32)
-    sigma_a = np.zeros((max(m, 1), 3), np.float32)
-    sigma_s = np.zeros((max(m, 1), 3), np.float32)
+    sigma_a = np.zeros((max(m, 1), C), np.float32)
+    sigma_s = np.zeros((max(m, 1), C), np.float32)
     g = np.zeros(max(m, 1), np.float32)
     w2m = np.tile(np.eye(4, dtype=np.float32), (max(m, 1), 1, 1))
     inv_max_density = np.ones(max(m, 1), np.float32)
@@ -45,8 +50,18 @@ def pack_mediums(specs: List[MediumSpec]):
     max_shape = (1, 1, 1)
     for i, s in enumerate(specs):
         kind[i] = MEDIUM_GRID if s.kind == "grid" else MEDIUM_HOMOGENEOUS
-        sigma_a[i] = s.sigma_a
-        sigma_s[i] = s.sigma_s
+        if C == 3:
+            sigma_a[i] = s.sigma_a
+            sigma_s[i] = s.sigma_s
+        else:
+            from ..core import spectral as _sp
+
+            sigma_a[i] = np.asarray(
+                _sp.from_rgb(jnp.asarray(s.sigma_a, jnp.float32), _sp.REFLECTANCE)
+            )
+            sigma_s[i] = np.asarray(
+                _sp.from_rgb(jnp.asarray(s.sigma_s, jnp.float32), _sp.REFLECTANCE)
+            )
         g[i] = s.g
         if s.kind == "grid":
             w2m[i] = s.world_to_medium
@@ -73,6 +88,7 @@ def pack_mediums(specs: List[MediumSpec]):
         "dims": jnp.asarray(dims),
         "density": jnp.asarray(density),
         "n": m,
+        "C": C,
     }
 
 
@@ -183,7 +199,7 @@ def medium_tr(mediums, med_id, o, d_unit, seg_len, rng_state):
     """
     active_any = mediums["n"] > 0
     if not active_any:
-        return jnp.ones(o.shape, DTYPE), rng_state
+        return jnp.ones((o.shape[0], mediums.get("C", 3)), DTYPE), rng_state
     mid = jnp.maximum(med_id, 0)
     sigma_t = mediums["sigma_t"][mid]
     kind = mediums["kind"][mid]
@@ -247,8 +263,9 @@ def medium_sample(mediums, med_id, o, d_unit, seg_len, rng_state):
     """Medium::sample over [0, seg_len]: possibly samples a scattering
     vertex.  Returns (beta (N,3), sampled (N,), t (N,), new_state)."""
     n = o.shape[0]
+    C = mediums.get("C", 3)
     if mediums["n"] == 0:
-        return jnp.ones((n, 3), DTYPE), jnp.zeros((n,), bool), seg_len, rng_state
+        return jnp.ones((n, C), DTYPE), jnp.zeros((n,), bool), seg_len, rng_state
     mid = jnp.maximum(med_id, 0)
     kind = mediums["kind"][mid]
     sigma_t = mediums["sigma_t"][mid]
@@ -257,7 +274,9 @@ def medium_sample(mediums, med_id, o, d_unit, seg_len, rng_state):
     # ---- homogeneous (homogeneous.rs:38-85) ----
     rng_state, u_ch = _next_u(rng_state)
     rng_state, u_d = _next_u(rng_state)
-    channel = jnp.minimum((u_ch * 3).astype(jnp.int32), 2)
+    # channel-stratified distance sampling over ALL spectrum channels
+    # (homogeneous.rs:45: channel = u * SPECTRUM_N)
+    channel = jnp.minimum((u_ch * C).astype(jnp.int32), C - 1)
     st_ch = jnp.take_along_axis(sigma_t, channel[..., None], axis=-1)[..., 0]
     dist = -jnp.log(jnp.maximum(1.0 - u_d, 1e-12)) / jnp.maximum(st_ch, 1e-20)
     t_h = jnp.minimum(dist, seg_len)
@@ -317,7 +336,7 @@ def medium_sample(mediums, med_id, o, d_unit, seg_len, rng_state):
     beta_g = jnp.where(
         hit_g[..., None],
         sigma_s / jnp.maximum(sigma_t, 1e-20),
-        jnp.ones((n, 3), DTYPE),
+        jnp.ones((n, C), DTYPE),
     )
 
     grid_mask = kind == MEDIUM_GRID

@@ -40,11 +40,12 @@ class MIPMap:
         return self.levels[0].shape[0]
 
     def as_device(self):
-        """Pack pyramid into one padded (L, Hmax, Wmax, 3) array + dims."""
+        """Pack pyramid into one padded (L, Hmax, Wmax, C) array + dims."""
         hmax = self.levels[0].shape[0]
         wmax = self.levels[0].shape[1]
         n = len(self.levels)
-        packed = np.zeros((n, hmax, wmax, 3), np.float32)
+        c = self.levels[0].shape[2]
+        packed = np.zeros((n, hmax, wmax, c), np.float32)
         dims = np.zeros((n, 2), np.int32)
         for i, lv in enumerate(self.levels):
             h, w = lv.shape[:2]

@@ -213,3 +213,63 @@ def test_shaded_traversal_matches_surface_interaction():
         assert np.array_equal(
             np.asarray(at["area_light"])[hv], np.asarray(si.area_light)[hv]
         )
+
+
+def test_mesh_scene_with_sphere_keeps_packet_kernel(monkeypatch):
+    """VERDICT r2 #8: a mesh scene plus a sphere must still use the
+    packet BVH (triangle-only kernel tables + brute-force sphere
+    min-combine), and agree with the pure-jnp mixed traversal."""
+    import json
+    from rs_ray_toy_tpu.scene.gen import write_grid_scene
+    from rs_ray_toy_tpu.scene.loader import load_scene
+    from rs_ray_toy_tpu.integrators.common import SceneCtx
+
+    monkeypatch.setenv("RS_BVH_PALLAS", "interp")
+    td = tempfile.mkdtemp()
+    path = write_grid_scene(td, ny=8, nz=8)
+    cfg = json.load(open(path))
+    cfg["Aggregate"]["primitives"].append(
+        {
+            "primitive_type": "sphere",
+            "material_name": "mat_matte",
+            "radius": 1.2,
+            "world_pos": [33.0, 0.0, 0.0],
+        }
+    )
+    json.dump(cfg, open(path, "w"))
+    job = load_scene(path)
+    ctx = SceneCtx(job.scene)
+    assert int(ctx.sph.count) == 1
+    assert ctx.bvh_tables is not None, "sphere must not disable the kernel"
+
+    rng = np.random.default_rng(5)
+    n = 2048
+    o = jnp.asarray(
+        np.array([0.0, 15.0, -25.0]) + rng.normal(0, 0.5, (n, 3)), jnp.float32
+    )
+    tgt = np.array([35.0, 0.0, 0.0]) + rng.normal(0, 2.5, (n, 3))
+    d = tgt - np.asarray(o)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    d = jnp.asarray(d, jnp.float32)
+    t_max = jnp.full((n,), jnp.inf, jnp.float32)
+
+    hit_k, si_k = ctx.intersect_shaded(o, d, t_max)
+    hit_b = geom.intersect_brute(ctx.tri, ctx.sph, o, d, t_max)
+    si_b = ctx.surface(hit_b, o, d)
+
+    hv = np.asarray(hit_b.valid)
+    assert hv.any()
+    # some rays must hit the sphere for this test to mean anything
+    assert (np.asarray(hit_b.kind)[hv] == geom.PRIM_SPHERE).any()
+    assert np.array_equal(hv, np.asarray(hit_k.valid))
+    assert np.array_equal(np.asarray(hit_k.kind)[hv], np.asarray(hit_b.kind)[hv])
+    assert np.allclose(np.asarray(hit_k.t)[hv], np.asarray(hit_b.t)[hv], rtol=1e-4)
+    for name in ("uv", "ns", "ng", "dpdu", "dpdv"):
+        g = np.asarray(getattr(si_k, name))[hv]
+        w = np.asarray(getattr(si_b, name))[hv]
+        assert np.allclose(g, w, atol=2e-4), (name, np.abs(g - w).max())
+    assert np.array_equal(np.asarray(si_k.mat)[hv], np.asarray(si_b.mat)[hv])
+    # occlusion agrees too
+    occ_k = ctx.occluded(o, d, jnp.full((n,), 100.0, jnp.float32))
+    occ_b = geom.occluded_brute(ctx.tri, ctx.sph, o, d, jnp.full((n,), 100.0, jnp.float32))
+    assert np.array_equal(np.asarray(occ_k), np.asarray(occ_b))

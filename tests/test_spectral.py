@@ -240,3 +240,115 @@ def test_spectral_metal_render_differs_more():
     dh_metal = np.abs(hue(spc_m) - hue(rgb_m)).mean()
     assert np.isfinite(spc_m).all()
     assert dh_metal > 1e-3, f"spectral copper shows no hue shift ({dh_metal})"
+
+
+def _spectral_pair(mutate, spp=2, seed=0):
+    import json, os, shutil, tempfile
+
+    from rs_ray_toy_tpu.scene.loader import load_scene
+    from rs_ray_toy_tpu.render import render_job
+
+    cfg = json.load(open("/root/reference/samples/scene.json"))
+    cfg["Film"]["xres"], cfg["Film"]["yres"] = 40, 24
+    mutate(cfg)
+    td = tempfile.mkdtemp()
+    shutil.copy("/root/reference/samples/cube.obj", td)
+    shutil.copy("/root/reference/samples/s_01.png", td)
+    path = os.path.join(td, "s.json")
+    json.dump(cfg, open(path, "w"))
+    rgb = np.asarray(
+        render_job(load_scene(path), spp_override=spp, pupil_samples=1 << 10,
+                   seed=seed)["rgb_srgb_input"]
+    )
+    spc = np.asarray(
+        render_job(load_scene(path, spectral=True), spp_override=spp,
+                   pupil_samples=1 << 10, seed=seed)["rgb_srgb_input"]
+    )
+    return rgb, spc
+
+
+def test_spectral_volpath_grid_fog():
+    """Round-3 spectral completion: a config-4-style fog scene renders in
+    N=60 mode through VolPath (medium sigma lifted via the Smits basis)
+    and agrees with the RGB render in aggregate energy — the fog spectra
+    are smooth so the lift is near-exact."""
+
+    def mut(cfg):
+        cfg["Integrator"] = {"integrator_type": "Volpath", "max_depth": 3}
+        for p in cfg["Aggregate"]["primitives"]:
+            p["material_name"] = "mat_matte"
+        # thin grid fog across the scene (the Homogeneous default sigma is
+        # opaque over this scene's 40+ unit distances)
+        cfg["Camera"]["medium"] = {
+            "medium_type": "GridDensity", "g": 0.0, "nx": 1, "d": [0.004],
+            "world_pos": [-100.0, -100.0, -100.0], "scale": 250.0,
+        }
+
+    rgb, spc = _spectral_pair(mut)
+    assert np.isfinite(spc).all() and spc.max() > 0
+    lit = rgb.sum(-1) > 1e-3
+    assert lit.sum() > 15  # lens vignetting keeps the lit area small
+    ratio = spc[lit].sum() / rgb[lit].sum()
+    assert 0.7 < ratio < 1.4, ratio
+
+
+def test_spectral_env_light_escape():
+    """Infinite lights in spectral mode: env radiance is lifted to 60
+    bins; escaped rays and NEE agree with the RGB render for a constant
+    (flat-spectrum) environment."""
+
+    def mut(cfg):
+        cfg["Integrator"] = {"integrator_type": "Path", "max_depth": 3}
+        for p in cfg["Aggregate"]["primitives"]:
+            p["material_name"] = "mat_matte"
+        cfg["lights"] = [
+            {"light_type": "infinite", "l": {"values": [1.0, 1.0, 1.0]}}
+        ]
+        cfg["infinite_lights"] = [
+            {"light_type": "infinite", "l": {"values": [1.0, 1.0, 1.0]}}
+        ]
+
+    rgb, spc = _spectral_pair(mut)
+    assert np.isfinite(spc).all()
+    # escaped pixels read the env exactly.  A flat spectrum is NOT white
+    # after the CIE reduction (equal-energy XYZ ~ (1,1,1) -> sRGB is
+    # warm) — the reference's spectrum.rs pipeline has the same tint, so
+    # compare against the pipeline's own white roundtrip per channel.
+    import jax.numpy as jnp
+
+    from rs_ray_toy_tpu.core import spectral as sp
+
+    tint = np.asarray(
+        sp.to_rgb(sp.from_rgb(jnp.ones((1, 3), jnp.float32), sp.REFLECTANCE))
+    )[0]
+    esc = rgb.min(-1) > 0.5
+    assert esc.sum() > 50  # lens vignetting blacks out the film borders
+    assert np.abs(spc[esc] - rgb[esc] * tint).max() < 0.02, (
+        tint,
+        np.abs(spc[esc] - rgb[esc] * tint).max(),
+    )
+
+
+def test_spectral_textured_matte():
+    """Textured kd (image map) in spectral mode: per-hit device from_rgb
+    lift.  The textured cubes must render non-black and track the RGB
+    image in aggregate energy."""
+
+    def mut(cfg):
+        cfg["Integrator"] = {"integrator_type": "Path", "max_depth": 3}
+        cfg["materials"].append(
+            {
+                "material_type": "MatteMaterial",
+                "material_name": "mat_tex",
+                "kd": "s_01",
+            }
+        )
+        for p in cfg["Aggregate"]["primitives"]:
+            p["material_name"] = "mat_tex"
+
+    rgb, spc = _spectral_pair(mut)
+    assert np.isfinite(spc).all() and spc.max() > 0
+    lit = rgb.sum(-1) > 1e-3
+    assert lit.sum() > 25
+    ratio = spc[lit].sum() / rgb[lit].sum()
+    assert 0.75 < ratio < 1.3, ratio
