@@ -100,8 +100,10 @@ def supports_direct(ctx, spec, sampler, diff) -> bool:
 
 
 def pack_direct(ctx, spec):
-    """pack_scene + the per-light NEE sample counts (all-lights mode)."""
-    packed = pack_scene(ctx)
+    """pack_scene + the per-light NEE sample counts (all-lights mode).
+    The trailing SceneStatic is dropped: this kernel's subset has no
+    spheres / area lights / envs (common_scene_checks defaults)."""
+    packed = pack_scene(ctx)[:5]
     ns = []
     for v in np.asarray(ctx.lights.n_samples):
         p = 1

@@ -27,6 +27,7 @@ Scene tables are baked per *triangle* (the material table collapses:
 kd = packed_f[tri.mat, 0, 0:3]), so shading needs no indirection at all.
 """
 
+import collections
 import functools
 
 import numpy as np
@@ -37,7 +38,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..config import DTYPE, PI, ONE_MINUS_EPSILON, SHADOW_EPSILON
-from ..scene.types import LIGHT_POINT
+from ..scene.types import (
+    AREA_SHAPE_SPHERE,
+    LIGHT_DIFFUSE_AREA,
+    LIGHT_INFINITE,
+    LIGHT_POINT,
+)
 from ..bsdf.lobes import (
     LOBE_LAMBERT_REFL,
     LOBE_MF_REFL,
@@ -55,6 +61,7 @@ TRI_EPS = 1e-7
 LANES = 128
 TILE_ROWS = 128
 TRI_MAX = 2048
+SPH_MAX = 8
 LOBES_MAX = 2
 LIGHT_MAX = 8
 DEPTH_MAX = 15
@@ -62,16 +69,71 @@ DEPTH_MAX = 15
 PI_OVER_2 = PI / 2.0
 PI_OVER_4 = PI / 4.0
 
+# static (hashable) scene payloads for the widened subset: spheres, area/
+# env lights, and escape radiance ride into the kernel as jit-static
+# nested tuples — everything is a compile-time constant, so Mosaic sees
+# plain float immediates and the point-light/triangle-only specialization
+# compiles to exactly the round-2 program.
+LobeC = collections.namedtuple(
+    "LobeC", "kind s0 s1 s2 au av fres eta_a eta_b"
+)
+SphereC = collections.namedtuple(
+    "SphereC", "w2o o2w radius n_lobes mat_eta lobes"
+)  # w2o: 12 floats (3x4 rows), o2w: 12 floats
+EnvC = collections.namedtuple(
+    "EnvC",
+    # constant-radiance environment light (lights/infinite.rs with a
+    # spatially uniform map): rgb texel; the Distribution2D collapses to
+    # its sin-weighted marginal (conditional rows are uniform)
+    "rgb marg_cdf marg_pdf cond_cdf pdf2d_bins cos_bins nu nv "
+    "to_world to_local",
+)
+LightC = collections.namedtuple("LightC", "kind p emit o2w w2o radius env")
+SceneStatic = collections.namedtuple(
+    "SceneStatic", "spheres lights esc_rgb world_radius"
+)
+
 
 def _pow2(n):
     return n > 0 and (n & (n - 1)) == 0
 
 
-def common_scene_checks(ctx, sampler):
+def _full_spheres(sph):
+    """True when every sphere is unclipped (no z/phi partial clips —
+    sphere.rs:50-108's clip tests are vacuous)."""
+    if int(sph.count) == 0:
+        return True
+    r = np.asarray(sph.radius)
+    return bool(
+        np.all(np.asarray(sph.z_min) <= -r + 1e-6 * r)
+        and np.all(np.asarray(sph.z_max) >= r - 1e-6 * r)
+        and np.all(np.asarray(sph.phi_max) >= 2.0 * np.pi - 1e-6)
+    )
+
+
+def _env_constant_rgb(env):
+    """The env map's constant texel, or None if it varies spatially."""
+    data = np.asarray(env["mipmap"]["data"])
+    h, w = (int(v) for v in np.asarray(env["mipmap"]["dims"])[0])
+    base = data[0, :h, :w]
+    if not np.all(base == base[0, 0]):
+        return None
+    return tuple(float(v) for v in base[0, 0])
+
+
+def common_scene_checks(
+    ctx,
+    sampler,
+    allow_spheres=False,
+    light_kinds=(LIGHT_POINT,),
+    allow_env=False,
+):
     """Host gates shared by BOTH megakernels (path + direct): RGB only,
-    in-VMEM stratified sampler, triangle-only VMEM-resident scene with
-    flat shading normals, no env/media, untextured/unbumped/unscaled
-    point-lit materials on the quirk-exact estimator.
+    in-VMEM stratified sampler, VMEM-resident scene with flat shading
+    normals, no media, untextured/unbumped/unscaled materials on the
+    quirk-exact estimator.  The path kernel opts into full spheres,
+    sphere-area lights, and constant-environment lights; the direct
+    kernel keeps the round-2 point-lit triangle subset.
 
     Returns (kinds, n_lobes, live, used) or None when unsupported."""
     if getattr(ctx, "n_channels", 3) != 3:
@@ -86,25 +148,43 @@ def common_scene_checks(ctx, sampler):
             return None
         if not (_pow2(sampler.spp) and _pow2(sampler.xs) and _pow2(sampler.ys)):
             return None
-    if int(ctx.sph.count) != 0 or not (0 < int(ctx.tri.count) <= TRI_MAX):
+    n_sph = int(ctx.sph.count)
+    if allow_spheres:
+        if n_sph > SPH_MAX or not _full_spheres(ctx.sph):
+            return None
+    elif n_sph != 0:
+        return None
+    n_tri = int(ctx.tri.count)
+    if n_tri > TRI_MAX or n_tri + n_sph == 0:
         return None
     # the kernels shade with ns == ng; reject meshes whose baked vertex
     # normals differ from the face normal (smooth shading — the jnp path
     # interpolates ns per hit, accel/geometry.py:230-236)
-    has_n = np.asarray(ctx.tri.has_n).astype(bool)
-    if has_n.any():
-        ng = np.asarray(ctx.tri.ng)
-        for vn in (ctx.tri.n0, ctx.tri.n1, ctx.tri.n2):
-            if np.any(np.abs(np.asarray(vn)[has_n] - ng[has_n]) > 1e-6):
-                return None
-    if ctx.infinite_envs or ctx.mediums is not None:
+    if n_tri > 0:
+        has_n = np.asarray(ctx.tri.has_n).astype(bool)
+        if has_n.any():
+            ng = np.asarray(ctx.tri.ng)
+            for vn in (ctx.tri.n0, ctx.tri.n1, ctx.tri.n2):
+                if np.any(np.abs(np.asarray(vn)[has_n] - ng[has_n]) > 1e-6):
+                    return None
+    if ctx.mediums is not None:
         return None
+    if ctx.infinite_envs:
+        if not allow_env:
+            return None
+        # the kernel embeds env radiance / CDFs as static constants:
+        # spatially constant maps only (the furnace / uniform-sky family)
+        if any(_env_constant_rgb(env) is None for env in ctx.infinite_envs):
+            return None
     mats = ctx.mats
     kinds = np.asarray(mats["kind"])
     n_lobes = np.asarray(mats["n_lobes"])
-    # only materials actually referenced by a triangle constrain the kernel
-    tri_mat = np.asarray(ctx.tri.mat)
-    used = np.unique(tri_mat[tri_mat >= 0])
+    # only materials actually referenced by a primitive constrain the kernel
+    prim_mats = [np.asarray(ctx.tri.mat), np.asarray(ctx.sph.mat)]
+    prim_mat = np.concatenate([m for m in prim_mats if m.size]) if any(
+        m.size for m in prim_mats
+    ) else np.zeros(0, np.int64)
+    used = np.unique(prim_mat[prim_mat >= 0])
     if used.size == 0:
         return None
     live = np.zeros_like(kinds, bool)
@@ -138,8 +218,30 @@ def common_scene_checks(ctx, sampler):
     if np.any(np.abs(np.asarray(mats["scale"])[live] - 1.0) > 0):
         return None
     lk = np.asarray(ctx.lights.kind)
-    if lk.size == 0 or lk.size > LIGHT_MAX or np.any(lk != LIGHT_POINT):
+    if lk.size > LIGHT_MAX or np.any(~np.isin(lk, light_kinds)):
         return None
+    if lk.size == 0 and not (allow_env and ctx.infinite_envs):
+        return None  # unlit scenes render black either way; keep jnp
+    if np.any(lk == LIGHT_DIFFUSE_AREA):
+        # area lights: sphere shapes only (the sample_li warp embedded in
+        # the kernel is uniform_sample_sphere; triangle area lights fall
+        # back to the jnp loop)
+        sk = np.asarray(ctx.lights.shape_kind)
+        if np.any((lk == LIGHT_DIFFUSE_AREA) & (sk != AREA_SHAPE_SPHERE)):
+            return None
+    n_env_lights = int(np.sum(lk == LIGHT_INFINITE))
+    if n_env_lights > 1:
+        return None  # one sampleable env light (merging >1 static CDF
+        # payload per lane is not worth the compile-time)
+    if n_env_lights:
+        # estimate_direct's BSDF-counter branch samples with
+        # ALL & ~SPECULAR flags; the kernel reuses its ALL-flags sample
+        # machinery, exact only when no specular lobe is live
+        is_spec = np.zeros_like(kinds, bool)
+        for sk_ in SPEC_KINDS:
+            is_spec |= kinds == sk_
+        if np.any(is_spec & live):
+            return None
     return kinds, n_lobes, live, used
 
 
@@ -149,7 +251,13 @@ def supports(ctx, spec, sampler, diff) -> bool:
         return False
     if spec.max_depth > DEPTH_MAX:
         return False
-    common = common_scene_checks(ctx, sampler)
+    common = common_scene_checks(
+        ctx,
+        sampler,
+        allow_spheres=True,
+        light_kinds=(LIGHT_POINT, LIGHT_DIFFUSE_AREA, LIGHT_INFINITE),
+        allow_env=True,
+    )
     if common is None:
         return False
     kinds, n_lobes, live, used = common
@@ -169,6 +277,180 @@ def supports(ctx, spec, sampler, diff) -> bool:
     return True
 
 
+def _np_rough_to_alpha(r):
+    r = np.maximum(r, 1e-3)
+    x = np.log(r)
+    return (
+        1.62142 + 0.819955 * x + 0.1734 * x * x
+        + 0.0171201 * x**3 + 0.000640711 * x**4
+    )
+
+
+def _resolve_mat_arrays(m, mat):
+    """Per-primitive material constants (mat: (P,) loader ids, -1 = none).
+    Collapses the material indirection: kind/s0/s1/s2/alpha(post-remap)/
+    fresnel/eta columns per lobe, n_lobes, Bsdf eta."""
+    safe_mat = np.maximum(mat, 0)
+    kinds = np.asarray(m["kind"])[safe_mat]          # (P, L)
+    s0 = np.asarray(m["s0"])[safe_mat]               # (P, L, 3)
+    s1 = np.asarray(m["s1"])[safe_mat]
+    s2 = np.asarray(m["s2"])[safe_mat]
+    fp = np.asarray(m["fparams"])[safe_mat]          # (P, L, 4)
+    fres = np.asarray(m["fresnel"])[safe_mat]
+    remap = np.asarray(m["remap"])[safe_mat]
+    n_lobes = np.asarray(m["n_lobes"])[safe_mat] * (mat >= 0)
+    au = np.where(remap, _np_rough_to_alpha(fp[..., 0]), fp[..., 0])
+    av = np.where(remap, _np_rough_to_alpha(fp[..., 1]), fp[..., 1])
+    # specular lobes store their eta pair in f0/f1 (bsdf_sample's
+    # spec_eta_a/b); normalize to the kernel's eta_a/eta_b columns
+    is_spec = np.zeros(kinds.shape, bool)
+    for sk in SPEC_KINDS:
+        is_spec |= kinds == sk
+    ea = np.where(is_spec, fp[..., 0], fp[..., 2])
+    eb = np.where(is_spec, fp[..., 1], fp[..., 3])
+    mat_eta = np.asarray(m["eta"])[safe_mat]  # Bsdf eta for etaScale RR
+    return dict(
+        kinds=kinds, s0=s0, s1=s1, s2=s2, au=au, av=av, fres=fres,
+        ea=ea, eb=eb, n_lobes=n_lobes, mat_eta=mat_eta,
+    )
+
+
+def _t3(row):
+    return tuple(float(v) for v in np.asarray(row, np.float32))
+
+
+def _rows12(m4):
+    """4x4 host matrix -> 12-float (3x4 row-major) tuple."""
+    return tuple(float(v) for v in np.asarray(m4, np.float32)[:3, :4].ravel())
+
+
+def _pack_spheres_static(ctx):
+    """SphereC tuple: full spheres as compile-time constants (transform
+    rows + the resolved lobe stack; sphere.rs:50-108 geometry)."""
+    sph = ctx.sph
+    if int(sph.count) == 0:
+        return ()
+    r = _resolve_mat_arrays(ctx.mats, np.asarray(sph.mat))
+    out = []
+    for s in range(int(sph.count)):
+        lobes = []
+        for l in range(min(LOBES_MAX, r["kinds"].shape[1])):
+            lobes.append(
+                LobeC(
+                    kind=int(r["kinds"][s, l]),
+                    s0=_t3(r["s0"][s, l]),
+                    s1=_t3(r["s1"][s, l]),
+                    s2=_t3(r["s2"][s, l]),
+                    au=float(np.float32(r["au"][s, l])),
+                    av=float(np.float32(r["av"][s, l])),
+                    fres=int(r["fres"][s, l]),
+                    eta_a=float(np.float32(r["ea"][s, l])),
+                    eta_b=float(np.float32(r["eb"][s, l])),
+                )
+            )
+        out.append(
+            SphereC(
+                w2o=_rows12(np.asarray(sph.w2o)[s]),
+                o2w=_rows12(np.asarray(sph.o2w)[s]),
+                radius=float(np.float32(np.asarray(sph.radius)[s])),
+                n_lobes=int(r["n_lobes"][s]),
+                mat_eta=float(np.float32(r["mat_eta"][s])),
+                lobes=tuple(lobes),
+            )
+        )
+    return tuple(out)
+
+
+def _pack_env_static(env):
+    """EnvC for a constant-radiance environment: the radiance texel plus
+    the Distribution2D collapsed to static f32 constants.  All values are
+    read from the same device arrays the jnp path samples, so the kernel's
+    unrolled CDF scan reproduces sample_continuous_2d / pdf_2d bit-for-bit
+    (lights/infinite.rs:140-186, sampling.rs:157-177)."""
+    rgb = _env_constant_rgb(env)
+    dist = env["dist"]
+    marg = dist["marginal"]
+    marg_cdf = np.asarray(marg["cdf"], np.float32)
+    marg_func = np.asarray(marg["func"], np.float32)
+    marg_int = np.float32(np.asarray(marg["func_int"]))
+    nv = marg_func.shape[0]
+    nu = np.asarray(dist["cond_func"]).shape[1]
+    cond_cdf = np.asarray(dist["cond_cdf"], np.float32)
+    cond_func = np.asarray(dist["cond_func"], np.float32)
+    cond_int = np.asarray(dist["cond_int"], np.float32)
+    # constant map => all conditional rows identical (checked, not assumed)
+    assert np.all(cond_cdf == cond_cdf[0]) and np.all(
+        cond_func == cond_func[:, :1]
+    ), "constant env with varying conditional rows"
+    # per-v-row pdfs, divided in f32 exactly as the jnp lookups do
+    marg_pdf = tuple(
+        float(v) for v in np.where(marg_int > 0, marg_func / marg_int, 0.0)
+    )
+    pdf2d = tuple(
+        float(v)
+        for v in np.where(marg_int > 0, cond_func[:, 0] / marg_int, 0.0)
+    )
+    # theta-bin thresholds for pdf_li's iv = floor(theta/pi * nv) without
+    # an in-kernel arccos: iv = #{k in 1..nv-1 : w_z <= cos(k*pi/nv)}
+    cos_bins = tuple(
+        float(np.cos(np.pi * k / nv)) for k in range(1, nv)
+    )
+    return EnvC(
+        rgb=rgb,
+        marg_cdf=tuple(float(v) for v in marg_cdf),
+        marg_pdf=marg_pdf,
+        cond_cdf=tuple(float(v) for v in cond_cdf[0]),
+        pdf2d_bins=pdf2d,
+        cos_bins=cos_bins,
+        nu=int(nu),
+        nv=int(nv),
+        to_world=tuple(
+            float(v) for v in np.asarray(env["to_world"], np.float32)[:3, :3].ravel()
+        ),
+        to_local=tuple(
+            float(v) for v in np.asarray(env["to_local"], np.float32)[:3, :3].ravel()
+        ),
+    )
+
+
+def _pack_lights_static(ctx):
+    """LightC tuple + summed escape radiance (path.rs:84-87 reads
+    scene.infinite_lights; NEE reads scene.lights — two separate lists)."""
+    lt = ctx.lights
+    lights = []
+    for i in range(int(lt.count)):
+        kind = int(np.asarray(lt.kind)[i])
+        env = None
+        o2w = w2o = None
+        radius = 1.0
+        if kind == LIGHT_DIFFUSE_AREA:
+            o2w = _rows12(np.asarray(lt.sph_o2w)[i])
+            w2o = _rows12(np.asarray(lt.sph_w2o)[i])
+            radius = float(np.float32(np.asarray(lt.sph_radius)[i]))
+        elif kind == LIGHT_INFINITE:
+            env_id = int(np.asarray(lt.shape_index)[i])
+            env = _pack_env_static(ctx.infinite_envs[env_id])
+        lights.append(
+            LightC(
+                kind=kind,
+                p=_t3(np.asarray(lt.p)[i]),
+                emit=_t3(np.asarray(lt.emit)[i]),
+                o2w=o2w,
+                w2o=w2o,
+                radius=radius,
+                env=env,
+            )
+        )
+    esc = None
+    esc_envs = [e for e in ctx.infinite_envs if e.get("escape_le", False)]
+    if esc_envs:
+        total = np.zeros(3, np.float32)
+        for e in esc_envs:
+            total = total + np.asarray(_env_constant_rgb(e), np.float32)
+        esc = tuple(float(v) for v in total)
+    return tuple(lights), esc
+
+
 def pack_scene(ctx):
     """Per-triangle (T, 48) table: geometry + the material's lobe stack
     pre-resolved (material indirection collapsed at pack time).
@@ -178,7 +460,11 @@ def pack_scene(ctx):
     cols 16+16*l  per lobe l: kind, s0(3), s1(3), s2(3), alpha_u, alpha_v,
                   fresnel, eta_a, eta_b, pad
     alpha is post-remap (roughness_to_alpha applied host-side when the
-    lobe's remap flag is set — exact for untextured roughness)."""
+    lobe's remap flag is set — exact for untextured roughness).
+
+    Returns (table, lights_p, lights_emit, kinds_present, max_lobes, wide)
+    where `wide` is the SceneStatic payload for the round-3 widened subset
+    (spheres / area lights / constant envs); the direct kernel uses [:5]."""
     tri = ctx.tri
     p0 = np.asarray(tri.p0, np.float32)
     e1 = np.asarray(tri.p1, np.float32) - p0
@@ -186,58 +472,33 @@ def pack_scene(ctx):
     ng = np.asarray(tri.ng, np.float32)
     dpdu = np.asarray(tri.dpdu, np.float32)
     mat = np.asarray(tri.mat)
-    safe_mat = np.maximum(mat, 0)
-
-    m = ctx.mats
-    kinds = np.asarray(m["kind"])[safe_mat]          # (T, L)
-    s0 = np.asarray(m["s0"])[safe_mat]               # (T, L, 3)
-    s1 = np.asarray(m["s1"])[safe_mat]
-    s2 = np.asarray(m["s2"])[safe_mat]
-    fp = np.asarray(m["fparams"])[safe_mat]          # (T, L, 4)
-    fres = np.asarray(m["fresnel"])[safe_mat]
-    remap = np.asarray(m["remap"])[safe_mat]
-    n_lobes = np.asarray(m["n_lobes"])[safe_mat] * (mat >= 0)
-
-    def np_rough_to_alpha(r):
-        r = np.maximum(r, 1e-3)
-        x = np.log(r)
-        return (
-            1.62142 + 0.819955 * x + 0.1734 * x * x
-            + 0.0171201 * x**3 + 0.000640711 * x**4
-        )
-
-    au = np.where(remap, np_rough_to_alpha(fp[..., 0]), fp[..., 0])
-    av = np.where(remap, np_rough_to_alpha(fp[..., 1]), fp[..., 1])
-    # specular lobes store their eta pair in f0/f1 (bsdf_sample's
-    # spec_eta_a/b); normalize to the kernel's eta_a/eta_b columns
-    is_spec = np.zeros(kinds.shape, bool)
-    for sk in SPEC_KINDS:
-        is_spec |= kinds == sk
-    ea = np.where(is_spec, fp[..., 0], fp[..., 2])
-    eb = np.where(is_spec, fp[..., 1], fp[..., 3])
-    mat_eta = np.asarray(m["eta"])[safe_mat]  # Bsdf eta for etaScale RR
+    r = _resolve_mat_arrays(ctx.mats, mat)
+    kinds, n_lobes = r["kinds"], r["n_lobes"]
 
     t_count = p0.shape[0]
-    table = np.zeros((t_count, 16 + 16 * LOBES_MAX), np.float32)
-    table[:, 0:3] = p0
-    table[:, 3:6] = e1
-    table[:, 6:9] = e2
-    table[:, 9:12] = ng
-    table[:, 12:15] = dpdu
-    table[:, 15] = n_lobes.astype(np.float32)
+    # pad to >=8 rows so sphere-only scenes still feed Pallas a real VMEM
+    # block; zero rows have det == 0 and never intersect
+    t_rows = max(t_count, 8)
+    table = np.zeros((t_rows, 16 + 16 * LOBES_MAX), np.float32)
+    table[:t_count, 0:3] = p0
+    table[:t_count, 3:6] = e1
+    table[:t_count, 6:9] = e2
+    table[:t_count, 9:12] = ng
+    table[:t_count, 12:15] = dpdu
+    table[:t_count, 15] = n_lobes.astype(np.float32)
     l_avail = kinds.shape[1]
     for l in range(min(LOBES_MAX, l_avail)):
         base = 16 + 16 * l
-        table[:, base + 0] = kinds[:, l].astype(np.float32)
-        table[:, base + 1 : base + 4] = s0[:, l]
-        table[:, base + 4 : base + 7] = s1[:, l]
-        table[:, base + 7 : base + 10] = s2[:, l]
-        table[:, base + 10] = au[:, l]
-        table[:, base + 11] = av[:, l]
-        table[:, base + 12] = fres[:, l].astype(np.float32)
-        table[:, base + 13] = ea[:, l]
-        table[:, base + 14] = eb[:, l]
-    table[:, 31] = mat_eta  # lobe-0 pad column carries the Bsdf eta
+        table[:t_count, base + 0] = kinds[:, l].astype(np.float32)
+        table[:t_count, base + 1 : base + 4] = r["s0"][:, l]
+        table[:t_count, base + 4 : base + 7] = r["s1"][:, l]
+        table[:t_count, base + 7 : base + 10] = r["s2"][:, l]
+        table[:t_count, base + 10] = r["au"][:, l]
+        table[:t_count, base + 11] = r["av"][:, l]
+        table[:t_count, base + 12] = r["fres"][:, l].astype(np.float32)
+        table[:t_count, base + 13] = r["ea"][:, l]
+        table[:t_count, base + 14] = r["eb"][:, l]
+    table[:t_count, 31] = r["mat_eta"]  # lobe-0 pad col carries the Bsdf eta
 
     lights_p = tuple(
         tuple(float(v) for v in row) for row in np.asarray(ctx.lights.p)
@@ -245,18 +506,33 @@ def pack_scene(ctx):
     lights_emit = tuple(
         tuple(float(v) for v in row) for row in np.asarray(ctx.lights.emit)
     )
+    spheres = _pack_spheres_static(ctx)
+    lights_c, esc_rgb = _pack_lights_static(ctx)
+    wide = SceneStatic(
+        spheres=spheres,
+        lights=lights_c,
+        esc_rgb=esc_rgb,
+        world_radius=float(np.asarray(ctx.lights.world_radius)),
+    )
     # static specialization facts: which lobe kinds exist on used materials
-    # and the deepest live lobe stack — the kernel prunes all dead branches
-    # at trace time (the pallas analogue of SceneCtx.static_kinds)
+    # (triangles AND spheres) and the deepest live lobe stack — the kernel
+    # prunes all dead branches at trace time (the pallas analogue of
+    # SceneCtx.static_kinds)
     live = np.zeros(kinds.shape, bool)
     for ti in range(kinds.shape[0]):
         live[ti, : int(n_lobes[ti])] = True
-    kinds_present = tuple(sorted(int(k) for k in np.unique(kinds[live]))) or (
-        int(LOBE_LAMBERT_REFL),
-    )
-    max_lobes = int(n_lobes.max()) if n_lobes.size else 1
+    present = set(int(k) for k in np.unique(kinds[live])) if live.any() else set()
+    max_lobes = int(n_lobes.max()) if n_lobes.size else 0
+    for s in spheres:
+        for l in range(s.n_lobes):
+            present.add(s.lobes[l].kind)
+        max_lobes = max(max_lobes, s.n_lobes)
+    kinds_present = tuple(sorted(present)) or (int(LOBE_LAMBERT_REFL),)
     max_lobes = max(1, min(max_lobes, LOBES_MAX))
-    return jnp.asarray(table), lights_p, lights_emit, kinds_present, max_lobes
+    return (
+        jnp.asarray(table), lights_p, lights_emit, kinds_present, max_lobes,
+        wide,
+    )
 
 
 def _has_spec(kinds_present):
@@ -390,6 +666,367 @@ def _occluded(tri_ref, n_tris, ox, oy, oz, dx, dy, dz, t_max):
 
     occ = lax.fori_loop(0, n_tris, body, jnp.zeros(ox.shape, jnp.int32))
     return occ > 0
+
+
+# ---- static-transform helpers (rows are compile-time float tuples) ----
+
+
+def _affine12(rows, x, y, z):
+    """Apply a 3x4 row-major transform to a point."""
+    return (
+        rows[0] * x + rows[1] * y + rows[2] * z + rows[3],
+        rows[4] * x + rows[5] * y + rows[6] * z + rows[7],
+        rows[8] * x + rows[9] * y + rows[10] * z + rows[11],
+    )
+
+
+def _rot12(rows, x, y, z):
+    """Rotation part of a 3x4 transform applied to a vector."""
+    return (
+        rows[0] * x + rows[1] * y + rows[2] * z,
+        rows[4] * x + rows[5] * y + rows[6] * z,
+        rows[8] * x + rows[9] * y + rows[10] * z,
+    )
+
+
+def _rot12_t(rows, x, y, z):
+    """Transposed rotation (normal transform by the inverse's rows)."""
+    return (
+        rows[0] * x + rows[4] * y + rows[8] * z,
+        rows[1] * x + rows[5] * y + rows[9] * z,
+        rows[2] * x + rows[6] * y + rows[10] * z,
+    )
+
+
+def _rot9(rows, x, y, z):
+    return (
+        rows[0] * x + rows[1] * y + rows[2] * z,
+        rows[3] * x + rows[4] * y + rows[5] * z,
+        rows[6] * x + rows[7] * y + rows[8] * z,
+    )
+
+
+def _rot9_t(rows, x, y, z):
+    return (
+        rows[0] * x + rows[3] * y + rows[6] * z,
+        rows[1] * x + rows[4] * y + rows[7] * z,
+        rows[2] * x + rows[5] * y + rows[8] * z,
+    )
+
+
+# ---- sphere primitives (sphere.rs:50-108; accel/geometry.py parity) ----
+
+SPH_EPS = 1e-4
+
+
+def _sphere_candidate_t(s, ox, oy, oz, dx, dy, dz, t_lim):
+    """Closest valid quadratic root along the ray (full spheres: the z/phi
+    clip tests are vacuous).  Returns (t_cand (3e38 = miss), oo, od)."""
+    oox, ooy, ooz = _affine12(s.w2o, ox, oy, oz)
+    odx, ody, odz = _rot12(s.w2o, dx, dy, dz)
+    a = odx * odx + ody * ody + odz * odz
+    b = 2.0 * (odx * oox + ody * ooy + odz * ooz)
+    c = oox * oox + ooy * ooy + ooz * ooz - s.radius * s.radius
+    # core/math.quadratic, componentwise
+    disc = b * b - 4.0 * a * c
+    ok = disc >= 0.0
+    root = jnp.sqrt(jnp.maximum(disc, 0.0))
+    q = jnp.where(b < 0.0, -0.5 * (b - root), -0.5 * (b + root))
+    t0 = q / jnp.where(a == 0.0, 1.0, a)
+    t1 = c / jnp.where(q == 0.0, 1.0, q)
+    lo = jnp.where(ok, jnp.minimum(t0, t1), 0.0)
+    hi = jnp.where(ok, jnp.maximum(t0, t1), 0.0)
+    lo_ok = ok & (lo > SPH_EPS) & (lo < t_lim)
+    hi_ok = ok & (hi > SPH_EPS) & (hi < t_lim)
+    t_cand = jnp.where(lo_ok, lo, jnp.where(hi_ok, hi, 3.0e38))
+    return t_cand, (oox, ooy, ooz), (odx, ody, odz)
+
+
+def _occluded_spheres(spheres, ox, oy, oz, dx, dy, dz, t_max):
+    occ = jnp.zeros(ox.shape, bool)
+    for s in spheres:
+        t_cand, _, _ = _sphere_candidate_t(s, ox, oy, oz, dx, dy, dz, t_max)
+        occ = occ | (t_cand < 3.0e38)
+    return occ
+
+
+def _occluded_all(tri_ref, n_tris, spheres, ox, oy, oz, dx, dy, dz, t_max):
+    occ = _occluded(tri_ref, n_tris, ox, oy, oz, dx, dy, dz, t_max)
+    if spheres:
+        occ = occ | _occluded_spheres(spheres, ox, oy, oz, dx, dy, dz, t_max)
+    return occ
+
+
+def _spheres_closest(spheres, ox, oy, oz, dx, dy, dz, has_full, mixed, max_lobes):
+    """Static-unrolled closest hit over the sphere constants.  Returns
+    (t (3e38 = miss), merged dict): object hit p_obj, winning transform
+    rows (lane arrays), radius, and the winner's lobe stack in the same
+    layout as the triangle table extraction."""
+    shape = ox.shape
+    zero = jnp.zeros(shape, jnp.float32)
+    big = jnp.full(shape, 3.0e38, jnp.float32)
+    t_best = big
+    m = {
+        "po": [zero] * 3,
+        "w2o": [zero] * 9,
+        "o2w": [zero] * 9,
+        "radius": zero,
+        "n_lob": jnp.zeros(shape, jnp.int32),
+        "mat_eta": zero,
+    }
+    lob0 = {
+        "kind": jnp.zeros(shape, jnp.int32) if mixed else None,
+        "s0": [zero] * 3,
+        "s1": [zero] * 3,
+        "s2": [zero] * 3,
+        "au": zero, "av": zero,
+        "fres": jnp.zeros(shape, jnp.int32),
+        "eta_a": zero, "eta_b": zero,
+    }
+    m["lobes"] = [
+        {k: (list(v) if isinstance(v, list) else v) for k, v in lob0.items()}
+        for _ in range(max_lobes)
+    ]
+    rot_idx = (0, 1, 2, 4, 5, 6, 8, 9, 10)
+    for s in spheres:
+        t_cand, oo, od = _sphere_candidate_t(
+            s, ox, oy, oz, dx, dy, dz, jnp.float32(3.0e38)
+        )
+        upd = t_cand < t_best
+        t_best = jnp.where(upd, t_cand, t_best)
+        for c in range(3):
+            m["po"][c] = jnp.where(upd, oo[c] + od[c] * t_cand, m["po"][c])
+        for i, ri in enumerate(rot_idx):
+            m["w2o"][i] = jnp.where(upd, s.w2o[ri], m["w2o"][i])
+            m["o2w"][i] = jnp.where(upd, s.o2w[ri], m["o2w"][i])
+        m["radius"] = jnp.where(upd, s.radius, m["radius"])
+        m["n_lob"] = jnp.where(upd, s.n_lobes, m["n_lob"])
+        m["mat_eta"] = jnp.where(upd, s.mat_eta, m["mat_eta"])
+        for l in range(max_lobes):
+            src = s.lobes[l] if l < len(s.lobes) else s.lobes[0]
+            dst = m["lobes"][l]
+            if mixed:
+                dst["kind"] = jnp.where(upd, src.kind, dst["kind"])
+            for c in range(3):
+                dst["s0"][c] = jnp.where(upd, src.s0[c], dst["s0"][c])
+                if has_full:
+                    dst["s1"][c] = jnp.where(upd, src.s1[c], dst["s1"][c])
+                    dst["s2"][c] = jnp.where(upd, src.s2[c], dst["s2"][c])
+            if has_full:
+                dst["au"] = jnp.where(upd, src.au, dst["au"])
+                dst["av"] = jnp.where(upd, src.av, dst["av"])
+                dst["fres"] = jnp.where(upd, src.fres, dst["fres"])
+                dst["eta_a"] = jnp.where(upd, src.eta_a, dst["eta_a"])
+                dst["eta_b"] = jnp.where(upd, src.eta_b, dst["eta_b"])
+    return t_best, m
+
+
+def _sphere_shading(m):
+    """Shading attributes for merged sphere hits (surface_interaction's
+    sphere branch, accel/geometry.py:271-330): reprojected object point,
+    world normal (w2o^T), dpdu = o2w . (-phi_max*y, phi_max*x, 0)."""
+    pox, poy, poz = m["po"]
+    plen = jnp.sqrt(pox * pox + poy * poy + poz * poz)
+    scale = m["radius"] / jnp.maximum(plen, 1e-30)
+    pox, poy, poz = pox * scale, poy * scale, poz * scale
+    ngx, ngy, ngz = _rot9_t(m["w2o"], pox, poy, poz)
+    ng_len = jnp.maximum(
+        jnp.sqrt(ngx * ngx + ngy * ngy + ngz * ngz), 1e-30
+    )
+    ngx, ngy, ngz = ngx / ng_len, ngy / ng_len, ngz / ng_len
+    two_pi = 2.0 * PI
+    dux, duy, duz = _rot9(m["o2w"], -two_pi * poy, two_pi * pox, jnp.zeros_like(pox))
+    return (ngx, ngy, ngz), (dux, duy, duz)
+
+
+# ---- NEE light sampling for the widened subset ----
+# (lights/lights.py sample_li: point / sphere-area / constant-infinite)
+
+
+def _cdf_scan(cdf, u):
+    """Unrolled sample_continuous_1d over a static f32 CDF tuple: returns
+    (idx int lanes, idx_f, du) with searchsorted(right)-1 semantics."""
+    n = len(cdf) - 1
+    cnt = jnp.zeros(u.shape, jnp.int32)
+    for v in cdf:
+        cnt = cnt + (jnp.float32(v) <= u).astype(jnp.int32)
+    idx = jnp.clip(cnt - 1, 0, n - 1)
+    c0 = jnp.zeros_like(u)
+    dc = jnp.zeros_like(u)
+    for k in range(n):
+        selk = idx == k
+        c0 = jnp.where(selk, cdf[k], c0)
+        dc = jnp.where(selk, cdf[k + 1] - cdf[k], dc)
+    du = jnp.where(dc > 0.0, (u - c0) / jnp.maximum(dc, 1e-30), u - c0)
+    return idx, idx.astype(jnp.float32), du
+
+
+def _select_bins(bins, idx):
+    out = jnp.zeros(idx.shape, jnp.float32)
+    for k, v in enumerate(bins):
+        out = jnp.where(idx == k, v, out)
+    return out
+
+
+def _env_sample_k(env, px, py, pz, u0, u1, world_radius):
+    """InfiniteAreaLight::sample_li for a constant map: Distribution2D
+    sample (marginal sin-weighted rows; uniform conditional), direction
+    from (phi, theta), pdf in solid angle (lights/infinite.rs:140-186)."""
+    idx1, idx1f, du1 = _cdf_scan(env.marg_cdf, u1)
+    d1 = (idx1f + du1) / env.nv
+    pdf1 = _select_bins(env.marg_pdf, idx1)
+    idx0, idx0f, du0 = _cdf_scan(env.cond_cdf, u0)
+    d0 = (idx0f + du0) / env.nu
+    # constant rows: conditional pdf == 1 exactly (asserted at pack time)
+    theta = d1 * PI
+    phi = d0 * 2.0 * PI
+    sin_t = jnp.sin(theta)
+    wlx = sin_t * jnp.cos(phi)
+    wly = sin_t * jnp.sin(phi)
+    wlz = jnp.cos(theta)
+    wx, wy, wz = _rot9(env.to_world, wlx, wly, wlz)
+    pdf = jnp.where(
+        sin_t > 0.0, pdf1 / (2.0 * PI * PI * jnp.maximum(sin_t, 1e-9)), 0.0
+    )
+    plx = px + wx * (2.0 * world_radius)
+    ply = py + wy * (2.0 * world_radius)
+    plz = pz + wz * (2.0 * world_radius)
+    return (wx, wy, wz), pdf, (plx, ply, plz)
+
+
+def _env_pdf_dir_k(env, wx, wy, wz):
+    """InfiniteAreaLight::pdf_li along a world direction, without an
+    in-kernel arccos: the theta bin comes from cos-threshold compares
+    (iv = floor(theta/pi*nv) <=> count of z <= cos(k*pi/nv))."""
+    lx, ly, lz = _rot9(env.to_local, wx, wy, wz)
+    inv = lax.rsqrt(jnp.maximum(lx * lx + ly * ly + lz * lz, 1e-30))
+    lz = lz * inv
+    iv = jnp.zeros(wx.shape, jnp.int32)
+    for v in env.cos_bins:
+        iv = iv + (lz <= jnp.float32(v)).astype(jnp.int32)
+    pdf_row = _select_bins(env.pdf2d_bins, iv)
+    sin_t = jnp.sqrt(jnp.maximum(1.0 - lz * lz, 0.0))
+    return jnp.where(
+        sin_t > 0.0, pdf_row / (2.0 * PI * PI * jnp.maximum(sin_t, 1e-9)), 0.0
+    )
+
+
+def _nee_light_k(wide, li_idx, px, py, pz, u0, u1):
+    """sample_li for the per-lane selected light (generic branch: any mix
+    of point / sphere-area / one constant-env light).  Returns a dict:
+    wi(3), li(3), pdf, p_light(3), delta mask, sel_env mask, env."""
+    lights = wide.lights
+    shape = px.shape
+    zero = jnp.zeros(shape, jnp.float32)
+    false = jnp.zeros(shape, bool)
+    kinds = set(l.kind for l in lights)
+    emr, emg, emb = zero, zero, zero
+    is_point = false
+    is_area = false
+    sel_env = false
+    lpx = lpy = lpz = zero
+    ao2w = [zero] * 12
+    aw2o = [zero] * 9
+    arad = zero
+    env = None
+    rot_idx = (0, 1, 2, 4, 5, 6, 8, 9, 10)
+    for k, l in enumerate(lights):
+        sel = li_idx == k
+        emr = jnp.where(sel, l.emit[0], emr)
+        emg = jnp.where(sel, l.emit[1], emg)
+        emb = jnp.where(sel, l.emit[2], emb)
+        if l.kind == LIGHT_POINT:
+            is_point = is_point | sel
+            lpx = jnp.where(sel, l.p[0], lpx)
+            lpy = jnp.where(sel, l.p[1], lpy)
+            lpz = jnp.where(sel, l.p[2], lpz)
+        elif l.kind == LIGHT_DIFFUSE_AREA:
+            is_area = is_area | sel
+            for i in range(12):
+                ao2w[i] = jnp.where(sel, l.o2w[i], ao2w[i])
+            for i, ri in enumerate(rot_idx):
+                aw2o[i] = jnp.where(sel, l.w2o[ri], aw2o[i])
+            arad = jnp.where(sel, l.radius, arad)
+        else:  # LIGHT_INFINITE (at most one; supports() enforces)
+            sel_env = sel_env | sel
+            env = l.env
+
+    # point candidate (lights/point.rs:55-79)
+    wix = wiy = wiz = zero
+    lir = lig = lib = zero
+    pdf = zero
+    plx, ply, plz = lpx, lpy, lpz
+    if LIGHT_POINT in kinds:
+        tlx, tly, tlz = lpx - px, lpy - py, lpz - pz
+        dist2 = jnp.maximum(tlx * tlx + tly * tly + tlz * tlz, 1e-20)
+        sq = jnp.sqrt(dist2)
+        wix, wiy, wiz = tlx / sq, tly / sq, tlz / sq
+        lir, lig, lib = emr / dist2, emg / dist2, emb / dist2
+        pdf = jnp.where(is_point, 1.0, 0.0)
+
+    # sphere-area candidate (lights/diffuse.rs sample_li + sphere sample;
+    # AREA_PDF_QUIRK: pdf = dist^2/|cos| with no 1/area, shape/mod.rs:33-47)
+    if LIGHT_DIFFUSE_AREA in kinds:
+        z = 1.0 - 2.0 * u0
+        r_ = jnp.sqrt(jnp.maximum(0.0, 1.0 - z * z))
+        phi = 2.0 * PI * u1
+        pox = r_ * jnp.cos(phi) * arad
+        poy = r_ * jnp.sin(phi) * arad
+        poz = z * arad
+        psx, psy, psz = _affine12(ao2w, pox, poy, poz)
+        nsx, nsy, nsz = _rot9_t(aw2o, pox, poy, poz)
+        ninv = lax.rsqrt(jnp.maximum(nsx * nsx + nsy * nsy + nsz * nsz, 1e-30))
+        nsx, nsy, nsz = nsx * ninv, nsy * ninv, nsz * ninv
+        tsx_, tsy_, tsz_ = psx - px, psy - py, psz - pz
+        d2 = tsx_ * tsx_ + tsy_ * tsy_ + tsz_ * tsz_
+        dinv = jnp.sqrt(jnp.maximum(d2, 1e-20))
+        wax, way, waz = tsx_ / dinv, tsy_ / dinv, tsz_ / dinv
+        cos_l = jnp.abs(-(wax * nsx + way * nsy + waz * nsz))
+        pdf_a = d2 / jnp.maximum(cos_l, 1e-20)
+        pdf_a = jnp.where((d2 > 0.0) & jnp.isfinite(pdf_a), pdf_a, 0.0)
+        front = (nsx * -wax + nsy * -way + nsz * -waz) > 0.0
+        wix = jnp.where(is_area, wax, wix)
+        wiy = jnp.where(is_area, way, wiy)
+        wiz = jnp.where(is_area, waz, wiz)
+        lir = jnp.where(is_area, jnp.where(front, emr, 0.0), lir)
+        lig = jnp.where(is_area, jnp.where(front, emg, 0.0), lig)
+        lib = jnp.where(is_area, jnp.where(front, emb, 0.0), lib)
+        pdf = jnp.where(is_area, pdf_a, pdf)
+        plx = jnp.where(is_area, psx, plx)
+        ply = jnp.where(is_area, psy, ply)
+        plz = jnp.where(is_area, psz, plz)
+
+    if env is not None:
+        (wex, wey, wez), pdf_e, (pex, pey, pez) = _env_sample_k(
+            env, px, py, pz, u0, u1, wide.world_radius
+        )
+        wix = jnp.where(sel_env, wex, wix)
+        wiy = jnp.where(sel_env, wey, wiy)
+        wiz = jnp.where(sel_env, wez, wiz)
+        lir = jnp.where(sel_env, env.rgb[0], lir)
+        lig = jnp.where(sel_env, env.rgb[1], lig)
+        lib = jnp.where(sel_env, env.rgb[2], lib)
+        pdf = jnp.where(sel_env, pdf_e, pdf)
+        plx = jnp.where(sel_env, pex, plx)
+        ply = jnp.where(sel_env, pey, ply)
+        plz = jnp.where(sel_env, pez, plz)
+
+    return dict(
+        wi=(wix, wiy, wiz),
+        li=(lir, lig, lib),
+        pdf=pdf,
+        p_light=(plx, ply, plz),
+        delta=is_point,
+        sel_env=sel_env,
+        env=env,
+    )
+
+
+def _power_heuristic_k(f_pdf, g_pdf):
+    """(sampling.rs:324-328), nf = ng = 1."""
+    f2 = f_pdf * f_pdf
+    denom = f2 + g_pdf * g_pdf
+    return jnp.where(denom > 0.0, f2 / jnp.maximum(denom, 1e-30), 0.0)
 
 
 # ---- componentwise microfacet math (bsdf/microfacet.py ports) ----
@@ -670,12 +1307,211 @@ def _sampler_dims(pid, sid, dim, spp, xs, ys, jitter, seed, want_2d):
     return u0, u1
 
 
+def _bsdf_sample_k(
+    lobs, n_lob, wol_x, wol_y, wo_z, ub0, ub1, kinds_present, max_lobes
+):
+    """Bsdf::sample_f machinery (reflection.rs:302-381, REFERENCE_QUIRKS-
+    exact) on local-frame components: uniform lobe choice, per-kind
+    candidate directions, f/pdf with the 1/matching average.  Shared by
+    the bounce sample (flags = ALL) and estimate_direct's counter branch
+    (flags = ALL & ~SPECULAR — identical machinery because env-NEE scenes
+    are gated to have no live specular lobes, supports()).
+
+    Returns a dict: ws* (local dir), f (3-tuple), pdf, chosen-kind masks
+    (for etaScale / specular-bounce tracking), fs_reflect or None."""
+    has_mf = LOBE_MF_REFL in kinds_present
+    has_spec = _has_spec(kinds_present)
+    has_st = _has_spec_trans(kinds_present)
+    mixed = len(kinds_present) > 1
+
+    if max_lobes > 1:
+        matching = jnp.maximum(n_lob, 1)
+        comp = jnp.minimum((ub0 * matching).astype(jnp.int32), matching - 1)
+        u0 = jnp.minimum(
+            ub0 * matching - comp.astype(jnp.float32), ONE_MINUS_EPSILON
+        )
+        sel1 = comp == 1
+        lob_c = {
+            k: (
+                tuple(
+                    jnp.where(sel1, lobs[1][k][c], lobs[0][k][c])
+                    for c in range(3)
+                )
+                if isinstance(lobs[0][k], tuple)
+                else (
+                    jnp.where(sel1, lobs[1][k], lobs[0][k])
+                    if not isinstance(lobs[0][k], int)
+                    else lobs[0][k]
+                )
+            )
+            for k in lobs[0]
+        }
+    else:
+        matching = jnp.minimum(n_lob, 1)
+        u0 = jnp.minimum(ub0, ONE_MINUS_EPSILON)
+        lob_c = lobs[0]
+    u1 = ub1
+    kind_c = lob_c["kind"]
+
+    def k_is(k):
+        # python bool when kind_c is a static int (single lobe kind),
+        # a lane mask otherwise — same expression either way
+        return kind_c == k
+
+    is_mf_c = k_is(LOBE_MF_REFL)
+    is_sr_c = k_is(LOBE_SPEC_REFL)
+    is_st_c = k_is(LOBE_SPEC_TRANS)
+    is_fs_c = k_is(LOBE_FRESNEL_SPEC)
+    fs_reflect = None
+
+    # lambert candidate: cosine hemisphere in wo's half-space
+    if LOBE_LAMBERT_REFL in kinds_present:
+        dxo, dyo = _concentric_disk(u0, u1)
+        z_cos = jnp.sqrt(jnp.maximum(0.0, 1.0 - dxo * dxo - dyo * dyo))
+        z_cos = jnp.where(wo_z < 0.0, -z_cos, z_cos)
+    # microfacet candidate: visible-normal TR sample + reflect
+    if has_mf:
+        hx, hy, hz = _tr_sample_wh_k(
+            wol_x, wol_y, wo_z, lob_c["au"], lob_c["av"], u0, u1
+        )
+        dot_owh = wol_x * hx + wol_y * hy + wo_z * hz
+        mrx = 2.0 * dot_owh * hx - wol_x
+        mry = 2.0 * dot_owh * hy - wol_y
+        mrz = 2.0 * dot_owh * hz - wo_z
+        mr_ok = (dot_owh >= 0.0) & ((wo_z * mrz) > 0.0) & (wo_z != 0.0)
+    # specular candidates (reflection.rs:638-649, 686-715, 755-797)
+    if has_spec:
+        ea_c, eb_c = lob_c["eta_a"], lob_c["eta_b"]
+        srx, sry, srz = -wol_x, -wol_y, wo_z
+    if has_st:
+        entering = wo_z > 0.0
+        ei = jnp.where(entering, ea_c, eb_c)
+        et = jnp.where(entering, eb_c, ea_c)
+        eta_rel = ei / jnp.maximum(et, 1e-9)
+        abs_cz = jnp.abs(wo_z)
+        sin2_t = eta_rel * eta_rel * jnp.maximum(0.0, 1.0 - abs_cz * abs_cz)
+        st_ok = sin2_t < 1.0
+        cos_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin2_t))
+        nz_sign = jnp.where(entering, 1.0, -1.0)
+        stx = -eta_rel * wol_x
+        sty = -eta_rel * wol_y
+        stz = -eta_rel * wo_z + (eta_rel * abs_cz - cos_t) * nz_sign
+        scale_t = (ei * ei) / jnp.maximum(et * et, 1e-20)
+    if LOBE_FRESNEL_SPEC in kinds_present:
+        fr_fs = _fr_dielectric_k(wo_z, ea_c, eb_c)
+        fs_reflect = u0 < fr_fs
+
+    # select the sampled direction by the chosen lobe's kind
+    wsx = wsy = wsz = None
+
+    def _put(mask, vx, vy, vz):
+        nonlocal wsx, wsy, wsz
+        if mask is False:
+            return
+        if wsx is None or mask is True:
+            wsx, wsy, wsz = vx, vy, vz
+            return
+        wsx = jnp.where(mask, vx, wsx)
+        wsy = jnp.where(mask, vy, wsy)
+        wsz = jnp.where(mask, vz, wsz)
+
+    if LOBE_LAMBERT_REFL in kinds_present:
+        _put(
+            k_is(LOBE_LAMBERT_REFL) if (mixed or has_spec) else True,
+            dxo, dyo, z_cos,
+        )
+    if has_mf:
+        _put(is_mf_c if mixed else True, mrx, mry, mrz)
+    if LOBE_SPEC_REFL in kinds_present:
+        _put(is_sr_c if mixed else True, srx, sry, srz)
+    if LOBE_SPEC_TRANS in kinds_present:
+        _put(is_st_c if mixed else True, stx, sty, stz)
+    if LOBE_FRESNEL_SPEC in kinds_present:
+        fsx = jnp.where(fs_reflect, srx, stx)
+        fsy = jnp.where(fs_reflect, sry, sty)
+        fsz = jnp.where(fs_reflect, srz, stz)
+        _put(is_fs_c if mixed else True, fsx, fsy, fsz)
+
+    fs = _lobe_f_k(lob_c, wol_x, wol_y, wo_z, wsx, wsy, wsz, kinds_present)
+    pdf = _lobe_pdf_k(lob_c, wol_x, wol_y, wo_z, wsx, wsy, wsz, kinds_present)
+    if has_mf:
+        # invalid microfacet sample -> f = 0 (eval.py bsdf_sample gate)
+        dead_mf = is_mf_c & ~mr_ok
+        fs = tuple(jnp.where(dead_mf, 0.0, fc) for fc in fs)
+
+    def _ovr_f(mask, new_f):
+        return tuple(
+            new_f[c] if mask is True else jnp.where(mask, new_f[c], fs[c])
+            for c in range(3)
+        )
+
+    def _ovr_p(mask, new_p):
+        return new_p if mask is True else jnp.where(mask, new_p, pdf)
+
+    if has_spec:
+        aci = jnp.maximum(jnp.abs(wsz), 1e-20)
+    if LOBE_SPEC_REFL in kinds_present:
+        # f = Fr(wi_z) * R / |cos| (reflection.rs:646-648), pdf = 1
+        fr3 = _fresnel_k(lob_c, wsz)
+        f_sr = tuple(lob_c["s0"][c] * fr3[c] / aci for c in range(3))
+        fs = _ovr_f(is_sr_c, f_sr)
+        pdf = _ovr_p(is_sr_c, jnp.ones_like(pdf))
+    if LOBE_SPEC_TRANS in kinds_present:
+        # f = T (1-Fr(wi_z)) (eta_i^2/eta_t^2) / |cos| (radiance mode)
+        fr_t = _fr_dielectric_k(wsz, ea_c, eb_c)
+        f_st3 = tuple(
+            jnp.where(st_ok, lob_c["s0"][c] * (1.0 - fr_t) * scale_t / aci, 0.0)
+            for c in range(3)
+        )
+        fs = _ovr_f(is_st_c, f_st3)
+        pdf = _ovr_p(is_st_c, jnp.where(st_ok, 1.0, 0.0))
+    if LOBE_FRESNEL_SPEC in kinds_present:
+        # reflect branch: R Fr / |cos| with pdf Fr; transmit branch:
+        # T (1-Fr)(eta_i^2/eta_t^2)/|cos| with pdf 1-Fr
+        f_fs3 = tuple(
+            jnp.where(
+                fs_reflect,
+                lob_c["s0"][c] * fr_fs / aci,
+                jnp.where(
+                    st_ok,
+                    lob_c["s1"][c] * (1.0 - fr_fs) * scale_t / aci,
+                    0.0,
+                ),
+            )
+            for c in range(3)
+        )
+        fs = _ovr_f(is_fs_c, f_fs3)
+        pdf = _ovr_p(
+            is_fs_c, jnp.where(fs_reflect, fr_fs, 1.0 - fr_fs)
+        )
+    # REFERENCE_QUIRKS: pdf accumulation gate is !is_reflection —
+    # every multi-lobe-capable subset lobe reflects (supports()
+    # forbids transmission lobes in stacks), so only the 1/matching
+    # average applies
+    if max_lobes > 1:
+        pdf = jnp.where(
+            matching > 1, pdf / matching.astype(jnp.float32), pdf
+        )
+    return dict(
+        wsx=wsx, wsy=wsy, wsz=wsz, f=fs, pdf=pdf,
+        is_sr_c=is_sr_c, is_st_c=is_st_c, is_fs_c=is_fs_c,
+        fs_reflect=fs_reflect,
+    )
+
+
 def _bounce_loop(
     tri_ref, ox, oy, oz, dx, dy, dz, active, pid, sid,
-    n_tris, lights_p, lights_emit, max_depth, rr_threshold,
+    n_tris, wide, max_depth, rr_threshold,
     spp, xs, ys, jitter, seed, kinds_present, max_lobes,
 ):
-    n_lights = len(lights_p)
+    lights = wide.lights
+    spheres = wide.spheres
+    n_lights = len(lights)
+    lights_p = tuple(l.p for l in lights)
+    lights_emit = tuple(l.emit for l in lights)
+    all_point = n_lights > 0 and all(l.kind == LIGHT_POINT for l in lights)
+    has_env_nee = any(l.kind == LIGHT_INFINITE for l in lights)
+    esc_rgb = wide.esc_rgb
     has_mf = LOBE_MF_REFL in kinds_present
     has_spec = _has_spec(kinds_present)
     has_st = _has_spec_trans(kinds_present)
@@ -687,11 +1523,13 @@ def _bounce_loop(
     br, bg, bb = one, one, one
     Lr, Lg, Lb = zero, zero, zero
     es = one  # etaScale (path.rs:150-163); stays 1 without spec-trans
+    spec_prev = None  # specular_bounce lane mask (escape-le gating)
 
-    # range(max_depth), not max_depth+1: the subset has no infinite lights,
-    # so the loop's final intersect (escape-le collection in li_path) would
-    # contribute nothing — skip the dead work.  Estimator unchanged.
-    for bounce in range(max_depth):
+    # without escape-le envs the loop's final intersect (escape collection
+    # in li_path, path.rs:84-87) would contribute nothing — skip the dead
+    # iteration.  Estimator unchanged.
+    n_iters = max_depth + (1 if esc_rgb is not None else 0)
+    for bounce in range(n_iters):
         out = _closest_hit(
             tri_ref, n_tris, ox, oy, oz, dx, dy, dz, attr_cols
         )
@@ -729,7 +1567,64 @@ def _bounce_loop(
                 lob["fres"] = 0
                 lob["eta_a"] = lob["eta_b"] = zero_k
             lobs.append(lob)
+
+        # sphere primitives: static-unrolled candidates min-combined with
+        # the triangle winner (SceneCtx._combine_spheres semantics)
+        if spheres:
+            t_sph, sm = _spheres_closest(
+                spheres, ox, oy, oz, dx, dy, dz, has_full, mixed, max_lobes
+            )
+            (sngx, sngy, sngz), (sdux, sduy, sduz) = _sphere_shading(sm)
+            use_s = t_sph < t
+            t = jnp.where(use_s, t_sph, t)
+            ngx = jnp.where(use_s, sngx, ngx)
+            ngy = jnp.where(use_s, sngy, ngy)
+            ngz = jnp.where(use_s, sngz, ngz)
+            dux = jnp.where(use_s, sdux, dux)
+            duy = jnp.where(use_s, sduy, duy)
+            duz = jnp.where(use_s, sduz, duz)
+            n_lob = jnp.where(use_s, sm["n_lob"], n_lob)
+            if has_st:
+                mat_eta = jnp.where(use_s, sm["mat_eta"], mat_eta)
+            for l in range(max_lobes):
+                sl = sm["lobes"][l] if l < len(sm["lobes"]) else sm["lobes"][0]
+                lob = lobs[l]
+                if mixed:
+                    lob["kind"] = jnp.where(use_s, sl["kind"], lob["kind"])
+                lob["s0"] = tuple(
+                    jnp.where(use_s, sl["s0"][c], lob["s0"][c]) for c in range(3)
+                )
+                if has_full:
+                    lob["s1"] = tuple(
+                        jnp.where(use_s, sl["s1"][c], lob["s1"][c])
+                        for c in range(3)
+                    )
+                    lob["s2"] = tuple(
+                        jnp.where(use_s, sl["s2"][c], lob["s2"][c])
+                        for c in range(3)
+                    )
+                    lob["au"] = jnp.where(use_s, sl["au"], lob["au"])
+                    lob["av"] = jnp.where(use_s, sl["av"], lob["av"])
+                    lob["fres"] = jnp.where(use_s, sl["fres"], lob["fres"])
+                    lob["eta_a"] = jnp.where(use_s, sl["eta_a"], lob["eta_a"])
+                    lob["eta_b"] = jnp.where(use_s, sl["eta_b"], lob["eta_b"])
+
         found = t < 3.0e38
+
+        # escaped rays collect infinite-light le (path.rs:84-87): bounce 0
+        # unconditionally, later bounces only after a specular bounce
+        if esc_rgb is not None:
+            collect = active & ~found
+            if bounce > 0:
+                collect = (
+                    collect & spec_prev if spec_prev is not None
+                    else jnp.zeros_like(collect)
+                )
+            Lr = Lr + jnp.where(collect, br * esc_rgb[0], 0.0)
+            Lg = Lg + jnp.where(collect, bg * esc_rgb[1], 0.0)
+            Lb = Lb + jnp.where(collect, bb * esc_rgb[2], 0.0)
+        if bounce == max_depth:
+            break  # final iteration exists only for escape collection
         active = active & found
 
         # hit position
@@ -764,238 +1659,211 @@ def _bounce_loop(
         wol_y = _dot3(wox, woy, woz, tsx, tsy, tsz)
         wo_z = _dot3(wox, woy, woz, ngx, ngy, ngz)
 
-        # ---- NEE: one point light, uniform pick (common.py:336-356) ----
+        # ---- NEE (uniform_sample_one_light, integrator/mod.rs:359-401) --
         # slot layout must match integrators/path.py (sampler/dims.py)
         from ..sampler.dims import path_dim0
 
         dim0 = path_dim0(bounce)
-        u_pick = _sampler_dims(pid, sid, dim0, spp, xs, ys, jitter, seed, False)
-        li_idx = jnp.minimum((u_pick * n_lights).astype(jnp.int32), n_lights - 1)
-        lpx = jnp.zeros_like(px)
-        lpy = jnp.zeros_like(px)
-        lpz = jnp.zeros_like(px)
-        ler = jnp.zeros_like(px)
-        leg = jnp.zeros_like(px)
-        leb = jnp.zeros_like(px)
-        for k in range(n_lights):
-            sel = li_idx == k
-            lpx = jnp.where(sel, lights_p[k][0], lpx)
-            lpy = jnp.where(sel, lights_p[k][1], lpy)
-            lpz = jnp.where(sel, lights_p[k][2], lpz)
-            ler = jnp.where(sel, lights_emit[k][0], ler)
-            leg = jnp.where(sel, lights_emit[k][1], leg)
-            leb = jnp.where(sel, lights_emit[k][2], leb)
-        tlx, tly, tlz = lpx - px, lpy - py, lpz - pz
-        dist2 = jnp.maximum(tlx * tlx + tly * tly + tlz * tlz, 1e-20)
-        inv_d = lax.rsqrt(dist2)
-        wix, wiy, wiz = tlx * inv_d, tly * inv_d, tlz * inv_d
-        wil_x = _dot3(wix, wiy, wiz, ssx, ssy, ssz)
-        wil_y = _dot3(wix, wiy, wiz, tsx, tsy, tsz)
-        wi_ng = _dot3(wix, wiy, wiz, ngx, ngy, ngz)
-        # f = sum of lobe_f over live lobes, reflection-side gated
-        # (bsdf_f_pdf: use_f = reflect & is_refl; all subset lobes reflect)
-        reflect_side = (wi_ng * wo_z) > 0.0
-        f_gate = reflect_side & (wo_z != 0.0)
-        fnr = jnp.zeros_like(px)
-        fng = jnp.zeros_like(px)
-        fnb = jnp.zeros_like(px)
-        for l in range(max_lobes):
-            lf = _lobe_f_k(
-                lobs[l], wol_x, wol_y, wo_z, wil_x, wil_y, wi_ng, kinds_present
-            )
-            use = f_gate & (l < n_lob)
-            fnr = fnr + jnp.where(use, lf[0], 0.0)
-            fng = fng + jnp.where(use, lf[1], 0.0)
-            fnb = fnb + jnp.where(use, lf[2], 0.0)
-        cos_ns = jnp.abs(wi_ng)  # ns == ng here
-        # shadow ray: offset origin toward light, t_max = 1 - eps
+        # shadow-origin offset scale, shared with the bounce-ray spawn
         mag = jnp.abs(px) + jnp.abs(py) + jnp.abs(pz)
         eps = 1e-4 + 1e-5 * mag
-        off = jnp.where(wi_ng < 0.0, -eps, eps)
-        sox = px + ngx * off
-        soy = py + ngy * off
-        soz = pz + ngz * off
-        sdx, sdy, sdz = lpx - sox, lpy - soy, lpz - soz
-        occ = _occluded(
-            tri_ref, n_tris, sox, soy, soz, sdx, sdy, sdz,
-            jnp.full(px.shape, 1.0 - SHADOW_EPSILON, jnp.float32),
-        )
-        li_scale = jnp.where(active & ~occ, cos_ns * n_lights / dist2, 0.0)
-        Lr = Lr + br * fnr * ler * li_scale
-        Lg = Lg + bg * fng * leg * li_scale
-        Lb = Lb + bb * fnb * leb * li_scale
+        if all_point:
+            # fast path: delta lights only — no u_light, no MIS
+            # (common.py:336-356 semantics; round-2 code kept verbatim)
+            u_pick = _sampler_dims(
+                pid, sid, dim0, spp, xs, ys, jitter, seed, False
+            )
+            li_idx = jnp.minimum(
+                (u_pick * n_lights).astype(jnp.int32), n_lights - 1
+            )
+            lpx = jnp.zeros_like(px)
+            lpy = jnp.zeros_like(px)
+            lpz = jnp.zeros_like(px)
+            ler = jnp.zeros_like(px)
+            leg = jnp.zeros_like(px)
+            leb = jnp.zeros_like(px)
+            for k in range(n_lights):
+                sel = li_idx == k
+                lpx = jnp.where(sel, lights_p[k][0], lpx)
+                lpy = jnp.where(sel, lights_p[k][1], lpy)
+                lpz = jnp.where(sel, lights_p[k][2], lpz)
+                ler = jnp.where(sel, lights_emit[k][0], ler)
+                leg = jnp.where(sel, lights_emit[k][1], leg)
+                leb = jnp.where(sel, lights_emit[k][2], leb)
+            tlx, tly, tlz = lpx - px, lpy - py, lpz - pz
+            dist2 = jnp.maximum(tlx * tlx + tly * tly + tlz * tlz, 1e-20)
+            inv_d = lax.rsqrt(dist2)
+            wix, wiy, wiz = tlx * inv_d, tly * inv_d, tlz * inv_d
+            wil_x = _dot3(wix, wiy, wiz, ssx, ssy, ssz)
+            wil_y = _dot3(wix, wiy, wiz, tsx, tsy, tsz)
+            wi_ng = _dot3(wix, wiy, wiz, ngx, ngy, ngz)
+            # f = sum of lobe_f over live lobes, reflection-side gated
+            # (bsdf_f_pdf: use_f = reflect & is_refl; subset lobes reflect)
+            reflect_side = (wi_ng * wo_z) > 0.0
+            f_gate = reflect_side & (wo_z != 0.0)
+            fnr = jnp.zeros_like(px)
+            fng = jnp.zeros_like(px)
+            fnb = jnp.zeros_like(px)
+            for l in range(max_lobes):
+                lf = _lobe_f_k(
+                    lobs[l], wol_x, wol_y, wo_z, wil_x, wil_y, wi_ng,
+                    kinds_present,
+                )
+                use = f_gate & (l < n_lob)
+                fnr = fnr + jnp.where(use, lf[0], 0.0)
+                fng = fng + jnp.where(use, lf[1], 0.0)
+                fnb = fnb + jnp.where(use, lf[2], 0.0)
+            cos_ns = jnp.abs(wi_ng)  # ns == ng here
+            # shadow ray: offset origin toward light, t_max = 1 - eps
+            off = jnp.where(wi_ng < 0.0, -eps, eps)
+            sox = px + ngx * off
+            soy = py + ngy * off
+            soz = pz + ngz * off
+            sdx, sdy, sdz = lpx - sox, lpy - soy, lpz - soz
+            occ = _occluded_all(
+                tri_ref, n_tris, spheres, sox, soy, soz, sdx, sdy, sdz,
+                jnp.full(px.shape, 1.0 - SHADOW_EPSILON, jnp.float32),
+            )
+            li_scale = jnp.where(active & ~occ, cos_ns * n_lights / dist2, 0.0)
+            Lr = Lr + br * fnr * ler * li_scale
+            Lg = Lg + bg * fng * leg * li_scale
+            Lb = Lb + bb * fnb * leb * li_scale
+        elif n_lights > 0:
+            # generic branch: area / env lights with the MIS power
+            # heuristic (estimate_direct, integrator/mod.rs:403-558)
+            u_pick = _sampler_dims(
+                pid, sid, dim0, spp, xs, ys, jitter, seed, False
+            )
+            li_idx = jnp.minimum(
+                (u_pick * n_lights).astype(jnp.int32), n_lights - 1
+            )
+            u_l0, u_l1 = _sampler_dims(
+                pid, sid, dim0 + 1, spp, xs, ys, jitter, seed, True
+            )
+            ls = _nee_light_k(wide, li_idx, px, py, pz, u_l0, u_l1)
+            wix, wiy, wiz = ls["wi"]
+            lir, lig, lib = ls["li"]
+            plx, ply, plz = ls["p_light"]
+            wil_x = _dot3(wix, wiy, wiz, ssx, ssy, ssz)
+            wil_y = _dot3(wix, wiy, wiz, tsx, tsy, tsz)
+            wi_ng = _dot3(wix, wiy, wiz, ngx, ngy, ngz)
+            reflect_side = (wi_ng * wo_z) > 0.0
+            f_gate = reflect_side & (wo_z != 0.0)
+            fnr = jnp.zeros_like(px)
+            fng = jnp.zeros_like(px)
+            fnb = jnp.zeros_like(px)
+            # scattering pdf for MIS: mean of matching (non-specular) lobe
+            # pdfs (bsdf_f_pdf with ALL & ~SPECULAR flags)
+            pdf_scat = jnp.zeros_like(px)
+            cnt = jnp.zeros(px.shape, jnp.int32)
+            for l in range(max_lobes):
+                lob = lobs[l]
+                sm_l = _spec_mask(lob, kinds_present)
+                m_l = l < n_lob
+                if sm_l is True:
+                    m_l = jnp.zeros(px.shape, bool)
+                elif sm_l is not None:
+                    m_l = m_l & ~sm_l
+                lf = _lobe_f_k(
+                    lobs[l], wol_x, wol_y, wo_z, wil_x, wil_y, wi_ng,
+                    kinds_present,
+                )
+                use = f_gate & m_l
+                fnr = fnr + jnp.where(use, lf[0], 0.0)
+                fng = fng + jnp.where(use, lf[1], 0.0)
+                fnb = fnb + jnp.where(use, lf[2], 0.0)
+                lp = _lobe_pdf_k(
+                    lobs[l], wol_x, wol_y, wo_z, wil_x, wil_y, wi_ng,
+                    kinds_present,
+                )
+                pdf_scat = pdf_scat + jnp.where(m_l, lp, 0.0)
+                cnt = cnt + m_l.astype(jnp.int32)
+            pdf_scat = jnp.where(
+                (wo_z != 0.0) & (cnt > 0),
+                pdf_scat / jnp.maximum(cnt, 1).astype(jnp.float32),
+                0.0,
+            )
+            cos_ns = jnp.abs(wi_ng)
+            fnr_c = fnr * cos_ns
+            fng_c = fng * cos_ns
+            fnb_c = fnb * cos_ns
+            weight = jnp.where(
+                ls["delta"], 1.0, _power_heuristic_k(ls["pdf"], pdf_scat)
+            )
+            off = jnp.where(wi_ng < 0.0, -eps, eps)
+            sox = px + ngx * off
+            soy = py + ngy * off
+            soz = pz + ngz * off
+            sdx, sdy, sdz = plx - sox, ply - soy, plz - soz
+            occ = _occluded_all(
+                tri_ref, n_tris, spheres, sox, soy, soz, sdx, sdy, sdz,
+                jnp.full(px.shape, 1.0 - SHADOW_EPSILON, jnp.float32),
+            )
+            any_li = (lir > 0.0) | (lig > 0.0) | (lib > 0.0)
+            any_f = (fnr_c > 0.0) | (fng_c > 0.0) | (fnb_c > 0.0)
+            live = active & (ls["pdf"] > 0.0) & any_li & any_f & ~occ
+            scale = jnp.where(
+                live, weight * n_lights / jnp.maximum(ls["pdf"], 1e-20), 0.0
+            )
+            Lr = Lr + br * fnr_c * lir * scale
+            Lg = Lg + bg * fng_c * lig * scale
+            Lb = Lb + bb * fnb_c * lib * scale
+
+            # BSDF-sampling counter branch (integrator/mod.rs:483-558):
+            # surface hits never identify the sampled light (the aggregate
+            # carries no emissive prims), so only escaped rays toward the
+            # sampled INFINITE light contribute — statically skipped for
+            # area-only scenes
+            if has_env_nee:
+                us0, us1 = _sampler_dims(
+                    pid, sid, dim0 + 2, spp, xs, ys, jitter, seed, True
+                )
+                smp2 = _bsdf_sample_k(
+                    lobs, n_lob, wol_x, wol_y, wo_z, us0, us1,
+                    kinds_present, max_lobes,
+                )
+                w2x = ssx * smp2["wsx"] + tsx * smp2["wsy"] + ngx * smp2["wsz"]
+                w2y = ssy * smp2["wsx"] + tsy * smp2["wsy"] + ngy * smp2["wsz"]
+                w2z = ssz * smp2["wsx"] + tsz * smp2["wsy"] + ngz * smp2["wsz"]
+                cos2 = jnp.abs(_dot3(w2x, w2y, w2z, ngx, ngy, ngz))
+                f2 = tuple(fc * cos2 for fc in smp2["f"])
+                env = ls["env"]
+                lpdf2 = _env_pdf_dir_k(env, w2x, w2y, w2z)
+                w2mis = _power_heuristic_k(smp2["pdf"], lpdf2)
+                w2_ng = _dot3(w2x, w2y, w2z, ngx, ngy, ngz)
+                off2n = jnp.where(w2_ng < 0.0, -eps, eps)
+                escaped = ~_occluded_all(
+                    tri_ref, n_tris, spheres,
+                    px + ngx * off2n, py + ngy * off2n, pz + ngz * off2n,
+                    w2x, w2y, w2z,
+                    jnp.full(px.shape, jnp.inf, jnp.float32),
+                )
+                any_f2 = (f2[0] > 0.0) | (f2[1] > 0.0) | (f2[2] > 0.0)
+                live2 = (
+                    active & ls["sel_env"] & (n_lob > 0) & (wo_z != 0.0)
+                    & any_f2 & (smp2["pdf"] > 0.0) & (lpdf2 > 0.0) & escaped
+                )
+                scale2 = jnp.where(
+                    live2,
+                    w2mis * n_lights / jnp.maximum(smp2["pdf"], 1e-20),
+                    0.0,
+                )
+                Lr = Lr + br * f2[0] * env.rgb[0] * scale2
+                Lg = Lg + bg * f2[1] * env.rgb[1] * scale2
+                Lb = Lb + bb * f2[2] * env.rgb[2] * scale2
 
         # ---- sample the BSDF (bsdf_sample, REFERENCE_QUIRKS-exact) ----
         ub0, ub1 = _sampler_dims(
             pid, sid, dim0 + 3, spp, xs, ys, jitter, seed, True
         )
-        if max_lobes > 1:
-            matching = jnp.maximum(n_lob, 1)
-            comp = jnp.minimum((ub0 * matching).astype(jnp.int32), matching - 1)
-            u0 = jnp.minimum(
-                ub0 * matching - comp.astype(jnp.float32), ONE_MINUS_EPSILON
-            )
-            sel1 = comp == 1
-            lob_c = {
-                k: (
-                    tuple(
-                        jnp.where(sel1, lobs[1][k][c], lobs[0][k][c])
-                        for c in range(3)
-                    )
-                    if isinstance(lobs[0][k], tuple)
-                    else (
-                        jnp.where(sel1, lobs[1][k], lobs[0][k])
-                        if not isinstance(lobs[0][k], int)
-                        else lobs[0][k]
-                    )
-                )
-                for k in lobs[0]
-            }
-        else:
-            matching = jnp.minimum(n_lob, 1)
-            u0 = jnp.minimum(ub0, ONE_MINUS_EPSILON)
-            lob_c = lobs[0]
-        u1 = ub1
-        kind_c = lob_c["kind"]
-
-        def k_is(k):
-            # python bool when kind_c is a static int (single lobe kind),
-            # a lane mask otherwise — same expression either way
-            return kind_c == k
-
-        is_mf_c = k_is(LOBE_MF_REFL)
-        is_sr_c = k_is(LOBE_SPEC_REFL)
-        is_st_c = k_is(LOBE_SPEC_TRANS)
-        is_fs_c = k_is(LOBE_FRESNEL_SPEC)
-
-        # lambert candidate: cosine hemisphere in wo's half-space
-        if LOBE_LAMBERT_REFL in kinds_present:
-            dxo, dyo = _concentric_disk(u0, u1)
-            z_cos = jnp.sqrt(jnp.maximum(0.0, 1.0 - dxo * dxo - dyo * dyo))
-            z_cos = jnp.where(wo_z < 0.0, -z_cos, z_cos)
-        # microfacet candidate: visible-normal TR sample + reflect
-        if has_mf:
-            hx, hy, hz = _tr_sample_wh_k(
-                wol_x, wol_y, wo_z, lob_c["au"], lob_c["av"], u0, u1
-            )
-            dot_owh = wol_x * hx + wol_y * hy + wo_z * hz
-            mrx = 2.0 * dot_owh * hx - wol_x
-            mry = 2.0 * dot_owh * hy - wol_y
-            mrz = 2.0 * dot_owh * hz - wo_z
-            mr_ok = (dot_owh >= 0.0) & ((wo_z * mrz) > 0.0) & (wo_z != 0.0)
-        # specular candidates (reflection.rs:638-649, 686-715, 755-797)
-        if has_spec:
-            ea_c, eb_c = lob_c["eta_a"], lob_c["eta_b"]
-            srx, sry, srz = -wol_x, -wol_y, wo_z
-        if has_st:
-            entering = wo_z > 0.0
-            ei = jnp.where(entering, ea_c, eb_c)
-            et = jnp.where(entering, eb_c, ea_c)
-            eta_rel = ei / jnp.maximum(et, 1e-9)
-            abs_cz = jnp.abs(wo_z)
-            sin2_t = eta_rel * eta_rel * jnp.maximum(0.0, 1.0 - abs_cz * abs_cz)
-            st_ok = sin2_t < 1.0
-            cos_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin2_t))
-            nz_sign = jnp.where(entering, 1.0, -1.0)
-            stx = -eta_rel * wol_x
-            sty = -eta_rel * wol_y
-            stz = -eta_rel * wo_z + (eta_rel * abs_cz - cos_t) * nz_sign
-            scale_t = (ei * ei) / jnp.maximum(et * et, 1e-20)
-        if LOBE_FRESNEL_SPEC in kinds_present:
-            fr_fs = _fr_dielectric_k(wo_z, ea_c, eb_c)
-            fs_reflect = u0 < fr_fs
-
-        # select the sampled direction by the chosen lobe's kind
-        wsx = wsy = wsz = None
-
-        def _put(mask, vx, vy, vz):
-            nonlocal wsx, wsy, wsz
-            if mask is False:
-                return
-            if wsx is None or mask is True:
-                wsx, wsy, wsz = vx, vy, vz
-                return
-            wsx = jnp.where(mask, vx, wsx)
-            wsy = jnp.where(mask, vy, wsy)
-            wsz = jnp.where(mask, vz, wsz)
-
-        if LOBE_LAMBERT_REFL in kinds_present:
-            _put(
-                k_is(LOBE_LAMBERT_REFL) if (mixed or has_spec) else True,
-                dxo, dyo, z_cos,
-            )
-        if has_mf:
-            _put(is_mf_c if mixed else True, mrx, mry, mrz)
-        if LOBE_SPEC_REFL in kinds_present:
-            _put(is_sr_c if mixed else True, srx, sry, srz)
-        if LOBE_SPEC_TRANS in kinds_present:
-            _put(is_st_c if mixed else True, stx, sty, stz)
-        if LOBE_FRESNEL_SPEC in kinds_present:
-            fsx = jnp.where(fs_reflect, srx, stx)
-            fsy = jnp.where(fs_reflect, sry, sty)
-            fsz = jnp.where(fs_reflect, srz, stz)
-            _put(is_fs_c if mixed else True, fsx, fsy, fsz)
-
-        fs = _lobe_f_k(lob_c, wol_x, wol_y, wo_z, wsx, wsy, wsz, kinds_present)
-        pdf = _lobe_pdf_k(lob_c, wol_x, wol_y, wo_z, wsx, wsy, wsz, kinds_present)
-        if has_mf:
-            # invalid microfacet sample -> f = 0 (eval.py bsdf_sample gate)
-            dead_mf = is_mf_c & ~mr_ok
-            fs = tuple(jnp.where(dead_mf, 0.0, fc) for fc in fs)
-
-        def _ovr_f(mask, new_f):
-            return tuple(
-                new_f[c] if mask is True else jnp.where(mask, new_f[c], fs[c])
-                for c in range(3)
-            )
-
-        def _ovr_p(mask, new_p):
-            return new_p if mask is True else jnp.where(mask, new_p, pdf)
-
-        if has_spec:
-            aci = jnp.maximum(jnp.abs(wsz), 1e-20)
-        if LOBE_SPEC_REFL in kinds_present:
-            # f = Fr(wi_z) * R / |cos| (reflection.rs:646-648), pdf = 1
-            fr3 = _fresnel_k(lob_c, wsz)
-            f_sr = tuple(lob_c["s0"][c] * fr3[c] / aci for c in range(3))
-            fs = _ovr_f(is_sr_c, f_sr)
-            pdf = _ovr_p(is_sr_c, jnp.ones_like(pdf))
-        if LOBE_SPEC_TRANS in kinds_present:
-            # f = T (1-Fr(wi_z)) (eta_i^2/eta_t^2) / |cos| (radiance mode)
-            fr_t = _fr_dielectric_k(wsz, ea_c, eb_c)
-            f_st3 = tuple(
-                jnp.where(st_ok, lob_c["s0"][c] * (1.0 - fr_t) * scale_t / aci, 0.0)
-                for c in range(3)
-            )
-            fs = _ovr_f(is_st_c, f_st3)
-            pdf = _ovr_p(is_st_c, jnp.where(st_ok, 1.0, 0.0))
-        if LOBE_FRESNEL_SPEC in kinds_present:
-            # reflect branch: R Fr / |cos| with pdf Fr; transmit branch:
-            # T (1-Fr)(eta_i^2/eta_t^2)/|cos| with pdf 1-Fr
-            f_fs3 = tuple(
-                jnp.where(
-                    fs_reflect,
-                    lob_c["s0"][c] * fr_fs / aci,
-                    jnp.where(
-                        st_ok,
-                        lob_c["s1"][c] * (1.0 - fr_fs) * scale_t / aci,
-                        0.0,
-                    ),
-                )
-                for c in range(3)
-            )
-            fs = _ovr_f(is_fs_c, f_fs3)
-            pdf = _ovr_p(
-                is_fs_c, jnp.where(fs_reflect, fr_fs, 1.0 - fr_fs)
-            )
-        # REFERENCE_QUIRKS: pdf accumulation gate is !is_reflection —
-        # every multi-lobe-capable subset lobe reflects (supports()
-        # forbids transmission lobes in stacks), so only the 1/matching
-        # average applies
-        if max_lobes > 1:
-            pdf = jnp.where(
-                matching > 1, pdf / matching.astype(jnp.float32), pdf
-            )
+        smp = _bsdf_sample_k(
+            lobs, n_lob, wol_x, wol_y, wo_z, ub0, ub1,
+            kinds_present, max_lobes,
+        )
+        wsx, wsy, wsz = smp["wsx"], smp["wsy"], smp["wsz"]
+        fs, pdf = smp["f"], smp["pdf"]
+        is_st_c, is_fs_c = smp["is_st_c"], smp["is_fs_c"]
+        fs_reflect = smp["fs_reflect"]
 
         # wi world = ss*x + ts*y + ns*z
         nwx = ssx * wsx + tsx * wsy + ngx * wsz
@@ -1011,6 +1879,16 @@ def _bounce_loop(
         bg = jnp.where(ok, bg * fs[1] * inv_pdf, bg)
         bb = jnp.where(ok, bb * fs[2] * inv_pdf, bb)
         active = active & ok
+
+        # specular_bounce tracking (path.rs:145-148) for escape-le gating
+        if esc_rgb is not None and has_spec:
+            sp = None
+            for mk in (smp["is_sr_c"], is_st_c, is_fs_c):
+                if mk is False:
+                    continue
+                arr = jnp.ones_like(active) if mk is True else mk
+                sp = arr if sp is None else (sp | arr)
+            spec_prev = sp
 
         # etaScale tracking (path.rs:150-163)
         if has_st:
@@ -1067,14 +1945,14 @@ def _kernel(
     tri_ref,
     ox_r, oy_r, oz_r, dx_r, dy_r, dz_r, w_r, pid_r, sid_r,
     lr_o, lg_o, lb_o,
-    *, n_tris, lights_p, lights_emit, max_depth, rr_threshold,
+    *, n_tris, wide, max_depth, rr_threshold,
     spp, xs, ys, jitter, seed, kinds_present, max_lobes,
 ):
     Lr, Lg, Lb = _bounce_loop(
         tri_ref,
         ox_r[:], oy_r[:], oz_r[:], dx_r[:], dy_r[:], dz_r[:],
         w_r[:] > 0.0, pid_r[:], sid_r[:],
-        n_tris, lights_p, lights_emit, max_depth, rr_threshold,
+        n_tris, wide, max_depth, rr_threshold,
         spp, xs, ys, jitter, seed, kinds_present, max_lobes,
     )
     lr_o[:] = Lr
@@ -1085,14 +1963,14 @@ def _kernel(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "n_tris", "lights_p", "lights_emit", "max_depth", "rr_threshold",
+        "n_tris", "wide", "max_depth", "rr_threshold",
         "spp", "xs", "ys", "jitter", "seed", "kinds_present", "max_lobes",
         "interpret",
     ),
 )
 def _run(
     table, ox, oy, oz, dx, dy, dz, w, pid, sid,
-    n_tris, lights_p, lights_emit, max_depth, rr_threshold,
+    n_tris, wide, max_depth, rr_threshold,
     spp, xs, ys, jitter, seed, kinds_present, max_lobes, interpret=False,
 ):
     m = ox.shape[0]
@@ -1104,8 +1982,7 @@ def _run(
     kernel = functools.partial(
         _kernel,
         n_tris=n_tris,
-        lights_p=lights_p,
-        lights_emit=lights_emit,
+        wide=wide,
         max_depth=max_depth,
         rr_threshold=rr_threshold,
         spp=spp, xs=xs, ys=ys, jitter=jitter, seed=seed,
@@ -1128,7 +2005,7 @@ def li_path_mega(
     """Drop-in replacement for integrators.path.li_path on the supported
     subset.  packed = pack_scene(ctx) built once per scene.  The sampler's
     bounce dimensions are evaluated inside the kernel (same hash math)."""
-    table, lights_p, lights_emit, kinds_present, max_lobes = packed
+    table, lights_p, lights_emit, kinds_present, max_lobes, wide = packed
     n = o.shape[0]
 
     tile = TILE_ROWS * LANES
@@ -1147,8 +2024,7 @@ def li_path_mega(
         prep(d[:, 0]), prep(d[:, 1]), prep(d[:, 2]),
         prep(cam_weight.astype(jnp.float32)),
         prep(jnp.asarray(pixel_id, jnp.uint32)), prep(s_arr),
-        n_tris=int(table.shape[0]), lights_p=lights_p,
-        lights_emit=lights_emit,
+        n_tris=int(table.shape[0]), wide=wide,
         max_depth=int(spec.max_depth), rr_threshold=float(spec.rr_threshold),
         spp=int(sampler.spp), xs=int(sampler.xs), ys=int(sampler.ys),
         jitter=bool(sampler.jitter), seed=int(sampler.seed),
@@ -1339,7 +2215,7 @@ def _kernel_cam(
     tri_ref,
     px_r, py_r, pid_r, sid_r,
     lr_o, lg_o, lb_o, w_o,
-    *, n_tris, lights_p, lights_emit, max_depth, rr_threshold,
+    *, n_tris, wide, max_depth, rr_threshold,
     spp, xs, ys, jitter, seed, cam, kinds_present, max_lobes,
 ):
     pid = pid_r[:]
@@ -1349,7 +2225,7 @@ def _kernel_cam(
     )
     Lr, Lg, Lb = _bounce_loop(
         tri_ref, ox, oy, oz, dx, dy, dz, weight > 0.0, pid, sid,
-        n_tris, lights_p, lights_emit, max_depth, rr_threshold,
+        n_tris, wide, max_depth, rr_threshold,
         spp, xs, ys, jitter, seed, kinds_present, max_lobes,
     )
     lr_o[:] = Lr
@@ -1371,14 +2247,14 @@ class _Hashable(dict):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "n_tris", "lights_p", "lights_emit", "max_depth", "rr_threshold",
+        "n_tris", "wide", "max_depth", "rr_threshold",
         "spp", "xs", "ys", "jitter", "seed", "cam", "kinds_present",
         "max_lobes", "interpret",
     ),
 )
 def _run_cam(
     table, px, py, pid, sid,
-    n_tris, lights_p, lights_emit, max_depth, rr_threshold,
+    n_tris, wide, max_depth, rr_threshold,
     spp, xs, ys, jitter, seed, cam, kinds_present, max_lobes,
     interpret=False,
 ):
@@ -1390,7 +2266,7 @@ def _run_cam(
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     kernel = functools.partial(
         _kernel_cam,
-        n_tris=n_tris, lights_p=lights_p, lights_emit=lights_emit,
+        n_tris=n_tris, wide=wide,
         max_depth=max_depth, rr_threshold=rr_threshold,
         spp=spp, xs=xs, ys=ys, jitter=jitter, seed=seed, cam=cam,
         kinds_present=kinds_present, max_lobes=max_lobes,
@@ -1416,7 +2292,7 @@ def li_path_mega_cam(
     pixel_xy: (N,2) integer raster coords as floats; the film jitter
     (sampler dim 0) is applied in-kernel, identically to the p_film the
     caller computes for filtering."""
-    table, lights_p, lights_emit, kinds_present, max_lobes = packed
+    table, lights_p, lights_emit, kinds_present, max_lobes, wide = packed
     n = pixel_xy.shape[0]
 
     tile = TILE_ROWS * LANES
@@ -1434,8 +2310,7 @@ def li_path_mega_cam(
         prep(pixel_xy[:, 0].astype(jnp.float32)),
         prep(pixel_xy[:, 1].astype(jnp.float32)),
         prep(jnp.asarray(pixel_id, jnp.uint32)), prep(s_arr),
-        n_tris=int(table.shape[0]), lights_p=lights_p,
-        lights_emit=lights_emit,
+        n_tris=int(table.shape[0]), wide=wide,
         max_depth=int(spec.max_depth), rr_threshold=float(spec.rr_threshold),
         spp=int(sampler.spp), xs=int(sampler.xs), ys=int(sampler.ys),
         jitter=bool(sampler.jitter), seed=int(sampler.seed),
