@@ -60,6 +60,31 @@ def _build_scene(scene_kind, material, integrator_kind, fog, sppm_cfg=None):
         tag = f"grid{12 * n * n}tri"
 
     cfg = json.load(open(scene_path))
+    if scene_kind == "sphere_area":
+        # round-3 widened-kernel row: sphere primitives + a sphere-area
+        # light (MIS NEE) on top of the reference scene
+        cfg["Aggregate"]["primitives"].append({
+            "primitive_type": "sphere", "material_name": "mat_matte",
+            "radius": 1.2, "world_pos": [34.0, 0.8, 0.5]})
+        cfg["Aggregate"]["primitives"].append({
+            "primitive_type": "sphere", "material_name": "mat_matte",
+            "radius": 0.8, "world_pos": [36.0, -1.2, -1.5]})
+        cfg["lights"].append({
+            "light_type": "diffuse",
+            "spectrum": {"values": [30.0, 25.0, 20.0]},
+            "light_shape": {"shape_type": "sphere", "radius": 0.5,
+                            "world_pos": [33.0, 3.0, 1.0]}})
+        tag += "_spharea"
+    elif scene_kind == "env":
+        # constant environment light: CDF NEE + BSDF counter branch +
+        # escape-le, all in-kernel
+        cfg["lights"] = [
+            {"light_type": "infinite", "l": {"values": [1.0, 1.0, 1.0]}}
+        ]
+        cfg["infinite_lights"] = [
+            {"light_type": "infinite", "l": {"values": [1.0, 1.0, 1.0]}}
+        ]
+        tag += "_env"
     if material:
         cfg.setdefault("materials", [])
         names = {m.get("material_name") for m in cfg["materials"]}
@@ -153,6 +178,8 @@ MATRIX = [
     ("sppm", "ref", "", "sppm", False, 0,
      {"radius": 1.0, "n_iters": 4, "max_depth": 3,
       "photons_per_iter": 1 << 17}),
+    ("sphere_area", "sphere_area", "", "path", False, 64, None),
+    ("env", "env", "", "path", False, 64, None),
     ("path", "ref", "", "path", False, 64, None),
 ]
 
