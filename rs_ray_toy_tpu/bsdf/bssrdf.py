@@ -105,11 +105,12 @@ def sample_bssrdf(ctx, si: geom.SurfaceHit, frame, u1, u2):
     vy = jnp.where(sel0[:, None], ts, jnp.where(sel1[:, None], ns, ss))
     vz = jnp.where(sel0[:, None], ns, jnp.where(sel1[:, None], ss, ts))
 
-    # channel (bssrdf.rs:143-145)
-    ch = jnp.clip((u * 3).astype(jnp.int32), 0, 2)
+    # channel (bssrdf.rs:143-145); C = 3 (RGB) or 60 (sampled-spectral)
+    C = R.shape[-1]
+    ch = jnp.clip((u * C).astype(jnp.int32), 0, C - 1)
     # NOTE bssrdf.rs:145 remaps u1 = u1*u1*N - ch (squaring u — quirk);
     # PBRT uses u1*N - ch.  Replicate the reference for estimator parity.
-    u = u * u * 3.0 - ch.astype(DTYPE)
+    u = u * u * float(C) - ch.astype(DTYPE)
     d_ch = jnp.take_along_axis(d_prof, ch[:, None], axis=-1)[:, 0]
 
     r = sample_sr(d_ch, u2[..., 0])
@@ -189,12 +190,13 @@ def sample_bssrdf(ctx, si: geom.SurfaceHit, frame, u1, u2):
         axis=-1,
     )
     axis_prob = jnp.asarray([0.25, 0.25, 0.5], DTYPE)
-    pdf = jnp.zeros((n,), DTYPE)
-    for axis in range(3):
-        for c in range(3):
-            pdf = pdf + pdf_sr(d_prof[:, c], r_proj[:, axis]) * jnp.abs(
-                n_local[:, axis]
-            ) * (1.0 / 3.0) * axis_prob[axis]
+    # sum over the 3 projection axes x all C channels (vectorized; the
+    # reference's double loop at bssrdf.rs:214-226)
+    pdf_ac = pdf_sr(d_prof[:, None, :], r_proj[:, :, None])  # (N, 3, C)
+    pdf = jnp.sum(
+        pdf_ac * jnp.abs(n_local)[:, :, None] * axis_prob[None, :, None],
+        axis=(1, 2),
+    ) * (1.0 / float(C))
     pdf = pdf / jnp.maximum(n_found.astype(DTYPE), 1.0)
 
     dist = vec.length(si.p - pi.p)

@@ -239,8 +239,8 @@ class MaterialTableBuilder:
         eta = np.ones((m,), np.float32)
         bump_tex = np.full((m,), -1, np.int32)
         has_bssrdf = np.zeros((m,), bool)
-        bssrdf_R = np.zeros((m, 3), np.float32)
-        bssrdf_d = np.full((m, 3), 1.0, np.float32)
+        bssrdf_R = np.zeros((m, C), np.float32)
+        bssrdf_d = np.full((m, C), 1.0, np.float32)
         bssrdf_eta = np.ones((m,), np.float32)
         disney_roles = np.zeros((m, MAX_LOBES), np.int32)
         disney_base_const = np.zeros((m, 13, 3), np.float32)
@@ -253,8 +253,13 @@ class MaterialTableBuilder:
             bump_tex[i] = mat.bump_tex
             if mat.bssrdf_R is not None:
                 has_bssrdf[i] = True
-                bssrdf_R[i] = mat.bssrdf_R
-                bssrdf_d[i] = np.maximum(mat.bssrdf_d, 1e-6)
+                # spectral: R is a reflectance (Smits lift); the per-channel
+                # scatter distance d is an RGB-parameterized length — the
+                # same linear from_rgb lift keeps sr_profile/sample_sr
+                # consistent across the channel axis (disney.rs
+                # scatter_distance under the N=60 build)
+                bssrdf_R[i] = lift(mat.bssrdf_R)
+                bssrdf_d[i] = np.maximum(lift(mat.bssrdf_d), 1e-6)
                 bssrdf_eta[i] = mat.bssrdf_eta
             if mat.disney_roles is not None:
                 is_disney_tex[i] = True

@@ -250,10 +250,10 @@ def load_scene(path: str, spectral: bool = False) -> RenderJob:
     Smits bases / sampled data (core/spectral.py), and integrators carry
     (..., 60) radiometric arrays, converted to RGB at the film.
     Spectral coverage: media sigma spectra, env maps, textured params
-    (per-hit device from_rgb), bump, debug materials, and the
-    path/debug/direct/volpath/ao integrators.  The one remaining gate is
-    the Disney BSSRDF (beam-diffusion tables are baked 3-channel) and
-    SPPM (loud NotImplementedError in both cases).
+    (per-hit device from_rgb), bump, debug materials, the Disney BSSRDF
+    (R/scatter_distance lifted), and the path/debug/direct/volpath/ao
+    integrators.  The one remaining gate is SPPM (loud
+    NotImplementedError in render.py).
     """
     root_dir = os.path.dirname(os.path.abspath(path))
     with open(path) as fh:
@@ -1095,19 +1095,13 @@ def _make_integrator_spec(icfg) -> IntegratorSpec:
 
 
 def _check_spectral_subset(mat_builder, mediums, infinite, used_ids):
-    """Validate the spectral mode's current subset: reject scenes whose
-    USED materials need features without a 60-channel lift yet — loud
-    failure beats silently wrong colors.
-
-    Round 3 lifted media (sigma spectra), infinite lights (env maps),
-    textured params (device from_rgb per hit), debug materials, and bump
-    mapping; the one remaining gate is the Disney BSSRDF (its beam-
-    diffusion tables are baked 3-channel)."""
-    for mi, m in enumerate(mat_builder.materials):
-        if mi not in used_ids:
-            continue
-        if m.bssrdf_R is not None:
-            raise NotImplementedError("spectral mode: BSSRDF not wired")
+    """Validate the spectral mode's subset — loud failure beats silently
+    wrong colors.  Round 3 lifted media (sigma spectra), infinite lights
+    (env maps), textured params (device from_rgb per hit), debug
+    materials, bump mapping, and the Disney BSSRDF (R/scatter_distance
+    lifted in lobes.py pack; profile/pdf machinery is channel-count
+    generic).  No material-side gates remain; SPPM is the one integrator
+    still gated (render.py)."""
 
 
 def _env_to_spectral(env):
