@@ -48,6 +48,17 @@ def li_levels(ctx: SceneCtx, o, d, cam_weight, sampler, pixel_id, s_idx, spec, d
     )
     if not has_specular:
         max_depth = min(max_depth, 2)  # no children will ever contribute
+    # per-branch static pruning: a child whose SPECULAR|REFLECTION (resp.
+    # TRANSMISSION) sample_f can never match a lobe in the material table
+    # is identically beta=0 — skip it and the level-doubling it causes.
+    # Mirror-only scenes then keep a flat n-ray batch through all levels
+    # instead of 2^depth (integrator/mod.rs:150-301 recursion tree, with
+    # the zero subtrees statically removed).
+    branch_live = (
+        bool(ctx.static_kinds
+             & {LOBE_SPEC_REFL, LOBE_FRESNEL_SPEC, LOBE_DEBUG_SPECULAR}),
+        bool(ctx.static_kinds & {LOBE_SPEC_TRANS, LOBE_FRESNEL_SPEC}),
+    )
 
     C = ctx.n_channels
     L = jnp.zeros((n, C), DTYPE)
@@ -107,15 +118,20 @@ def li_levels(ctx: SceneCtx, o, d, cam_weight, sampler, pixel_id, s_idx, spec, d
 
         if depth + 1 >= max_depth:
             break
+        if not (branch_live[0] or branch_live[1]):
+            break  # no specular lobes anywhere: both subtrees are zero
         # specular reflect + transmit children (integrator/mod.rs:150-301)
         children = []
         child_diffs = []
+        child_branches = []
         for ci, flags in enumerate(
             (
                 BXDF_SPECULAR | BXDF_REFLECTION,
                 BXDF_SPECULAR | BXDF_TRANSMISSION,
             )
         ):
+            if not branch_live[ci]:
+                continue  # statically zero subtree (see branch_live above)
             u = sampler.get_2d(lpix, lsamp, dim_base + ci)
             bs = beval.bsdf_sample(params, frame, si.wo, u, flags)
             contrib_ok = (
@@ -133,6 +149,7 @@ def li_levels(ctx: SceneCtx, o, d, cam_weight, sampler, pixel_id, s_idx, spec, d
             child_beta = jnp.where(contrib_ok[:, None], child_beta, 0.0)
             child_o = geom.offset_ray_origin(si.p, si.ng, bs.wi_world)
             children.append((child_o, bs.wi_world, child_beta))
+            child_branches.append(branch * 2 + (1 + ci))
             if diff is not None:
                 # propagate the footprint through the specular child
                 # (integrator/mod.rs:181-201 reflect, 237-295 transmit)
@@ -148,18 +165,21 @@ def li_levels(ctx: SceneCtx, o, d, cam_weight, sampler, pixel_id, s_idx, spec, d
                             si, duv, dpdx, dpdy, diff, bs.wi_world, params["eta"]
                         )
                     )
+        nc = len(children)
         lo = jnp.concatenate([c[0] for c in children])
         ld_ = jnp.concatenate([c[1] for c in children])
         beta = jnp.concatenate([c[2] for c in children])
-        lpix = jnp.concatenate([lpix, lpix])
-        lsamp = jnp.concatenate([lsamp, lsamp])
+        lpix = jnp.concatenate([lpix] * nc)
+        lsamp = jnp.concatenate([lsamp] * nc)
         if diff is not None:
             diff = tuple(
-                jnp.concatenate([child_diffs[0][k], child_diffs[1][k]])
+                jnp.concatenate([cd[k] for cd in child_diffs])
                 for k in range(4)
             )
-        # unique tree-node ids for sampler decorrelation
-        branch = jnp.concatenate([branch * 2 + 1, branch * 2 + 2])
+        # unique tree-node ids for sampler decorrelation (a pruned sibling
+        # keeps the surviving child's id unchanged, so sampler streams are
+        # identical to the unpruned tree's)
+        branch = jnp.concatenate(child_branches)
         depth += 1
 
     return L
