@@ -75,7 +75,8 @@ def aligned_fast_path_ok(spec: "FilmSpec") -> bool:
 
 
 def add_samples(
-    film: FilmState, spec: FilmSpec, p_film, radiance, sample_weight, aligned=False
+    film: FilmState, spec: FilmSpec, p_film, radiance, sample_weight, aligned=False,
+    interleave=None,
 ):
     """FilmTile::add_sample batched (film.rs:77-130).
 
@@ -86,6 +87,12 @@ def add_samples(
     order with a box filter of radius <= 0.5 — every sample lands on its
     own pixel, so the scatter-add collapses to a reshape-add (TPU scatters
     serialize; this is the hot path for per-pixel sample passes).
+
+    interleave=(n_sub, k, SUB): the batch is the pixel grid interleaved
+    at SUB-pixel sub-block granularity — ray r = sub*(k*SUB) + s*SUB +
+    within, so each Pallas packet holds one small pixel block at k
+    samples (render.py's sample-major BVH layout).  The reduce is over
+    the middle (sample) axis instead of a leading copy axis.
     """
     h, w = film.weight.shape
     rx, ry_ = float(spec.filter_radius[0]), float(spec.filter_radius[1])
@@ -104,8 +111,14 @@ def add_samples(
             radiance = radiance * s[..., None]
         xyz = rgb_to_xyz(radiance) * sample_weight[..., None]
         k = p_film.shape[0] // (h * w)
+        if interleave is not None:
+            n_sub, k_i, sub = interleave
+            assert k_i == k and n_sub * sub == h * w
+            acc = xyz.reshape(n_sub, k, sub, 3).sum(axis=1).reshape(h, w, 3)
+        else:
+            acc = xyz.reshape(k, h, w, 3).sum(axis=0)
         return FilmState(
-            xyz=film.xyz + xyz.reshape(k, h, w, 3).sum(axis=0),
+            xyz=film.xyz + acc,
             weight=film.weight + jnp.full((h, w), float(k), film.weight.dtype),
             splat_xyz=film.splat_xyz,
         )

@@ -124,11 +124,19 @@ class SceneCtx:
                 # get a triangle-only tree for the kernel (spheres are a
                 # handful of hand-placed lights/subjects — intersected
                 # brute-force and min-combined outside, so mesh scenes no
-                # longer lose the packet kernel to one sphere)
-                if int(self.sph.count) > 0:
+                # longer lose the packet kernel to one sphere).
+                # The PACKET kernel wants fat leaves: its while-loop pays
+                # a large fixed cost per pop, and leaf prim tests are
+                # cheap vector work — leaf=16 measured 4.40 vs 3.43
+                # Mrays/s at leaf=4 on the 19200-tri grid (BASELINE.md).
+                # The jnp traversal keeps the scene's max_prims_in_node.
+                kernel_leaf = (
+                    int(os.environ.get("RS_BVH_LEAF", "0")) or 16
+                )
+                if int(self.sph.count) > 0 or kernel_leaf != max_leaf:
                     from ..scene.types import empty_spheres
 
-                    bvh_tbl = build_bvh(self.tri, empty_spheres(), max_leaf)
+                    bvh_tbl = build_bvh(self.tri, empty_spheres(), kernel_leaf)
                 else:
                     bvh_tbl = self.bvh
                 tables = pack_bvh_tables(bvh_tbl, self.tri)

@@ -148,8 +148,18 @@ def render_job(
     h, w = film_spec.yres, film_spec.xres
     ys, xs = np.mgrid[0:h, 0:w]
     # samples-per-pass: batch k samples of every pixel into one megabatch
-    # (bigger batches amortize per-fusion overhead on the device)
-    k_spp = max(1, int(os.environ.get("RS_SAMPLES_PER_PASS", "1")))
+    # (bigger batches amortize per-fusion overhead on the device).  BVH
+    # scenes default to 8: the sample-major packet layout below cuts each
+    # packet's frustum ~k-fold, which is where the traversal time goes.
+    # Checkpointed/partial renders keep k=1 (cursors are pass-aligned).
+    k_env = os.environ.get("RS_SAMPLES_PER_PASS")
+    if k_env is None:
+        full_render = (
+            stop_at_spp is None and resume_from is None and checkpoint_to is None
+        )
+        k_spp = 8 if (ctx.bvh_tables is not None and full_render) else 1
+    else:
+        k_spp = max(1, int(k_env))
     while spp % k_spp:
         k_spp -= 1
     # BVH packet scenes: issue camera rays in 32x32 screen-block order so
@@ -158,11 +168,34 @@ def render_job(
     # tile shape itself is fixed by Mosaic's 8-row minimum).  The film is
     # accumulated in blocked layout and un-permuted once on host.
     blocked_perm = None
-    if (
+    sample_interleave = None
+    want_blocked = (
         ctx.bvh_tables is not None
         and fmod.aligned_fast_path_ok(film_spec)
         and os.environ.get("RS_BLOCK_ORDER", "1") != "0"
+    )
+    SUB = 128  # pixels per packet lane-row: one 16x8 screen sub-block
+    if (
+        want_blocked
+        and k_spp > 1
+        and (h * w) % SUB == 0
+        and os.environ.get("RS_SAMPLE_MAJOR", "1") != "0"
     ):
+        # sample-major packet layout: ray r = sub*(k*SUB) + s*SUB + within,
+        # so each (8,128) Pallas packet covers ONE 16x8-pixel sub-block at
+        # k samples instead of 32x32 pixels at one sample.  The packet's
+        # frustum shrinks ~8x, and with it the union of BVH nodes every
+        # lane pays for in the lockstep traversal (measured 3x+ on the
+        # 19200-tri grid at spp=8).
+        sub_key = (
+            ((ys // 8) * ((w + 15) // 16) + (xs // 16)) * SUB
+            + (ys % 8) * 16 + (xs % 16)
+        ).ravel()
+        blocked_perm = np.argsort(sub_key, kind="stable")
+        xs = xs.ravel()[blocked_perm]
+        ys = ys.ravel()[blocked_perm]
+        sample_interleave = ((h * w) // SUB, k_spp, SUB)
+    elif want_blocked:
         BS = int(os.environ.get("RS_BLOCK_SIZE", "32"))
         key = (
             ((ys // BS) * ((w + BS - 1) // BS) + (xs // BS)) * (BS * BS)
@@ -171,12 +204,25 @@ def render_job(
         blocked_perm = np.argsort(key, kind="stable")
         xs = xs.ravel()[blocked_perm]
         ys = ys.ravel()[blocked_perm]
+
+    def _order(tiled):
+        """Regroup a (k*n, ...) sample-outer batch into the sample-major
+        interleaved ray order (identity when the layout is off)."""
+        if sample_interleave is None:
+            return tiled
+        n_sub, k, sub = sample_interleave
+        t = tiled.reshape(k, n_sub, sub, *tiled.shape[1:])
+        return np.swapaxes(t, 0, 1).reshape(tiled.shape)
+
     pixel_xy = jnp.asarray(
-        np.tile(np.stack([xs.ravel(), ys.ravel()], axis=-1), (k_spp, 1)), DTYPE
+        _order(np.tile(np.stack([xs.ravel(), ys.ravel()], axis=-1), (k_spp, 1))),
+        DTYPE,
     )  # raster (x, y)
-    pixel_id = jnp.asarray(np.tile((ys * w + xs).ravel(), k_spp), jnp.uint32)
+    pixel_id = jnp.asarray(
+        _order(np.tile((ys * w + xs).ravel(), k_spp)), jnp.uint32
+    )
     sample_offset = jnp.asarray(
-        np.repeat(np.arange(k_spp), h * w), jnp.uint32
+        _order(np.repeat(np.arange(k_spp), h * w)), jnp.uint32
     )
 
     use_mesh = mesh is not None and int(mesh.devices.size) > 1
@@ -199,6 +245,26 @@ def render_job(
         pixel_valid = jnp.concatenate(
             [jnp.ones((nb,), bool), jnp.zeros((pad,), bool)]
         )
+    if use_mesh and jax.process_count() > 1:
+        # multi-host (DCN): jit inputs must be GLOBAL arrays — every
+        # process holds the same host batch, and each contributes the
+        # shards it addresses (jax.distributed runtime; the film and the
+        # scene constants stay replicated).  Single-host meshes skip this:
+        # their jnp arrays are already fully addressable.
+        from jax.sharding import NamedSharding, PartitionSpec as _P
+
+        _shd = NamedSharding(mesh, _P("dp"))
+
+        def _globalize(a, shd):
+            a_np = np.asarray(a)
+            return jax.make_array_from_callback(
+                a_np.shape, shd, lambda idx, _a=a_np: _a[idx]
+            )
+
+        pixel_xy = _globalize(pixel_xy, _shd)
+        pixel_id = _globalize(pixel_id, _shd)
+        sample_offset = _globalize(sample_offset, _shd)
+        pixel_valid = _globalize(pixel_valid, _shd)
     # the aligned reshape-add leaves the film in ray (blocked) order; the
     # sharded scatter path writes raster coordinates directly
     film_is_blocked = blocked_perm is not None and not use_mesh
@@ -328,7 +394,10 @@ def render_job(
 
             l = _sp.to_rgb(l)
         l = jnp.where((weight > 0.0)[:, None], l, 0.0)
-        return fmod.add_samples(film, film_spec, p_film, l, weight, aligned=aligned)
+        return fmod.add_samples(
+            film, film_spec, p_film, l, weight, aligned=aligned,
+            interleave=sample_interleave if aligned else None,
+        )
 
     # one dispatch for the whole render: spp passes under a fori_loop —
     # the per-call host<->device round trip would otherwise dominate
@@ -370,24 +439,26 @@ def render_job(
                 check_rep=False,
             )
 
-        def sample_pass(film, s_base):
-            return smapped(
-                film, s_base, pixel_xy, pixel_id, sample_offset, pixel_valid
-            )
+        def sample_pass(film, s_base, pxy, pid, soff, pvalid):
+            return smapped(film, s_base, pxy, pid, soff, pvalid)
     else:
 
-        def sample_pass(film, s_base):
+        def sample_pass(film, s_base, pxy, pid, soff, pvalid):
             return compute_pass(
-                film, s_base, pixel_xy, pixel_id, sample_offset, None,
-                aligned=True,
+                film, s_base, pxy, pid, soff, None, aligned=True
             )
 
+    # the pixel batch rides as jit ARGUMENTS, not closure constants:
+    # multi-host globalized arrays span non-addressable devices and XLA
+    # rejects them as baked-in constants (single-host behavior identical)
     @jax.jit
-    def render_range(film, pass_begin, pass_end):
+    def render_range(film, pass_begin, pass_end, pxy, pid, soff, pvalid):
         return jax.lax.fori_loop(
             pass_begin,
             pass_end,
-            lambda i, f: sample_pass(f, (i * k_spp).astype(jnp.uint32)),
+            lambda i, f: sample_pass(
+                f, (i * k_spp).astype(jnp.uint32), pxy, pid, soff, pvalid
+            ),
             film,
         )
 
@@ -422,21 +493,45 @@ def render_job(
             )
     else:
         film0 = fmod.make_film(film_spec)
+    if use_mesh and jax.process_count() > 1:
+        # the film rides replicated through the shard_mapped pass; as a
+        # jit INPUT on a multi-host mesh it must be a global array too
+        from jax.sharding import NamedSharding, PartitionSpec as _P
+
+        _rep = NamedSharding(mesh, _P())
+        film0 = jax.tree_util.tree_map(
+            lambda a: jax.make_array_from_callback(
+                np.asarray(a).shape, _rep, lambda idx, _a=np.asarray(a): _a[idx]
+            ),
+            film0,
+        )
+    def _i32(v):
+        # multi-host: scalar jit args must be global (replicated) arrays
+        if use_mesh and jax.process_count() > 1:
+            from jax.sharding import NamedSharding, PartitionSpec as _P
+
+            return jax.make_array_from_callback(
+                (), NamedSharding(mesh, _P()),
+                lambda idx, _v=np.int32(v): np.int32(_v),
+            )
+        return jnp.int32(v)
+
+    batch_args = (pixel_xy, pixel_id, sample_offset, pixel_valid)
     # AOT-compile outside the timed region (no extra execution)
     compiled = render_range.lower(
-        film0, jnp.int32(0), jnp.int32(0)
+        film0, _i32(0), _i32(0), *batch_args
     ).compile()
     # zero-pass warm-up: loads the executable + scene constants onto the
     # device without running a single sample pass, so the timed region
     # measures render throughput, not one-time program upload
-    jax.block_until_ready(compiled(film0, jnp.int32(0), jnp.int32(0)))
+    jax.block_until_ready(compiled(film0, _i32(0), _i32(0), *batch_args))
     s_end = spp if stop_at_spp is None else min(int(stop_at_spp), spp)
     # only whole k_spp passes execute; record the truly-rendered cursor
     s_end = (s_end // k_spp) * k_spp if s_end < spp else spp
     t0 = time.time()
     with maybe_profile():
         film = compiled(
-            film0, jnp.int32(s_start // k_spp), jnp.int32(s_end // k_spp)
+            film0, _i32(s_start // k_spp), _i32(s_end // k_spp), *batch_args
         )
         jax.block_until_ready(film)
     elapsed = time.time() - t0

@@ -145,6 +145,37 @@ def test_blocked_order_film_equivalence(monkeypatch):
     np.testing.assert_array_equal(outs["1"], outs["0"])
 
 
+def test_sample_major_layout_film_equivalence(monkeypatch):
+    """The sample-major packet layout (k_spp samples of one 16x8 pixel
+    sub-block per Pallas packet; render.py SUB interleave) must produce
+    the identical film: per-sample radiance is layout-invariant and the
+    interleaved aligned reshape-add sums the same k values per pixel."""
+    import tempfile
+
+    from rs_ray_toy_tpu.scene.gen import write_grid_scene
+    from rs_ray_toy_tpu.scene.loader import load_scene
+    from rs_ray_toy_tpu.render import render_job
+
+    monkeypatch.setenv("RS_BVH_PALLAS", "interp")
+    # 48x32 film: h*w = 1536 = 12 sub-blocks of 128 pixels
+    path = write_grid_scene(
+        tempfile.mkdtemp(), ny=6, nz=6, xres=48, yres=32, max_depth=2
+    )
+
+    outs = {}
+    for flag in ("1", "0"):
+        monkeypatch.setenv("RS_SAMPLE_MAJOR", flag)
+        job = load_scene(path)
+        outs[flag] = np.asarray(
+            render_job(job, spp_override=4, pupil_samples=1 << 10, seed=0)[
+                "rgb_srgb_input"
+            ]
+        )
+    assert np.isfinite(outs["1"]).all()
+    assert outs["1"].max() > 0
+    np.testing.assert_allclose(outs["1"], outs["0"], atol=1e-6)
+
+
 def _with_shading(tri, seed=0):
     """Give the random mesh vertex normals + UVs (smooth shading path)."""
     rng = np.random.default_rng(seed)
