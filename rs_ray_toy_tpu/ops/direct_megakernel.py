@@ -103,7 +103,9 @@ def pack_direct(ctx, spec):
     """pack_scene + the per-light NEE sample counts (all-lights mode).
     The trailing SceneStatic is dropped: this kernel's subset has no
     spheres / area lights / envs (common_scene_checks defaults)."""
-    packed = pack_scene(ctx)[:5]
+    # allow_bvh=False: this kernel brute-force loops the FULL table, so
+    # the leaf-ordered narrow layout would misindex its columns
+    packed = pack_scene(ctx, allow_bvh=False)[:5]
     ns = []
     for v in np.asarray(ctx.lights.n_samples):
         p = 1

@@ -12,7 +12,9 @@ ray drops from ~10 round trips/bounce to one read + one write total.
 
 Scope (checked statically by `supports`): the scene subset the bench
 headline uses, which is also the most common interior-scene configuration —
-  - triangle geometry only (<= TRI_MAX, table fits VMEM),
+  - triangle geometry only (<= MEGA_BVH_TRI_MAX; brute-force fori up to
+    TRI_MAX, in-kernel packet BVH traversal above — leaf-ordered narrow
+    table + fused-children nodes + SMEM stack, ops/bvh_pallas semantics),
   - every material a single untextured Lambertian lobe
     (matte with sigma=0, material/matte.rs:35-47),
   - point lights only (<= LIGHT_MAX; delta => NEE needs no MIS),
@@ -29,6 +31,7 @@ kd = packed_f[tri.mat, 0, 0:3]), so shading needs no indirection at all.
 
 import collections
 import functools
+import os
 
 import numpy as np
 import jax
@@ -36,6 +39,8 @@ import jax.numpy as jnp
 from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+from .bvh_pallas import STACK_DEPTH, _inv_dir, _slab6
 
 from ..config import DTYPE, PI, ONE_MINUS_EPSILON, SHADOW_EPSILON
 from ..scene.types import (
@@ -61,6 +66,16 @@ TRI_EPS = 1e-7
 LANES = 128
 TILE_ROWS = 128
 TRI_MAX = 2048
+# scenes above TRI_MAX up to this bound run the SAME fused bounce loop
+# with packet BVH traversal replacing the brute-force triangle fori: a
+# leaf-ordered narrow table (9 intersect cols + the statically-needed
+# attr cols) plus the fused-children node rows fit VMEM well past 10^4
+# tris (~19 cols * 4 B/tri for lambert scenes)
+MEGA_BVH_TRI_MAX = 65536
+# BVH-mode ray tile: smaller packets keep the per-packet node union
+# tight (same tradeoff as ops/bvh_pallas.TILE_ROWS); 128-row tiles would
+# make every bounce traverse the union of 16K rays' node sets
+BVH_TILE_ROWS = int(os.environ.get("RS_MEGA_TILE_ROWS", "32"))
 SPH_MAX = 8
 LOBES_MAX = 2
 LIGHT_MAX = 8
@@ -127,6 +142,8 @@ def common_scene_checks(
     allow_spheres=False,
     light_kinds=(LIGHT_POINT,),
     allow_env=False,
+    tri_max=TRI_MAX,
+    allow_media=False,
 ):
     """Host gates shared by BOTH megakernels (path + direct): RGB only,
     in-VMEM stratified sampler, VMEM-resident scene with flat shading
@@ -155,19 +172,28 @@ def common_scene_checks(
     elif n_sph != 0:
         return None
     n_tri = int(ctx.tri.count)
-    if n_tri > TRI_MAX or n_tri + n_sph == 0:
+    if n_tri > tri_max or n_tri + n_sph == 0:
         return None
     # the kernels shade with ns == ng; reject meshes whose baked vertex
-    # normals differ from the face normal (smooth shading — the jnp path
-    # interpolates ns per hit, accel/geometry.py:230-236)
+    # normals differ in DIRECTION from the face normal (smooth shading —
+    # the jnp path interpolates ns per hit and renormalizes,
+    # accel/geometry.py:230-236, so magnitude never matters: instance
+    # inverse-transpose baking leaves parallel-but-unnormalized vn on
+    # uniformly scaled meshes, and those shade flat).  Zero-length vn
+    # fall back to ng in the jnp path — also flat.
     if n_tri > 0:
         has_n = np.asarray(ctx.tri.has_n).astype(bool)
         if has_n.any():
-            ng = np.asarray(ctx.tri.ng)
+            ng = np.asarray(ctx.tri.ng)[has_n]
             for vn in (ctx.tri.n0, ctx.tri.n1, ctx.tri.n2):
-                if np.any(np.abs(np.asarray(vn)[has_n] - ng[has_n]) > 1e-6):
+                v = np.asarray(vn)[has_n]
+                nrm = np.linalg.norm(v, axis=-1, keepdims=True)
+                unit = v / np.maximum(nrm, 1e-20)
+                if np.any((nrm[..., 0] > 0) & (np.abs(unit - ng).max(-1) > 1e-5)):
                     return None
-    if ctx.mediums is not None:
+    if ctx.mediums is not None and not allow_media:
+        # media handled only by the volpath kernel (its supports gate
+        # pins the single-homogeneous-camera-medium subset)
         return None
     if ctx.infinite_envs:
         if not allow_env:
@@ -251,12 +277,20 @@ def supports(ctx, spec, sampler, diff) -> bool:
         return False
     if spec.max_depth > DEPTH_MAX:
         return False
+    # scenes past the brute-force bound run the in-kernel packet BVH
+    # (RS_MEGA_BVH=0 disables, restoring the round-2 jnp fallback)
+    tri_max = (
+        TRI_MAX
+        if os.environ.get("RS_MEGA_BVH", "1") == "0"
+        else MEGA_BVH_TRI_MAX
+    )
     common = common_scene_checks(
         ctx,
         sampler,
         allow_spheres=True,
         light_kinds=(LIGHT_POINT, LIGHT_DIFFUSE_AREA, LIGHT_INFINITE),
         allow_env=True,
+        tri_max=tri_max,
     )
     if common is None:
         return False
@@ -451,7 +485,7 @@ def _pack_lights_static(ctx):
     return tuple(lights), esc
 
 
-def pack_scene(ctx):
+def pack_scene(ctx, allow_bvh=True):
     """Per-triangle (T, 48) table: geometry + the material's lobe stack
     pre-resolved (material indirection collapsed at pack time).
 
@@ -529,9 +563,35 @@ def pack_scene(ctx):
         max_lobes = max(max_lobes, s.n_lobes)
     kinds_present = tuple(sorted(present)) or (int(LOBE_LAMBERT_REFL),)
     max_lobes = max(1, min(max_lobes, LOBES_MAX))
+
+    # BVH mode (T > TRI_MAX, or RS_MEGA_BVH=force for tests): reorder the
+    # table into BVH leaf order and keep only the columns the kernel
+    # reads (9 intersect + the statically-needed attrs) so the packet
+    # traversal replaces the brute-force fori without a second geometry
+    # table.  bvh = (nodes2_f, nodes_i, max_leaf) or None.
+    bvh = None
+    if allow_bvh and t_count > 0 and (
+        t_count > TRI_MAX or os.environ.get("RS_MEGA_BVH", "") == "force"
+    ):
+        from ..accel.bvh import build_bvh
+        from ..scene.types import empty_spheres
+        from .bvh_pallas import pack_bvh_tables
+
+        leaf = int(os.environ.get("RS_BVH_LEAF", "0")) or 16
+        bvh_t = build_bvh(ctx.tri, empty_spheres(), leaf)
+        tbl = pack_bvh_tables(bvh_t, ctx.tri)
+        order = np.asarray(bvh_t.prim_index, np.int64)
+        cols = list(range(9)) + list(_attr_cols(kinds_present, max_lobes))
+        table = table[order][:, cols]
+        if table.shape[0] < 8:  # Mosaic wants a real (>=8-row) VMEM block
+            table = np.concatenate(
+                [table, np.zeros((8 - table.shape[0], table.shape[1]),
+                                 np.float32)]
+            )
+        bvh = (tbl["nodes2_f"], tbl["nodes_i"], int(tbl["max_leaf"]))
     return (
         jnp.asarray(table), lights_p, lights_emit, kinds_present, max_lobes,
-        wide,
+        wide, bvh,
     )
 
 
@@ -666,6 +726,173 @@ def _occluded(tri_ref, n_tris, ox, oy, oz, dx, dy, dz, t_max):
 
     occ = lax.fori_loop(0, n_tris, body, jnp.zeros(ox.shape, jnp.int32))
     return occ > 0
+
+
+def _mt_leaf(trow, ox, oy, oz, dx, dy, dz, t_bound):
+    """Möller-Trumbore of one scalar-broadcast triangle row (cols 0:9 =
+    p0, e1, e2) against the ray tile; returns (t, hit-with-t<t_bound)."""
+    p0x, p0y, p0z = trow[0, 0], trow[0, 1], trow[0, 2]
+    e1x, e1y, e1z = trow[0, 3], trow[0, 4], trow[0, 5]
+    e2x, e2y, e2z = trow[0, 6], trow[0, 7], trow[0, 8]
+    pvx = dy * e2z - dz * e2y
+    pvy = dz * e2x - dx * e2z
+    pvz = dx * e2y - dy * e2x
+    det = e1x * pvx + e1y * pvy + e1z * pvz
+    ok = jnp.abs(det) >= TRI_EPS
+    inv = 1.0 / jnp.where(ok, det, 1.0)
+    tvx, tvy, tvz = ox - p0x, oy - p0y, oz - p0z
+    u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv
+    qvx = tvy * e1z - tvz * e1y
+    qvy = tvz * e1x - tvx * e1z
+    qvz = tvx * e1y - tvy * e1x
+    v = (dx * qvx + dy * qvy + dz * qvz) * inv
+    t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv
+    hit = (
+        ok & (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (u + v <= 1.0)
+        & (t >= TRI_EPS) & (t < t_bound)
+    )
+    return t, hit
+
+
+def _bvh_closest_hit(
+    bvh_refs, tri_ref, ox, oy, oz, dx, dy, dz, active, max_leaf, n_attr
+):
+    """Packet closest-hit inside the megakernel: fused-children traversal
+    (ops/bvh_pallas semantics — child AABBs tested at the parent pop, only
+    hit children pushed) over the leaf-ordered narrow table, with the
+    winning row's attribute columns (9..9+n_attr) accumulated in the leaf
+    test.  Same return contract as _closest_hit: (t,) + attrs with
+    t = 3e38 on miss.  Dead lanes (active=False) start at t=0 so the
+    t_cur > 0 slab-test term culls them from packet descent."""
+    nodes_f_ref, nodes_i_ref, stack_ref, t_ref, best_ref, attr_ref = bvh_refs
+    ix, iy, iz = _inv_dir(dx), _inv_dir(dy), _inv_dir(dz)
+    t_ref[:] = jnp.where(active, 3.0e38, 0.0)
+    for a in range(n_attr):
+        attr_ref[a, :, :] = jnp.zeros_like(ox)
+    # packet-majority direction signs pick the near child
+    sx = jnp.sum(dx)
+    sy = jnp.sum(dy)
+    sz = jnp.sum(dz)
+    stack_ref[0] = jnp.int32(0)
+
+    def body(sp):
+        node = stack_ref[sp - 1]
+        sp = sp - 1
+        row_f = nodes_f_ref[pl.ds(node, 1), :]  # (1, 16) child boxes
+        row_i = nodes_i_ref[pl.ds(node, 1), :]
+        off = row_i[0, 0]
+        npr = row_i[0, 1]
+        ax = row_i[0, 2]
+        is_leaf = npr > 0
+        t_cur = t_ref[:]
+
+        @pl.when(is_leaf)
+        def _leaf():
+            for k in range(max_leaf):
+                @pl.when(k < npr)
+                def _prim():
+                    trow = tri_ref[pl.ds(off + k, 1), :]
+                    tb = t_ref[:]
+                    t, upd = _mt_leaf(trow, ox, oy, oz, dx, dy, dz, tb)
+                    t_ref[:] = jnp.where(upd, t, tb)
+                    for a in range(n_attr):
+                        attr_ref[a, :, :] = jnp.where(
+                            upd, trow[0, 9 + a], attr_ref[a, :, :]
+                        )
+
+        d_ax = jnp.where(ax == 0, sx, jnp.where(ax == 1, sy, sz))
+        left = node + 1
+        near = jnp.where(d_ax >= 0.0, left, off)
+        far = left + off - near
+        hit_l = _slab6(row_f, 0, ox, oy, oz, ix, iy, iz, t_cur)
+        hit_r = _slab6(row_f, 6, ox, oy, oz, ix, iy, iz, t_cur)
+        any_l = jnp.any(hit_l)
+        any_r = jnp.any(hit_r)
+        near_is_left = d_ax >= 0.0
+        interior = ~is_leaf
+        do_far = interior & jnp.where(near_is_left, any_r, any_l)
+        do_near = interior & jnp.where(near_is_left, any_l, any_r)
+        inc_f = jnp.where(do_far, jnp.int32(1), jnp.int32(0))
+        inc_n = jnp.where(do_near, jnp.int32(1), jnp.int32(0))
+        sp_c = jnp.minimum(sp, STACK_DEPTH - 1)
+        stack_ref[sp_c] = jnp.where(do_far, far, stack_ref[sp_c])
+        sp1 = jnp.minimum(sp + inc_f, STACK_DEPTH - 1)
+        stack_ref[sp1] = jnp.where(do_near, near, stack_ref[sp1])
+        return jnp.minimum(sp + inc_f + inc_n, STACK_DEPTH)
+
+    lax.while_loop(lambda sp: sp > 0, body, jnp.int32(1))
+    return (t_ref[:],) + tuple(attr_ref[a, :, :] for a in range(n_attr))
+
+
+def _bvh_occluded(
+    bvh_refs, tri_ref, ox, oy, oz, dx, dy, dz, t_max, max_leaf
+):
+    """Packet any-hit (shadow) traversal: t in [TRI_EPS, t_max) with the
+    caller's unnormalized direction (_occluded semantics).  Occluded and
+    dead lanes carry t=0, so they drop out of the slab tests; the loop
+    exits early once every lane is resolved."""
+    nodes_f_ref, nodes_i_ref, stack_ref, t_ref, best_ref, attr_ref = bvh_refs
+    ix, iy, iz = _inv_dir(dx), _inv_dir(dy), _inv_dir(dz)
+    t_ref[:] = jnp.maximum(t_max, 0.0)
+    best_ref[:] = jnp.full(ox.shape, -1, jnp.int32)
+    sx = jnp.sum(dx)
+    sy = jnp.sum(dy)
+    sz = jnp.sum(dz)
+    stack_ref[0] = jnp.int32(0)
+
+    def body(carry):
+        sp, done = carry
+        node = stack_ref[sp - 1]
+        sp = sp - 1
+        row_f = nodes_f_ref[pl.ds(node, 1), :]
+        row_i = nodes_i_ref[pl.ds(node, 1), :]
+        off = row_i[0, 0]
+        npr = row_i[0, 1]
+        ax = row_i[0, 2]
+        is_leaf = npr > 0
+        t_cur = t_ref[:]
+
+        @pl.when(is_leaf)
+        def _leaf():
+            for k in range(max_leaf):
+                @pl.when(k < npr)
+                def _prim():
+                    trow = tri_ref[pl.ds(off + k, 1), :]
+                    tb = t_ref[:]
+                    _t, upd = _mt_leaf(trow, ox, oy, oz, dx, dy, dz, tb)
+                    best_ref[:] = jnp.where(upd, jnp.int32(1), best_ref[:])
+                    t_ref[:] = jnp.where(upd, 0.0, tb)
+
+        d_ax = jnp.where(ax == 0, sx, jnp.where(ax == 1, sy, sz))
+        left = node + 1
+        near = jnp.where(d_ax >= 0.0, left, off)
+        far = left + off - near
+        hit_l = _slab6(row_f, 0, ox, oy, oz, ix, iy, iz, t_cur)
+        hit_r = _slab6(row_f, 6, ox, oy, oz, ix, iy, iz, t_cur)
+        any_l = jnp.any(hit_l)
+        any_r = jnp.any(hit_r)
+        near_is_left = d_ax >= 0.0
+        interior = ~is_leaf
+        do_far = interior & jnp.where(near_is_left, any_r, any_l)
+        do_near = interior & jnp.where(near_is_left, any_l, any_r)
+        inc_f = jnp.where(do_far, jnp.int32(1), jnp.int32(0))
+        inc_n = jnp.where(do_near, jnp.int32(1), jnp.int32(0))
+        sp_c = jnp.minimum(sp, STACK_DEPTH - 1)
+        stack_ref[sp_c] = jnp.where(do_far, far, stack_ref[sp_c])
+        sp1 = jnp.minimum(sp + inc_f, STACK_DEPTH - 1)
+        stack_ref[sp1] = jnp.where(do_near, near, stack_ref[sp1])
+        sp = jnp.minimum(sp + inc_f + inc_n, STACK_DEPTH)
+        # int32 done carry (Mosaic i1 loop-carry pitfall): all lanes
+        # resolved (occluded or dead) -> nothing left to test
+        done = jnp.where(jnp.any(t_ref[:] > 0.0), jnp.int32(0), jnp.int32(1))
+        return sp, done
+
+    def cond(carry):
+        sp, done = carry
+        return (sp > 0) & (done == 0)
+
+    lax.while_loop(cond, body, (jnp.int32(1), jnp.int32(0)))
+    return best_ref[:] >= 0
 
 
 # ---- static-transform helpers (rows are compile-time float tuples) ----
@@ -1503,6 +1730,7 @@ def _bounce_loop(
     tri_ref, ox, oy, oz, dx, dy, dz, active, pid, sid,
     n_tris, wide, max_depth, rr_threshold,
     spp, xs, ys, jitter, seed, kinds_present, max_lobes,
+    bvh_refs=None, max_leaf=None,
 ):
     lights = wide.lights
     spheres = wide.spheres
@@ -1525,14 +1753,38 @@ def _bounce_loop(
     es = one  # etaScale (path.rs:150-163); stays 1 without spec-trans
     spec_prev = None  # specular_bounce lane mask (escape-le gating)
 
+    def occluded_all(sox, soy, soz, sdx, sdy, sdz, tmax_arr):
+        """Shadow any-hit: brute fori below TRI_MAX, packet BVH above.
+        BVH lanes that are inactive traverse nothing (t_max = 0)."""
+        if bvh_refs is None:
+            return _occluded_all(
+                tri_ref, n_tris, spheres, sox, soy, soz, sdx, sdy, sdz,
+                tmax_arr,
+            )
+        occ = _bvh_occluded(
+            bvh_refs, tri_ref, sox, soy, soz, sdx, sdy, sdz,
+            jnp.where(active, tmax_arr, 0.0), max_leaf,
+        )
+        if spheres:
+            occ = occ | _occluded_spheres(
+                spheres, sox, soy, soz, sdx, sdy, sdz, tmax_arr
+            )
+        return occ
+
     # without escape-le envs the loop's final intersect (escape collection
     # in li_path, path.rs:84-87) would contribute nothing — skip the dead
     # iteration.  Estimator unchanged.
     n_iters = max_depth + (1 if esc_rgb is not None else 0)
     for bounce in range(n_iters):
-        out = _closest_hit(
-            tri_ref, n_tris, ox, oy, oz, dx, dy, dz, attr_cols
-        )
+        if bvh_refs is None:
+            out = _closest_hit(
+                tri_ref, n_tris, ox, oy, oz, dx, dy, dz, attr_cols
+            )
+        else:
+            out = _bvh_closest_hit(
+                bvh_refs, tri_ref, ox, oy, oz, dx, dy, dz, active,
+                max_leaf, len(attr_cols),
+            )
         t = out[0]
         ngx, ngy, ngz = out[1], out[2], out[3]
         dux, duy, duz = out[4], out[5], out[6]
@@ -1720,8 +1972,8 @@ def _bounce_loop(
             soy = py + ngy * off
             soz = pz + ngz * off
             sdx, sdy, sdz = lpx - sox, lpy - soy, lpz - soz
-            occ = _occluded_all(
-                tri_ref, n_tris, spheres, sox, soy, soz, sdx, sdy, sdz,
+            occ = occluded_all(
+                sox, soy, soz, sdx, sdy, sdz,
                 jnp.full(px.shape, 1.0 - SHADOW_EPSILON, jnp.float32),
             )
             li_scale = jnp.where(active & ~occ, cos_ns * n_lights / dist2, 0.0)
@@ -1795,8 +2047,8 @@ def _bounce_loop(
             soy = py + ngy * off
             soz = pz + ngz * off
             sdx, sdy, sdz = plx - sox, ply - soy, plz - soz
-            occ = _occluded_all(
-                tri_ref, n_tris, spheres, sox, soy, soz, sdx, sdy, sdz,
+            occ = occluded_all(
+                sox, soy, soz, sdx, sdy, sdz,
                 jnp.full(px.shape, 1.0 - SHADOW_EPSILON, jnp.float32),
             )
             any_li = (lir > 0.0) | (lig > 0.0) | (lib > 0.0)
@@ -1832,8 +2084,7 @@ def _bounce_loop(
                 w2mis = _power_heuristic_k(smp2["pdf"], lpdf2)
                 w2_ng = _dot3(w2x, w2y, w2z, ngx, ngy, ngz)
                 off2n = jnp.where(w2_ng < 0.0, -eps, eps)
-                escaped = ~_occluded_all(
-                    tri_ref, n_tris, spheres,
+                escaped = ~occluded_all(
                     px + ngx * off2n, py + ngy * off2n, pz + ngz * off2n,
                     w2x, w2y, w2z,
                     jnp.full(px.shape, jnp.inf, jnp.float32),
@@ -1960,25 +2211,90 @@ def _kernel(
     lb_o[:] = Lb
 
 
+def _kernel_bvh(
+    nodes_f_ref, nodes_i_ref, tri_ref,
+    ox_r, oy_r, oz_r, dx_r, dy_r, dz_r, w_r, pid_r, sid_r,
+    lr_o, lg_o, lb_o,
+    stack_ref, t_ref, best_ref, attr_ref,
+    *, n_tris, wide, max_depth, rr_threshold,
+    spp, xs, ys, jitter, seed, kinds_present, max_lobes, max_leaf,
+):
+    Lr, Lg, Lb = _bounce_loop(
+        tri_ref,
+        ox_r[:], oy_r[:], oz_r[:], dx_r[:], dy_r[:], dz_r[:],
+        w_r[:] > 0.0, pid_r[:], sid_r[:],
+        n_tris, wide, max_depth, rr_threshold,
+        spp, xs, ys, jitter, seed, kinds_present, max_lobes,
+        bvh_refs=(nodes_f_ref, nodes_i_ref, stack_ref, t_ref, best_ref,
+                  attr_ref),
+        max_leaf=max_leaf,
+    )
+    lr_o[:] = Lr
+    lg_o[:] = Lg
+    lb_o[:] = Lb
+
+
+def _bvh_call_extras(rows, kinds_present, max_lobes, interpret):
+    """(scratch_shapes, compiler kwargs) shared by both BVH-mode runs."""
+    n_attr = len(_attr_cols(kinds_present, max_lobes))
+    scratch = [
+        pltpu.SMEM((STACK_DEPTH,), jnp.int32),
+        pltpu.VMEM((rows, LANES), jnp.float32),
+        pltpu.VMEM((rows, LANES), jnp.int32),
+        pltpu.VMEM((n_attr, rows, LANES), jnp.float32),
+    ]
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        )
+    return scratch, kwargs
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "n_tris", "wide", "max_depth", "rr_threshold",
         "spp", "xs", "ys", "jitter", "seed", "kinds_present", "max_lobes",
-        "interpret",
+        "max_leaf", "interpret",
     ),
 )
 def _run(
-    table, ox, oy, oz, dx, dy, dz, w, pid, sid,
+    table, nodes_f, nodes_i, ox, oy, oz, dx, dy, dz, w, pid, sid,
     n_tris, wide, max_depth, rr_threshold,
-    spp, xs, ys, jitter, seed, kinds_present, max_lobes, interpret=False,
+    spp, xs, ys, jitter, seed, kinds_present, max_lobes, max_leaf=None,
+    interpret=False,
 ):
     m = ox.shape[0]
-    grid = (m // TILE_ROWS,)
+    use_bvh = nodes_f is not None
+    rows = BVH_TILE_ROWS if use_bvh else TILE_ROWS
+    grid = (m // rows,)
     ray_spec = pl.BlockSpec(
-        (TILE_ROWS, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+        (rows, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    if use_bvh:
+        kernel = functools.partial(
+            _kernel_bvh,
+            n_tris=n_tris, wide=wide,
+            max_depth=max_depth, rr_threshold=rr_threshold,
+            spp=spp, xs=xs, ys=ys, jitter=jitter, seed=seed,
+            kinds_present=kinds_present, max_lobes=max_lobes,
+            max_leaf=max_leaf,
+        )
+        scratch, kwargs = _bvh_call_extras(
+            rows, kinds_present, max_lobes, interpret
+        )
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[vmem, vmem, vmem] + [ray_spec] * 9,
+            out_specs=[ray_spec] * 3,
+            out_shape=[jax.ShapeDtypeStruct((m, LANES), jnp.float32)] * 3,
+            scratch_shapes=scratch,
+            interpret=interpret,
+            **kwargs,
+        )(nodes_f, nodes_i, table, ox, oy, oz, dx, dy, dz, w, pid, sid)
     kernel = functools.partial(
         _kernel,
         n_tris=n_tris,
@@ -2005,10 +2321,13 @@ def li_path_mega(
     """Drop-in replacement for integrators.path.li_path on the supported
     subset.  packed = pack_scene(ctx) built once per scene.  The sampler's
     bounce dimensions are evaluated inside the kernel (same hash math)."""
-    table, lights_p, lights_emit, kinds_present, max_lobes, wide = packed
+    (table, lights_p, lights_emit, kinds_present, max_lobes, wide,
+     bvh) = packed
+    nodes_f, nodes_i, max_leaf = bvh if bvh is not None else (None,) * 3
     n = o.shape[0]
 
-    tile = TILE_ROWS * LANES
+    rows = BVH_TILE_ROWS if bvh is not None else TILE_ROWS
+    tile = rows * LANES
     n_pad = -(-n // tile) * tile
     pad = n_pad - n
 
@@ -2019,7 +2338,7 @@ def li_path_mega(
 
     s_arr = jnp.broadcast_to(jnp.asarray(s_idx, jnp.uint32), (n,))
     lr, lg, lb = _run(
-        table,
+        table, nodes_f, nodes_i,
         prep(o[:, 0]), prep(o[:, 1]), prep(o[:, 2]),
         prep(d[:, 0]), prep(d[:, 1]), prep(d[:, 2]),
         prep(cam_weight.astype(jnp.float32)),
@@ -2029,6 +2348,7 @@ def li_path_mega(
         spp=int(sampler.spp), xs=int(sampler.xs), ys=int(sampler.ys),
         jitter=bool(sampler.jitter), seed=int(sampler.seed),
         kinds_present=kinds_present, max_lobes=max_lobes,
+        max_leaf=max_leaf,
         interpret=interpret,
     )
     return jnp.stack(
@@ -2234,6 +2554,33 @@ def _kernel_cam(
     w_o[:] = weight
 
 
+def _kernel_cam_bvh(
+    nodes_f_ref, nodes_i_ref, tri_ref,
+    px_r, py_r, pid_r, sid_r,
+    lr_o, lg_o, lb_o, w_o,
+    stack_ref, t_ref, best_ref, attr_ref,
+    *, n_tris, wide, max_depth, rr_threshold,
+    spp, xs, ys, jitter, seed, cam, kinds_present, max_lobes, max_leaf,
+):
+    pid = pid_r[:]
+    sid = sid_r[:]
+    ox, oy, oz, dx, dy, dz, weight = _raygen(
+        px_r[:], py_r[:], pid, sid, cam, spp, xs, ys, jitter, seed
+    )
+    Lr, Lg, Lb = _bounce_loop(
+        tri_ref, ox, oy, oz, dx, dy, dz, weight > 0.0, pid, sid,
+        n_tris, wide, max_depth, rr_threshold,
+        spp, xs, ys, jitter, seed, kinds_present, max_lobes,
+        bvh_refs=(nodes_f_ref, nodes_i_ref, stack_ref, t_ref, best_ref,
+                  attr_ref),
+        max_leaf=max_leaf,
+    )
+    lr_o[:] = Lr
+    lg_o[:] = Lg
+    lb_o[:] = Lb
+    w_o[:] = weight
+
+
 class _Hashable(dict):
     """Frozen dict usable as a jit static argument."""
 
@@ -2249,21 +2596,45 @@ class _Hashable(dict):
     static_argnames=(
         "n_tris", "wide", "max_depth", "rr_threshold",
         "spp", "xs", "ys", "jitter", "seed", "cam", "kinds_present",
-        "max_lobes", "interpret",
+        "max_lobes", "max_leaf", "interpret",
     ),
 )
 def _run_cam(
-    table, px, py, pid, sid,
+    table, nodes_f, nodes_i, px, py, pid, sid,
     n_tris, wide, max_depth, rr_threshold,
     spp, xs, ys, jitter, seed, cam, kinds_present, max_lobes,
-    interpret=False,
+    max_leaf=None, interpret=False,
 ):
     m = px.shape[0]
-    grid = (m // TILE_ROWS,)
+    use_bvh = nodes_f is not None
+    rows = BVH_TILE_ROWS if use_bvh else TILE_ROWS
+    grid = (m // rows,)
     ray_spec = pl.BlockSpec(
-        (TILE_ROWS, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+        (rows, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    if use_bvh:
+        kernel = functools.partial(
+            _kernel_cam_bvh,
+            n_tris=n_tris, wide=wide,
+            max_depth=max_depth, rr_threshold=rr_threshold,
+            spp=spp, xs=xs, ys=ys, jitter=jitter, seed=seed, cam=cam,
+            kinds_present=kinds_present, max_lobes=max_lobes,
+            max_leaf=max_leaf,
+        )
+        scratch, kwargs = _bvh_call_extras(
+            rows, kinds_present, max_lobes, interpret
+        )
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[vmem, vmem, vmem] + [ray_spec] * 4,
+            out_specs=[ray_spec] * 4,
+            out_shape=[jax.ShapeDtypeStruct((m, LANES), jnp.float32)] * 4,
+            scratch_shapes=scratch,
+            interpret=interpret,
+            **kwargs,
+        )(nodes_f, nodes_i, table, px, py, pid, sid)
     kernel = functools.partial(
         _kernel_cam,
         n_tris=n_tris, wide=wide,
@@ -2292,10 +2663,13 @@ def li_path_mega_cam(
     pixel_xy: (N,2) integer raster coords as floats; the film jitter
     (sampler dim 0) is applied in-kernel, identically to the p_film the
     caller computes for filtering."""
-    table, lights_p, lights_emit, kinds_present, max_lobes, wide = packed
+    (table, lights_p, lights_emit, kinds_present, max_lobes, wide,
+     bvh) = packed
+    nodes_f, nodes_i, max_leaf = bvh if bvh is not None else (None,) * 3
     n = pixel_xy.shape[0]
 
-    tile = TILE_ROWS * LANES
+    rows = BVH_TILE_ROWS if bvh is not None else TILE_ROWS
+    tile = rows * LANES
     n_pad = -(-n // tile) * tile
     pad = n_pad - n
 
@@ -2306,7 +2680,7 @@ def li_path_mega_cam(
 
     s_arr = jnp.broadcast_to(jnp.asarray(s_idx, jnp.uint32), (n,))
     lr, lg, lb, w = _run_cam(
-        table,
+        table, nodes_f, nodes_i,
         prep(pixel_xy[:, 0].astype(jnp.float32)),
         prep(pixel_xy[:, 1].astype(jnp.float32)),
         prep(jnp.asarray(pixel_id, jnp.uint32)), prep(s_arr),
@@ -2316,6 +2690,7 @@ def li_path_mega_cam(
         jitter=bool(sampler.jitter), seed=int(sampler.seed),
         cam=_Hashable(cam_packed),
         kinds_present=kinds_present, max_lobes=max_lobes,
+        max_leaf=max_leaf,
         interpret=interpret,
     )
     l = jnp.stack(

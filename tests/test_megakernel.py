@@ -177,6 +177,88 @@ def test_specular_radiance_matches_jnp_loop(spec_mat):
     assert abs(l_mega.mean() - l_ref.mean()) < 1e-6 + 3e-3 * abs(l_ref.mean())
 
 
+@pytest.mark.parametrize("material", ["mat_matte", "mat_metal"])
+def test_bvh_mode_matches_jnp_loop(material, monkeypatch):
+    """RS_MEGA_BVH=force routes the SAME scene through the in-kernel
+    packet-BVH traversal (leaf-ordered narrow table, fused-children
+    nodes, SMEM stack) — the estimator must be unchanged relative to the
+    jnp wavefront loop, just like the brute-force kernel."""
+    from rs_ray_toy_tpu.ops.path_megakernel import (
+        pack_scene,
+        li_path_mega,
+        supports,
+    )
+    from rs_ray_toy_tpu.integrators.path import li_path
+    from rs_ray_toy_tpu.camera.realistic import RealisticCamera
+    from rs_ray_toy_tpu.sampler.stratified import StratifiedSampler
+
+    monkeypatch.setenv("RS_MEGA_BVH", "force")
+    job, ctx = _make_job(material)
+    assert supports(ctx, job.integrator, None, None), material
+    cam = RealisticCamera(job.camera, job.film, pupil_samples=1 << 10)
+    sampler = StratifiedSampler(job.sampler, seed=0)
+
+    n = 64 * 36
+    pid = jnp.arange(n, dtype=jnp.uint32)
+    px = jnp.stack([(pid % 64) + 0.5, (pid // 64) + 0.5], -1).astype(jnp.float32)
+    s_idx = jnp.zeros((n,), jnp.uint32)
+    u_lens = sampler.get_2d(pid, s_idx, 1)
+    o, d, w = cam.generate_rays(px, u_lens)
+
+    l_ref = np.asarray(
+        li_path(ctx, o, d, w, sampler, pid, s_idx, job.integrator)
+    )
+    packed = pack_scene(ctx)
+    assert packed[6] is not None, "force mode must produce a BVH payload"
+    l_mega = np.asarray(
+        li_path_mega(
+            ctx, packed, o, d, w, sampler, pid, s_idx, job.integrator,
+            interpret=True,
+        )
+    )
+    assert np.isfinite(l_mega).all()
+    denom = np.maximum(np.abs(l_ref), 1e-3)
+    rel = np.abs(l_mega - l_ref) / denom
+    frac_diverged = float((rel.max(-1) > 1e-3).mean())
+    assert frac_diverged < 5e-3, f"{frac_diverged:.2%} of rays diverged"
+    assert abs(l_mega.mean() - l_ref.mean()) < 1e-6 + 3e-3 * abs(l_ref.mean())
+
+
+def test_bvh_mode_mesh_scene_render(monkeypatch):
+    """A real mesh scene (2700 tris > TRI_MAX) auto-selects the BVH
+    megakernel; the end-to-end render must match the jnp+packet-BVH
+    fallback film."""
+    import tempfile
+    from rs_ray_toy_tpu.scene.gen import write_grid_scene
+    from rs_ray_toy_tpu.scene.loader import load_scene
+    from rs_ray_toy_tpu.render import render_job
+    from rs_ray_toy_tpu.ops import path_megakernel as pmk
+    from rs_ray_toy_tpu.integrators.common import SceneCtx
+
+    path = write_grid_scene(
+        tempfile.mkdtemp(), ny=15, nz=15, xres=48, yres=32, max_depth=3
+    )
+    monkeypatch.setenv("RS_BVH_PALLAS", "interp")
+    outs = {}
+    for flag in ("1", "0"):
+        monkeypatch.setenv("RS_MEGAKERNEL", flag)
+        job = load_scene(path)
+        if flag == "1":
+            ctx = SceneCtx(job.scene)
+            assert pmk.supports(ctx, job.integrator, None, None)
+            assert pmk.pack_scene(ctx)[6] is not None
+        outs[flag] = np.asarray(
+            render_job(job, spp_override=2, pupil_samples=1 << 10, seed=0)[
+                "rgb_srgb_input"
+            ]
+        )
+    on, off = outs["1"], outs["0"]
+    assert np.isfinite(on).all()
+    assert (on.sum(-1) > 0).sum() > 20
+    rmse = float(np.sqrt(np.mean((on - off) ** 2)))
+    assert rmse < 1e-4, f"BVH megakernel render deviates: rmse {rmse}"
+
+
 def test_render_job_uses_megakernel(bench_ctx, monkeypatch):
     """End-to-end render with the megakernel enabled vs disabled."""
     from rs_ray_toy_tpu.render import render_job
