@@ -1,0 +1,699 @@
+"""Fused volumetric path-tracer megakernel (Pallas TPU).
+
+BASELINE config 4 (homogeneous camera fog) ran the jnp wavefront
+`integrators/volpath.li_volpath` at 7.4 Mrays/s — per bounce the SoA ray
+state round-trips HBM ~12 times.  This kernel runs the whole volpath
+bounce loop for a ray tile in VMEM, exactly like ops/path_megakernel
+does for the surface-only path.
+
+Scope (checked statically by `supports_volpath`), on top of the path
+megakernel's material/geometry subset (common_scene_checks):
+  - ONE homogeneous medium that is the camera medium, with NO per-prim
+    medium interfaces: every ray stays in the fog forever, so sigma_a/
+    sigma_s/sigma_t/g are compile-time constants and the medium-
+    transition machinery (volpath.rs:198-236) is statically dead;
+  - point lights only: NEE is the delta-light branch of
+    estimate_direct(handle_media=true) (integrator/mod.rs:403-481), and
+    the scattering-sampling counter-branch (mod.rs:483-558) is
+    statically skipped exactly as in integrators/volpath.py:92.
+
+The estimator is IDENTICAL to li_volpath: same sampler dim blocks
+(sampler/dims.volpath_dim0), same hashed RNG chain for the medium's
+channel/distance draws (scene/medium._next_u), same power-weighted
+light pick (compute_light_power_distribution, integrator/mod.rs:560-571
+— baked as a static CDF), same HG sampling quirks (phi = 2*pi*u[0]).
+Tests compare per-ray radiance directly (test_volpath_megakernel.py).
+"""
+
+import collections
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import DTYPE, PI
+from ..core import rng as rngmod
+from ..scene.types import LIGHT_POINT
+from ..scene.medium import MEDIUM_HOMOGENEOUS
+from .bvh_pallas import STACK_DEPTH
+from .path_megakernel import (
+    BVH_TILE_ROWS,
+    DEPTH_MAX,
+    LANES,
+    MEGA_BVH_TRI_MAX,
+    TILE_ROWS,
+    TRI_MAX,
+    _attr_cols,
+    _bsdf_sample_k,
+    _bvh_call_extras,
+    _bvh_closest_hit,
+    _bvh_occluded,
+    _closest_hit,
+    _dot3,
+    _has_spec_trans,
+    _lobe_f_k,
+    _normalize3,
+    _occluded,
+    _sampler_dims,
+    _spec_mask,
+    common_scene_checks,
+    pack_scene,
+    supports as _path_supports_kinds,  # noqa: F401 (parity reference)
+)
+from ..bsdf.lobes import (
+    LOBE_LAMBERT_REFL,
+    LOBE_MF_REFL,
+    LOBE_SPEC_REFL,
+    LOBE_SPEC_TRANS,
+    LOBE_FRESNEL_SPEC,
+)
+
+SPEC_KINDS = (LOBE_SPEC_REFL, LOBE_SPEC_TRANS, LOBE_FRESNEL_SPEC)
+INV_4_PI = 1.0 / (4.0 * PI)
+
+MediumC = collections.namedtuple("MediumC", "sigma_a sigma_s sigma_t g")
+VolStatic = collections.namedtuple(
+    "VolStatic", "medium cdf pick_pdf world_radius"
+)
+
+
+def supports_volpath(ctx, spec, sampler, diff) -> bool:
+    """Static host check: can the volpath megakernel render this job?"""
+    if spec.kind != "volpath" or diff is not None:
+        return False
+    if spec.max_depth > DEPTH_MAX or spec.max_depth < 1:
+        return False
+    m = ctx.mediums
+    if m is None or int(m["n"]) != 1:
+        return False
+    if int(np.asarray(m["kind"])[0]) != MEDIUM_HOMOGENEOUS:
+        return False
+    if int(getattr(ctx, "camera_medium", -1)) != 0:
+        return False
+    # no per-prim medium interfaces: rays keep the camera medium forever
+    for soa in (ctx.tri, ctx.sph):
+        if int(soa.count) and (
+            np.any(np.asarray(soa.med_in) >= 0)
+            or np.any(np.asarray(soa.med_out) >= 0)
+        ):
+            return False
+    import os
+
+    tri_max = (
+        TRI_MAX
+        if os.environ.get("RS_MEGA_BVH", "1") == "0"
+        else MEGA_BVH_TRI_MAX
+    )
+    common = common_scene_checks(
+        ctx,
+        sampler,
+        allow_spheres=False,
+        light_kinds=(LIGHT_POINT,),
+        allow_env=False,
+        tri_max=tri_max,
+        allow_media=True,
+    )
+    if common is None:
+        return False
+    kinds, n_lobes, live, used = common
+    from .path_megakernel import LOBES_MAX
+
+    if np.any(n_lobes[used] > LOBES_MAX):
+        return False
+    ok_kinds = (kinds == LOBE_LAMBERT_REFL) | (kinds == LOBE_MF_REFL)
+    for sk in SPEC_KINDS:
+        ok_kinds |= kinds == sk
+    if np.any(~ok_kinds[live]):
+        return False
+    is_trans_lobe = (kinds == LOBE_SPEC_TRANS) | (kinds == LOBE_FRESNEL_SPEC)
+    if np.any(is_trans_lobe & live & (n_lobes[:, None] > 1)):
+        return False
+    return True
+
+
+def pack_volpath(ctx):
+    """pack_scene + the static medium constants and light power CDF."""
+    packed = pack_scene(ctx)
+    m = ctx.mediums
+    medium = MediumC(
+        sigma_a=tuple(float(v) for v in np.asarray(m["sigma_a"])[0]),
+        sigma_s=tuple(float(v) for v in np.asarray(m["sigma_s"])[0]),
+        sigma_t=tuple(float(v) for v in np.asarray(m["sigma_t"])[0]),
+        g=float(np.asarray(m["g"])[0]),
+    )
+    # power-weighted light distribution, baked static (the CDF/pdf values
+    # match core.sampling.Distribution1D.as_device()'s f32 arrays exactly)
+    from ..core.sampling import Distribution1D
+    from ..lights import lights as lmod
+
+    dist = Distribution1D(np.asarray(lmod.power(ctx.lights)))
+    cdf = tuple(float(np.float32(v)) for v in dist.cdf)
+    n = dist.n
+    if dist.func_int > 0.0:
+        pick_pdf = tuple(
+            float(np.float32(dist.func[i] / (dist.func_int * n)))
+            for i in range(n)
+        )
+    else:
+        pick_pdf = (0.0,) * n
+    vol = VolStatic(
+        medium=medium,
+        cdf=cdf,
+        pick_pdf=pick_pdf,
+        world_radius=float(np.asarray(ctx.lights.world_radius)),
+    )
+    return packed + (vol,)
+
+
+def _rng_next(state):
+    """scene/medium._next_u on the tile: advance the per-lane hash chain
+    and produce a [0,1) float (rng.uniform_float_from_u32 semantics)."""
+    state = rngmod.hash_u32(state ^ jnp.uint32(0x9E3779B9))
+    u = (state >> 8).astype(jnp.int32).astype(jnp.float32) * jnp.float32(
+        2.0 ** -24
+    )
+    return state, u
+
+
+def _coord_system(wx, wy, wz):
+    """core/vec.coordinate_system componentwise (first + second axis)."""
+    big_x = jnp.abs(wx) > jnp.abs(wy)
+    inv = lax.rsqrt(
+        jnp.maximum(
+            jnp.where(big_x, wx * wx + wz * wz, wy * wy + wz * wz), 1e-30
+        )
+    )
+    v1x = jnp.where(big_x, -wz, 0.0) * inv
+    v1y = jnp.where(big_x, 0.0, wz) * inv
+    v1z = jnp.where(big_x, wx, -wy) * inv
+    v2x = wy * v1z - wz * v1y
+    v2y = wz * v1x - wx * v1z
+    v2z = wx * v1y - wy * v1x
+    return (v1x, v1y, v1z), (v2x, v2y, v2z)
+
+
+def _phase_hg_k(cos_theta, g):
+    denom = 1.0 + g * g + 2.0 * g * cos_theta
+    return (
+        INV_4_PI
+        * (1.0 - g * g)
+        / jnp.maximum(denom * jnp.sqrt(jnp.maximum(denom, 1e-12)), 1e-12)
+    )
+
+
+def _hg_sample_k(wox, woy, woz, g, u0):
+    """medium.hg_sample componentwise, incl. the reference's phi = 2*pi*
+    u[0] quirk (u[1] unused).  Returns (wi, p)."""
+    if abs(g) < 1e-3:
+        cos_theta = 1.0 - 2.0 * u0
+    else:
+        sq_den = 1.0 + g - 2.0 * g * u0
+        sq = (1.0 - g * g) / jnp.where(
+            jnp.abs(sq_den) < 1e-9, 1e-9, sq_den
+        )
+        cos_theta = -(1.0 + g * g - sq * sq) / (2.0 * g)
+    cos_theta = jnp.clip(cos_theta, -1.0, 1.0)
+    sin_theta = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_theta * cos_theta))
+    phi = 2.0 * PI * u0
+    (v1x, v1y, v1z), (v2x, v2y, v2z) = _coord_system(wox, woy, woz)
+    cp = sin_theta * jnp.cos(phi)
+    sp = sin_theta * jnp.sin(phi)
+    wix = v1x * cp + v2x * sp + wox * cos_theta
+    wiy = v1y * cp + v2y * sp + woy * cos_theta
+    wiz = v1z * cp + v2z * sp + woz * cos_theta
+    return (wix, wiy, wiz), _phase_hg_k(cos_theta, g)
+
+
+def _vol_bounce_loop(
+    tri_ref, ox, oy, oz, dx, dy, dz, active, pid, sid,
+    n_tris, vol, lights_p, lights_emit, max_depth, rr_threshold,
+    spp, xs, ys, jitter, seed, kinds_present, max_lobes,
+    bvh_refs=None, max_leaf=None,
+):
+    """li_volpath's bounce loop on one VMEM ray tile (volpath.rs:48-258
+    under the static homogeneous-fog subset)."""
+    from ..sampler.dims import volpath_dim0
+
+    med = vol.medium
+    g = med.g
+    n_lights = len(lights_p)
+    has_st = _has_spec_trans(kinds_present)
+    has_mf = LOBE_MF_REFL in kinds_present
+    has_spec = any(k in kinds_present for k in SPEC_KINDS)
+    has_full = has_mf or has_spec
+    mixed = len(kinds_present) > 1
+    attr_cols = _attr_cols(kinds_present, max_lobes)
+    one = jnp.ones(ox.shape, jnp.float32)
+    zero = jnp.zeros(ox.shape, jnp.float32)
+    br, bg, bb = one, one, one
+    Lr, Lg, Lb = zero, zero, zero
+    es = one
+    # per-lane RNG chain for the medium draws (li_volpath:158)
+    state = rngmod.hash_combine(pid, sid)
+
+    def occluded_all(sox, soy, soz, sdx, sdy, sdz, tmax_arr):
+        if bvh_refs is None:
+            return _occluded(
+                tri_ref, n_tris, sox, soy, soz, sdx, sdy, sdz, tmax_arr
+            )
+        return _bvh_occluded(
+            bvh_refs, tri_ref, sox, soy, soz, sdx, sdy, sdz,
+            jnp.where(active, tmax_arr, 0.0), max_leaf,
+        )
+
+    for bounce in range(max_depth):
+        dim0 = volpath_dim0(bounce)
+        if bvh_refs is None:
+            out = _closest_hit(
+                tri_ref, n_tris, ox, oy, oz, dx, dy, dz, attr_cols
+            )
+        else:
+            out = _bvh_closest_hit(
+                bvh_refs, tri_ref, ox, oy, oz, dx, dy, dz, active,
+                max_leaf, len(attr_cols),
+            )
+        t = out[0]
+        ngx, ngy, ngz = out[1], out[2], out[3]
+        dux, duy, duz = out[4], out[5], out[6]
+        n_lob = out[7].astype(jnp.int32)
+        cur = 8
+        if has_st:
+            mat_eta = out[cur]
+            cur += 1
+        lobs = []
+        zero_k = jnp.zeros(ox.shape, jnp.float32)
+        for l in range(max_lobes):
+            lob = {}
+            if mixed:
+                lob["kind"] = out[cur].astype(jnp.int32)
+                cur += 1
+            else:
+                lob["kind"] = kinds_present[0]
+            lob["s0"] = (out[cur], out[cur + 1], out[cur + 2])
+            cur += 3
+            if has_full:
+                lob["s1"] = (out[cur], out[cur + 1], out[cur + 2])
+                lob["s2"] = (out[cur + 3], out[cur + 4], out[cur + 5])
+                lob["au"] = out[cur + 6]
+                lob["av"] = out[cur + 7]
+                lob["fres"] = out[cur + 8].astype(jnp.int32)
+                lob["eta_a"] = out[cur + 9]
+                lob["eta_b"] = out[cur + 10]
+                cur += 11
+            else:
+                lob["s1"] = lob["s2"] = (zero_k,) * 3
+                lob["au"] = lob["av"] = zero_k
+                lob["fres"] = 0
+                lob["eta_a"] = lob["eta_b"] = zero_k
+            lobs.append(lob)
+
+        found = active & (t < 3.0e38)
+        seg_len = jnp.where(found, t, 2.0 * vol.world_radius + 1000.0)
+
+        # ---- homogeneous medium sample (homogeneous.rs:38-85; two chain
+        # draws exactly like scene/medium.medium_sample) ----
+        state, u_ch = _rng_next(state)
+        state, u_d = _rng_next(state)
+        channel = jnp.minimum((u_ch * 3.0).astype(jnp.int32), 2)
+        st_ch = jnp.where(
+            channel == 0,
+            med.sigma_t[0],
+            jnp.where(channel == 1, med.sigma_t[1], med.sigma_t[2]),
+        )
+        dist = -jnp.log(jnp.maximum(1.0 - u_d, 1e-12)) / jnp.maximum(
+            st_ch, 1e-20
+        )
+        t_med = jnp.minimum(dist, seg_len)
+        smp_med = dist < seg_len
+        tr_c = tuple(jnp.exp(-med.sigma_t[c] * t_med) for c in range(3))
+        dens = tuple(
+            jnp.where(smp_med, med.sigma_t[c] * tr_c[c], tr_c[c])
+            for c in range(3)
+        )
+        pdf_m = (dens[0] + dens[1] + dens[2]) * (1.0 / 3.0)
+        pdf_m = jnp.where(pdf_m == 0.0, 1.0, pdf_m)
+        bm = tuple(
+            jnp.where(smp_med, tr_c[c] * med.sigma_s[c], tr_c[c]) / pdf_m
+            for c in range(3)
+        )
+        br = jnp.where(active, br * bm[0], br)
+        bg = jnp.where(active, bg * bm[1], bg)
+        bb = jnp.where(active, bb * bm[2], bb)
+        in_medium = smp_med & active
+        active = active & ((br > 0.0) | (bg > 0.0) | (bb > 0.0))
+        active = active & (found | in_medium)
+
+        # vertex position: medium point or surface hit
+        psx = ox + dx * t
+        psy = oy + dy * t
+        psz = oz + dz * t
+        px = jnp.where(in_medium, ox + dx * t_med, psx)
+        py = jnp.where(in_medium, oy + dy * t_med, psy)
+        pz = jnp.where(in_medium, oz + dz * t_med, psz)
+        surf_valid = active & ~in_medium & found
+
+        # shading frame (flat normals subset: ns == ng), as in the path
+        # kernel (bsdf/eval.make_frame)
+        du2 = dux * dux + duy * duy + duz * duz
+        ssx, ssy, ssz = _normalize3(dux, duy, duz)
+        (fbx, fby, fbz), _ = _coord_system(ngx, ngy, ngz)
+        bad = du2 < 1e-20
+        ssx = jnp.where(bad, fbx, ssx)
+        ssy = jnp.where(bad, fby, ssy)
+        ssz = jnp.where(bad, fbz, ssz)
+        tsx = ngy * ssz - ngz * ssy
+        tsy = ngz * ssx - ngx * ssz
+        tsz = ngx * ssy - ngy * ssx
+
+        wox, woy, woz = -dx, -dy, -dz
+        wol_x = _dot3(wox, woy, woz, ssx, ssy, ssz)
+        wol_y = _dot3(wox, woy, woz, tsx, tsy, tsz)
+        wo_z = _dot3(wox, woy, woz, ngx, ngy, ngz)
+
+        # ---- NEE: power-weighted pick + delta-light estimate_direct
+        # (volpath.rs:101-127; integrator/mod.rs:403-481) ----
+        u_pick = _sampler_dims(
+            pid, sid, dim0, spp, xs, ys, jitter, seed, False
+        )
+        li_idx = jnp.zeros(ox.shape, jnp.int32)
+        for i in range(1, n_lights):
+            # searchsorted(cdf, u, 'right') - 1 on the static CDF
+            li_idx = jnp.where(u_pick >= vol.cdf[i], i, li_idx)
+        lpx = jnp.zeros_like(px)
+        lpy = jnp.zeros_like(px)
+        lpz = jnp.zeros_like(px)
+        ler = jnp.zeros_like(px)
+        leg = jnp.zeros_like(px)
+        leb = jnp.zeros_like(px)
+        ppdf = jnp.zeros_like(px)
+        for k in range(n_lights):
+            sel = li_idx == k
+            lpx = jnp.where(sel, lights_p[k][0], lpx)
+            lpy = jnp.where(sel, lights_p[k][1], lpy)
+            lpz = jnp.where(sel, lights_p[k][2], lpz)
+            ler = jnp.where(sel, lights_emit[k][0], ler)
+            leg = jnp.where(sel, lights_emit[k][1], leg)
+            leb = jnp.where(sel, lights_emit[k][2], leb)
+            ppdf = jnp.where(sel, vol.pick_pdf[k], ppdf)
+
+        tlx, tly, tlz = lpx - px, lpy - py, lpz - pz
+        dist2 = jnp.maximum(tlx * tlx + tly * tly + tlz * tlz, 1e-20)
+        inv_d = lax.rsqrt(dist2)
+        wix, wiy, wiz = tlx * inv_d, tly * inv_d, tlz * inv_d
+        lir = ler / dist2
+        lig = leg / dist2
+        lib = leb / dist2
+
+        # scattering value toward the light: phase at medium vertices,
+        # bsdf_f * |cos| at surfaces (ALL & ~SPECULAR)
+        wil_x = _dot3(wix, wiy, wiz, ssx, ssy, ssz)
+        wil_y = _dot3(wix, wiy, wiz, tsx, tsy, tsz)
+        wi_ng = _dot3(wix, wiy, wiz, ngx, ngy, ngz)
+        reflect_side = (wi_ng * wo_z) > 0.0
+        f_gate = reflect_side & (wo_z != 0.0)
+        fnr = jnp.zeros_like(px)
+        fng = jnp.zeros_like(px)
+        fnb = jnp.zeros_like(px)
+        n_nonspec = jnp.zeros(px.shape, jnp.int32)
+        for l in range(max_lobes):
+            lob = lobs[l]
+            sm_l = _spec_mask(lob, kinds_present)
+            m_l = l < n_lob
+            if sm_l is True:
+                m_l = jnp.zeros(px.shape, bool)
+            elif sm_l is not None:
+                m_l = m_l & ~sm_l
+            lf = _lobe_f_k(
+                lob, wol_x, wol_y, wo_z, wil_x, wil_y, wi_ng, kinds_present
+            )
+            use = f_gate & m_l
+            fnr = fnr + jnp.where(use, lf[0], 0.0)
+            fng = fng + jnp.where(use, lf[1], 0.0)
+            fnb = fnb + jnp.where(use, lf[2], 0.0)
+            n_nonspec = n_nonspec + m_l.astype(jnp.int32)
+        cos_ns = jnp.abs(wi_ng)
+        p_phase = _phase_hg_k(
+            _dot3(wox, woy, woz, wix, wiy, wiz), g
+        )
+        fr = jnp.where(in_medium, p_phase, fnr * cos_ns)
+        fg = jnp.where(in_medium, p_phase, fng * cos_ns)
+        fb = jnp.where(in_medium, p_phase, fnb * cos_ns)
+
+        nee_valid = active & (in_medium | (surf_valid & (n_nonspec > 0)))
+        any_li = (lir > 0.0) | (lig > 0.0) | (lib > 0.0)
+        any_f = (fr > 0.0) | (fg > 0.0) | (fb > 0.0)
+        live = nee_valid & any_li & any_f
+
+        # visibility origin: surfaces offset along ng toward the light
+        # (geom.offset_ray_origin), medium vertices spawn in place
+        mag = jnp.abs(px) + jnp.abs(py) + jnp.abs(pz)
+        eps = 1e-4 + 1e-5 * mag
+        off = jnp.where(wi_ng < 0.0, -eps, eps)
+        sox = jnp.where(in_medium, px, px + ngx * off)
+        soy = jnp.where(in_medium, py, py + ngy * off)
+        soz = jnp.where(in_medium, pz, pz + ngz * off)
+        svx, svy, svz = lpx - sox, lpy - soy, lpz - soz
+        seg2 = svx * svx + svy * svy + svz * svz
+        seg = jnp.sqrt(seg2)
+        inv_seg = 1.0 / jnp.maximum(seg, 1e-20)
+        sdx, sdy, sdz = svx * inv_seg, svy * inv_seg, svz * inv_seg
+        t_sh = jnp.where(live, 1.0 - 1e-4, 0.0) * seg
+        occ = occluded_all(sox, soy, soz, sdx, sdy, sdz, t_sh)
+        # transmittance through the fog along the full segment
+        # (VisibilityTester::tr, homogeneous closed form)
+        vis = live & ~occ
+        Lr = Lr + jnp.where(
+            vis, br * fr * lir * jnp.exp(-med.sigma_t[0] * seg) / ppdf, 0.0
+        )
+        Lg = Lg + jnp.where(
+            vis, bg * fg * lig * jnp.exp(-med.sigma_t[1] * seg) / ppdf, 0.0
+        )
+        Lb = Lb + jnp.where(
+            vis, bb * fb * lib * jnp.exp(-med.sigma_t[2] * seg) / ppdf, 0.0
+        )
+
+        # ---- next direction (volpath.rs:137-196) ----
+        ub0, ub1 = _sampler_dims(
+            pid, sid, dim0 + 3, spp, xs, ys, jitter, seed, True
+        )
+        (hgx, hgy, hgz), _p_hg = _hg_sample_k(wox, woy, woz, g, ub0)
+        smp = _bsdf_sample_k(
+            lobs, n_lob, wol_x, wol_y, wo_z, ub0, ub1,
+            kinds_present, max_lobes,
+        )
+        wsx, wsy, wsz = smp["wsx"], smp["wsy"], smp["wsz"]
+        fs, pdf = smp["f"], smp["pdf"]
+        nwx = ssx * wsx + tsx * wsy + ngx * wsz
+        nwy = ssy * wsx + tsy * wsy + ngy * wsz
+        nwz = ssz * wsx + tsz * wsy + ngz * wsz
+        cosw = jnp.abs(_dot3(nwx, nwy, nwz, ngx, ngy, ngz))
+        any_fs = (fs[0] != 0.0) | (fs[1] != 0.0) | (fs[2] != 0.0)
+        ok_surf = surf_valid & (n_lob > 0) & (wo_z != 0.0) & (pdf > 0.0) & any_fs
+        inv_pdf = cosw / jnp.maximum(pdf, 1e-20)
+        br = jnp.where(ok_surf, br * fs[0] * inv_pdf, br)
+        bg = jnp.where(ok_surf, bg * fs[1] * inv_pdf, bg)
+        bb = jnp.where(ok_surf, bb * fs[2] * inv_pdf, bb)
+        ndx = jnp.where(in_medium, hgx, nwx)
+        ndy = jnp.where(in_medium, hgy, nwy)
+        ndz = jnp.where(in_medium, hgz, nwz)
+        active = active & (in_medium | ok_surf)
+
+        # etaScale (volpath.rs:180-194)
+        if has_st:
+            is_st_c, is_fs_c = smp["is_st_c"], smp["is_fs_c"]
+            fs_reflect = smp["fs_reflect"]
+            spec_trans_sampled = is_st_c
+            if LOBE_FRESNEL_SPEC in kinds_present:
+                fs_trans = (
+                    ~fs_reflect if is_fs_c is True else (is_fs_c & ~fs_reflect)
+                )
+                spec_trans_sampled = (
+                    fs_trans
+                    if spec_trans_sampled is False
+                    else spec_trans_sampled | fs_trans
+                )
+            e2 = mat_eta * mat_eta
+            eta_fac = jnp.where(wo_z > 0.0, e2, 1.0 / jnp.maximum(e2, 1e-20))
+            if spec_trans_sampled is not False:
+                upd = active & ~in_medium & (
+                    spec_trans_sampled
+                    if spec_trans_sampled is not True
+                    else jnp.ones_like(active)
+                )
+                es = jnp.where(upd, es * eta_fac, es)
+
+        # next origin: medium vertex in place, surface offset along ng
+        wi_ng2 = _dot3(ndx, ndy, ndz, ngx, ngy, ngz)
+        off2 = jnp.where(wi_ng2 < 0.0, -eps, eps)
+        ox = jnp.where(
+            active, jnp.where(in_medium, px, psx + ngx * off2), ox
+        )
+        oy = jnp.where(
+            active, jnp.where(in_medium, py, psy + ngy * off2), oy
+        )
+        oz = jnp.where(
+            active, jnp.where(in_medium, pz, psz + ngz * off2), oz
+        )
+        dx = jnp.where(active, ndx, dx)
+        dy = jnp.where(active, ndy, dy)
+        dz = jnp.where(active, ndz, dz)
+
+        # ---- Russian roulette (volpath.rs:238-250) ----
+        if bounce > 3:
+            beta_max = jnp.maximum(br, jnp.maximum(bg, bb)) * es
+            do_rr = active & (beta_max < rr_threshold)
+            q = jnp.maximum(0.05, 1.0 - beta_max)
+            u_rr = _sampler_dims(
+                pid, sid, dim0 + 4, spp, xs, ys, jitter, seed, False
+            )
+            killed = do_rr & (u_rr < q)
+            active = active & ~killed
+            surv = do_rr & ~killed
+            inv_q = 1.0 / jnp.maximum(1.0 - q, 1e-9)
+            br = jnp.where(surv, br * inv_q, br)
+            bg = jnp.where(surv, bg * inv_q, bg)
+            bb = jnp.where(surv, bb * inv_q, bb)
+
+    return Lr, Lg, Lb
+
+
+def _kernel_vol(
+    tri_ref,
+    ox_r, oy_r, oz_r, dx_r, dy_r, dz_r, w_r, pid_r, sid_r,
+    lr_o, lg_o, lb_o,
+    *, n_tris, vol, lights_p, lights_emit, max_depth, rr_threshold,
+    spp, xs, ys, jitter, seed, kinds_present, max_lobes,
+):
+    Lr, Lg, Lb = _vol_bounce_loop(
+        tri_ref,
+        ox_r[:], oy_r[:], oz_r[:], dx_r[:], dy_r[:], dz_r[:],
+        w_r[:] > 0.0, pid_r[:], sid_r[:],
+        n_tris, vol, lights_p, lights_emit, max_depth, rr_threshold,
+        spp, xs, ys, jitter, seed, kinds_present, max_lobes,
+    )
+    lr_o[:] = Lr
+    lg_o[:] = Lg
+    lb_o[:] = Lb
+
+
+def _kernel_vol_bvh(
+    nodes_f_ref, nodes_i_ref, tri_ref,
+    ox_r, oy_r, oz_r, dx_r, dy_r, dz_r, w_r, pid_r, sid_r,
+    lr_o, lg_o, lb_o,
+    stack_ref, t_ref, best_ref, attr_ref,
+    *, n_tris, vol, lights_p, lights_emit, max_depth, rr_threshold,
+    spp, xs, ys, jitter, seed, kinds_present, max_lobes, max_leaf,
+):
+    Lr, Lg, Lb = _vol_bounce_loop(
+        tri_ref,
+        ox_r[:], oy_r[:], oz_r[:], dx_r[:], dy_r[:], dz_r[:],
+        w_r[:] > 0.0, pid_r[:], sid_r[:],
+        n_tris, vol, lights_p, lights_emit, max_depth, rr_threshold,
+        spp, xs, ys, jitter, seed, kinds_present, max_lobes,
+        bvh_refs=(nodes_f_ref, nodes_i_ref, stack_ref, t_ref, best_ref,
+                  attr_ref),
+        max_leaf=max_leaf,
+    )
+    lr_o[:] = Lr
+    lg_o[:] = Lg
+    lb_o[:] = Lb
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_tris", "vol", "lights_p", "lights_emit", "max_depth",
+        "rr_threshold", "spp", "xs", "ys", "jitter", "seed",
+        "kinds_present", "max_lobes", "max_leaf", "interpret",
+    ),
+)
+def _run_vol(
+    table, nodes_f, nodes_i, ox, oy, oz, dx, dy, dz, w, pid, sid,
+    n_tris, vol, lights_p, lights_emit, max_depth, rr_threshold,
+    spp, xs, ys, jitter, seed, kinds_present, max_lobes, max_leaf=None,
+    interpret=False,
+):
+    m = ox.shape[0]
+    use_bvh = nodes_f is not None
+    rows = BVH_TILE_ROWS if use_bvh else TILE_ROWS
+    grid = (m // rows,)
+    ray_spec = pl.BlockSpec(
+        (rows, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    kw = dict(
+        n_tris=n_tris, vol=vol, lights_p=lights_p, lights_emit=lights_emit,
+        max_depth=max_depth, rr_threshold=rr_threshold,
+        spp=spp, xs=xs, ys=ys, jitter=jitter, seed=seed,
+        kinds_present=kinds_present, max_lobes=max_lobes,
+    )
+    if use_bvh:
+        kernel = functools.partial(_kernel_vol_bvh, max_leaf=max_leaf, **kw)
+        scratch, kwargs = _bvh_call_extras(
+            rows, kinds_present, max_lobes, interpret
+        )
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[vmem, vmem, vmem] + [ray_spec] * 9,
+            out_specs=[ray_spec] * 3,
+            out_shape=[jax.ShapeDtypeStruct((m, LANES), jnp.float32)] * 3,
+            scratch_shapes=scratch,
+            interpret=interpret,
+            **kwargs,
+        )(nodes_f, nodes_i, table, ox, oy, oz, dx, dy, dz, w, pid, sid)
+    kernel = functools.partial(_kernel_vol, **kw)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[vmem] + [ray_spec] * 9,
+        out_specs=[ray_spec] * 3,
+        out_shape=[jax.ShapeDtypeStruct((m, LANES), jnp.float32)] * 3,
+        interpret=interpret,
+    )(table, ox, oy, oz, dx, dy, dz, w, pid, sid)
+
+
+def li_volpath_mega(
+    ctx, packed, o, d, cam_weight, sampler, pixel_id, s_idx, spec,
+    interpret=False,
+):
+    """Drop-in replacement for integrators.volpath.li_volpath on the
+    homogeneous-fog subset.  packed = pack_volpath(ctx)."""
+    (table, lights_p, lights_emit, kinds_present, max_lobes, wide, bvh,
+     vol) = packed
+    nodes_f, nodes_i, max_leaf = bvh if bvh is not None else (None,) * 3
+    n = o.shape[0]
+
+    rows = BVH_TILE_ROWS if bvh is not None else TILE_ROWS
+    tile = rows * LANES
+    n_pad = -(-n // tile) * tile
+    pad = n_pad - n
+
+    def prep(x):
+        if pad:
+            x = jnp.concatenate([x, jnp.zeros((pad,), x.dtype)])
+        return x.reshape(n_pad // LANES, LANES)
+
+    s_arr = jnp.broadcast_to(jnp.asarray(s_idx, jnp.uint32), (n,))
+    lr, lg, lb = _run_vol(
+        table, nodes_f, nodes_i,
+        prep(o[:, 0]), prep(o[:, 1]), prep(o[:, 2]),
+        prep(d[:, 0]), prep(d[:, 1]), prep(d[:, 2]),
+        prep(cam_weight.astype(jnp.float32)),
+        prep(jnp.asarray(pixel_id, jnp.uint32)), prep(s_arr),
+        n_tris=int(table.shape[0]), vol=vol,
+        lights_p=lights_p, lights_emit=lights_emit,
+        max_depth=int(spec.max_depth), rr_threshold=float(spec.rr_threshold),
+        spp=int(sampler.spp), xs=int(sampler.xs), ys=int(sampler.ys),
+        jitter=bool(sampler.jitter), seed=int(sampler.seed),
+        kinds_present=kinds_present, max_lobes=max_lobes,
+        max_leaf=max_leaf,
+        interpret=interpret,
+    )
+    return jnp.stack(
+        [lr.reshape(-1)[:n], lg.reshape(-1)[:n], lb.reshape(-1)[:n]], axis=-1
+    ).astype(DTYPE)
