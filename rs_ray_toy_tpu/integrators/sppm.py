@@ -44,7 +44,7 @@ from ..bsdf.lobes import (
     BXDF_SPECULAR,
     BXDF_TRANSMISSION,
 )
-from ..core.spectrum import luminance
+from ..core.spectrum import lum_any as luminance
 from ..lights import lights as lmod
 from .common import SceneCtx, uniform_sample_one_light
 
@@ -73,22 +73,23 @@ class VisiblePoints(NamedTuple):
 
 
 def _camera_pass(ctx, cam, sampler, pixel_xy, pixel_id, it, max_depth, state):
-    """(sppm.rs:140-260) -> (ld_delta (P,3), VisiblePoints)."""
+    """(sppm.rs:140-260) -> (ld_delta (P,C), VisiblePoints)."""
     n = pixel_id.shape[0]
+    C = getattr(ctx, "n_channels", 3)
     s_idx = jnp.full((n,), it, jnp.uint32)
     u_film = sampler.get_2d(pixel_id, s_idx, 0)  # centered when configured
     u_lens = sampler.get_2d(pixel_id, s_idx, 1)
     p_film = pixel_xy + u_film
     ro, rd, weight = cam.generate_rays(p_film, u_lens)
-    beta = jnp.ones((n, 3), DTYPE) * weight[:, None]
+    beta = jnp.ones((n, C), DTYPE) * weight[:, None]
     active = weight > 0.0
     specular_bounce = jnp.zeros((n,), bool)
 
-    ld_total = jnp.zeros((n, 3), DTYPE)
+    ld_total = jnp.zeros((n, C), DTYPE)
     vp = VisiblePoints(
         p=jnp.zeros((n, 3), DTYPE),
         wo=jnp.zeros((n, 3), DTYPE),
-        beta=jnp.zeros((n, 3), DTYPE),
+        beta=jnp.zeros((n, C), DTYPE),
         mat=jnp.zeros((n,), jnp.int32),
         uv=jnp.zeros((n, 2), DTYPE),
         ns=jnp.zeros((n, 3), DTYPE),
@@ -107,7 +108,7 @@ def _camera_pass(ctx, cam, sampler, pixel_xy, pixel_id, it, max_depth, state):
         # escaped: infinite-light le over scene.lights (sppm.rs:178-183)
         if ctx.infinite_envs:
             esc = active & ~found
-            env_le = jnp.zeros((n, 3), DTYPE)
+            env_le = jnp.zeros((n, C), DTYPE)
             for env_id, env in enumerate(ctx.infinite_envs):
                 if bool(np.any(np.asarray(ctx.lights.shape_index) == env_id)):
                     env_le = env_le + lmod._env_lookup(env, rd)
@@ -307,8 +308,9 @@ def _sample_le(ctx, light_idx, u0, u1):
 
 
 def render_sppm(ctx: SceneCtx, cam, sampler, film_spec, spec, write_image_fn=None):
-    """Run SPPM; returns final (H,W,3) radiance image."""
+    """Run SPPM; returns final (H,W,C) radiance image (C = 3 or\n    60 in sampled-spectral mode; the driver converts at the film)."""
     h, w = film_spec.yres, film_spec.xres
+    C = getattr(ctx, "n_channels", 3)
     n_pixels = h * w
     ys, xs = np.mgrid[0:h, 0:w]
     pixel_xy = jnp.asarray(np.stack([xs.ravel(), ys.ravel()], -1), DTYPE)
@@ -317,9 +319,9 @@ def render_sppm(ctx: SceneCtx, cam, sampler, film_spec, spec, write_image_fn=Non
 
     state = SPPMState(
         radius=jnp.full((n_pixels,), spec.radius, DTYPE),
-        ld=jnp.zeros((n_pixels, 3), DTYPE),
+        ld=jnp.zeros((n_pixels, C), DTYPE),
         n=jnp.zeros((n_pixels,), DTYPE),
-        tau=jnp.zeros((n_pixels, 3), DTYPE),
+        tau=jnp.zeros((n_pixels, C), DTYPE),
     )
     light_distr = ctx._power_distribution
     n_photons = spec.photons_per_iter
@@ -415,7 +417,7 @@ def render_sppm(ctx: SceneCtx, cam, sampler, film_spec, spec, write_image_fn=Non
             & jnp.any(beta > 0.0, axis=-1)
         )
 
-        phi_acc = jnp.zeros((n_pixels, 3), DTYPE)
+        phi_acc = jnp.zeros((n_pixels, C), DTYPE)
         m_acc = jnp.zeros((n_pixels,), jnp.int32)
 
         for depth in range(spec.max_depth):
@@ -523,4 +525,4 @@ def _sppm_image(state, iters_done, n_photons, h, w):
     l = state.ld / iters_done + state.tau / jnp.maximum(
         np_total * PI * state.radius[:, None] ** 2, 1e-20
     )
-    return l.reshape(h, w, 3)
+    return l.reshape(h, w, l.shape[-1])

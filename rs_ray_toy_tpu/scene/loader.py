@@ -249,11 +249,11 @@ def load_scene(path: str, spectral: bool = False) -> RenderJob:
     material reflectances and light spectra are lifted to 60 bins via the
     Smits bases / sampled data (core/spectral.py), and integrators carry
     (..., 60) radiometric arrays, converted to RGB at the film.
-    Spectral coverage: media sigma spectra, env maps, textured params
-    (per-hit device from_rgb), bump, debug materials, the Disney BSSRDF
-    (R/scatter_distance lifted), and the path/debug/direct/volpath/ao
-    integrators.  The one remaining gate is SPPM (loud
-    NotImplementedError in render.py).
+    Spectral coverage is COMPLETE as of round 3: media sigma spectra,
+    env maps, textured params (per-hit device from_rgb), bump, debug
+    materials, the Disney BSSRDF (R/scatter_distance lifted), and every
+    integrator including SPPM (its ld/tau/phi state carries C channels;
+    the driver converts at the film).
     """
     root_dir = os.path.dirname(os.path.abspath(path))
     with open(path) as fh:
@@ -1098,10 +1098,10 @@ def _check_spectral_subset(mat_builder, mediums, infinite, used_ids):
     """Validate the spectral mode's subset — loud failure beats silently
     wrong colors.  Round 3 lifted media (sigma spectra), infinite lights
     (env maps), textured params (device from_rgb per hit), debug
-    materials, bump mapping, and the Disney BSSRDF (R/scatter_distance
+    materials, bump mapping, the Disney BSSRDF (R/scatter_distance
     lifted in lobes.py pack; profile/pdf machinery is channel-count
-    generic).  No material-side gates remain; SPPM is the one integrator
-    still gated (render.py)."""
+    generic), and SPPM (C-channel ld/tau/phi state).  No gates remain —
+    this hook is kept for future subset regressions."""
 
 
 def _env_to_spectral(env):

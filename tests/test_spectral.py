@@ -382,3 +382,26 @@ def test_spectral_bssrdf_render():
     assert lit.sum() > 15
     ratio = spc[lit].sum() / rgb[lit].sum()
     assert 0.7 < ratio < 1.4, ratio
+
+
+def test_spectral_sppm_render():
+    """Round-3 spectral completion (final integrator gate): SPPM renders
+    in N=60 mode — ld/tau/phi photon state carries 60 channels and the
+    driver converts at the film.  Smooth spectra: aggregate energy must
+    track the RGB render."""
+
+    def mut(cfg):
+        cfg["Integrator"] = {
+            "integrator_type": "SPPM",
+            "max_depth": 3,
+            "radius": 1.0,
+            "n_iters": 2,
+            "photons_per_iter": 4096,
+        }
+
+    rgb, spc = _spectral_pair(mut)
+    assert np.isfinite(spc).all() and spc.max() > 0
+    lit = rgb.sum(-1) > 1e-3
+    assert lit.sum() > 15
+    ratio = spc[lit].sum() / rgb[lit].sum()
+    assert 0.7 < ratio < 1.4, ratio
