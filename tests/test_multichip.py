@@ -8,6 +8,7 @@ import shutil
 import tempfile
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -73,11 +74,17 @@ def test_sharded_matches_single_device():
     assert np.allclose(np.asarray(got.weight), np.asarray(ref.weight), atol=1e-5)
 
 
-def test_megakernel_under_shard_map():
+@pytest.mark.parametrize("force_bvh", [False, True])
+def test_megakernel_under_shard_map(force_bvh, monkeypatch):
     """The fused path megakernel is a pure per-ray map, so sharding the
     pixel batch over a dp mesh must reproduce the single-device radiance
-    exactly (scene tables close over as replicated constants)."""
+    exactly (scene tables close over as replicated constants).  Runs
+    both the brute-force kernel and the in-kernel-BVH variant — the
+    production multi-device path for mesh scenes."""
     from jax.sharding import PartitionSpec as P
+
+    if force_bvh:
+        monkeypatch.setenv("RS_MEGA_BVH", "force")
 
     try:
         from jax import shard_map
