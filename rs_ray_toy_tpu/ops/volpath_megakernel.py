@@ -466,14 +466,15 @@ def _vol_bounce_loop(
         # transmittance through the fog along the full segment
         # (VisibilityTester::tr, homogeneous closed form)
         vis = live & ~occ
+        inv_pp = 1.0 / jnp.maximum(ppdf, 1e-20)  # li_volpath:222 floor
         Lr = Lr + jnp.where(
-            vis, br * fr * lir * jnp.exp(-med.sigma_t[0] * seg) / ppdf, 0.0
+            vis, br * fr * lir * jnp.exp(-med.sigma_t[0] * seg) * inv_pp, 0.0
         )
         Lg = Lg + jnp.where(
-            vis, bg * fg * lig * jnp.exp(-med.sigma_t[1] * seg) / ppdf, 0.0
+            vis, bg * fg * lig * jnp.exp(-med.sigma_t[1] * seg) * inv_pp, 0.0
         )
         Lb = Lb + jnp.where(
-            vis, bb * fb * lib * jnp.exp(-med.sigma_t[2] * seg) / ppdf, 0.0
+            vis, bb * fb * lib * jnp.exp(-med.sigma_t[2] * seg) * inv_pp, 0.0
         )
 
         # ---- next direction (volpath.rs:137-196) ----

@@ -116,6 +116,20 @@ def test_sphere_prims_match_jnp():
     _compare(job, ctx)
 
 
+def test_sphere_prims_match_jnp_bvh(monkeypatch):
+    """The widened subset composes with the in-kernel BVH: triangles go
+    through the packet traversal while spheres stay static-unrolled and
+    min-combined (mesh + sphere-light scenes are the production shape
+    for BASELINE config 3 variants)."""
+    from rs_ray_toy_tpu.ops.path_megakernel import pack_scene
+
+    monkeypatch.setenv("RS_MEGA_BVH", "force")
+    job, ctx = _load(_add_spheres(_base_cfg()))
+    assert int(ctx.sph.count) == 2
+    assert pack_scene(ctx)[6] is not None
+    _compare(job, ctx)
+
+
 def test_partial_sphere_rejected():
     cfg = _add_spheres(_base_cfg())
     cfg["Aggregate"]["primitives"][-1]["z_max"] = 0.2  # clipped sphere
