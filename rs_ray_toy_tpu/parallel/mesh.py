@@ -74,7 +74,10 @@ def sharded_sample_pass(mesh, cam, ctx, sampler, film_spec, li_fn, pixel_xy, pix
             l,
             weight,
         )
-        # film merge = psum over the mesh (replaces merge_film_tile)
+        # film merge = psum over the mesh (replaces merge_film_tile).
+        # splat_xyz passes through un-psum'd: this HELPER only drives
+        # non-splatting integrators in tests — the production sharded
+        # pass (render.py render_job) psums all three film components
         xyz = jax.lax.psum(local_film.xyz, "dp")
         wt = jax.lax.psum(local_film.weight, "dp")
         return fmod.FilmState(film.xyz + xyz, film.weight + wt, film.splat_xyz)
