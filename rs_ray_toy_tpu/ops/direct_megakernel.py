@@ -43,12 +43,17 @@ from ..bsdf.lobes import (
     DIST_TROWBRIDGE_REITZ,
 )
 from .path_megakernel import (
+    BVH_TILE_ROWS,
     LANES,
+    MEGA_BVH_TRI_MAX,
     TILE_ROWS,
     TRI_MAX,
     LOBES_MAX,
     LIGHT_MAX,
     SPEC_KINDS,
+    _bvh_call_extras,
+    _bvh_closest_hit,
+    _bvh_occluded,
     _closest_hit,
     _occluded,
     _attr_cols,
@@ -82,7 +87,14 @@ def supports_direct(ctx, spec, sampler, diff) -> bool:
         return False
     if spec.max_depth > DEPTH_MAX:
         return False
-    common = common_scene_checks(ctx, sampler)
+    import os
+
+    tri_max = (
+        TRI_MAX
+        if os.environ.get("RS_MEGA_BVH", "1") == "0"
+        else MEGA_BVH_TRI_MAX
+    )
+    common = common_scene_checks(ctx, sampler, tri_max=tri_max)
     if common is None:
         return False
     kinds, n_lobes, live, used = common
@@ -101,18 +113,17 @@ def supports_direct(ctx, spec, sampler, diff) -> bool:
 
 def pack_direct(ctx, spec):
     """pack_scene + the per-light NEE sample counts (all-lights mode).
-    The trailing SceneStatic is dropped: this kernel's subset has no
-    spheres / area lights / envs (common_scene_checks defaults)."""
-    # allow_bvh=False: this kernel brute-force loops the FULL table, so
-    # the leaf-ordered narrow layout would misindex its columns
-    packed = pack_scene(ctx, allow_bvh=False)[:5]
+    The SceneStatic is dropped (this kernel's subset has no spheres /
+    area lights / envs); the BVH payload rides along for mesh scenes."""
+    p7 = pack_scene(ctx)
+    packed = p7[:5] + (p7[6],)
     ns = []
     for v in np.asarray(ctx.lights.n_samples):
         p = 1
         while p < max(int(v), 1):
             p <<= 1
         ns.append(p)
-    return packed + (tuple(ns),)
+    return packed + (tuple(ns),)  # (..., bvh, lights_ns)
 
 
 def _lobe_f_dbg(lob, wix, wiy, wiz, kinds_present, wol=None):
@@ -153,7 +164,7 @@ def _chain_loop(
     tri_ref, ox, oy, oz, dx, dy, dz, active0, pid, sid,
     n_tris, lights_p, lights_emit, lights_ns, max_depth,
     spp, xs, ys, jitter, seed, kinds_present, max_lobes,
-    debug, strategy_all,
+    debug, strategy_all, bvh_refs=None, max_leaf=None,
 ):
     n_lights = len(lights_p)
     has_mf = LOBE_MF_REFL in kinds_present
@@ -180,7 +191,17 @@ def _chain_loop(
     depth = 1
     while True:
         dim_base = 8 + branch * 257
-        out = _closest_hit(tri_ref, n_tris, ox, oy, oz, dx, dy, dz, attr_cols)
+        # chain liveness == nonzero beta (level 0: active0 seeds beta)
+        alive = (br != 0.0) | (bg != 0.0) | (bb != 0.0)
+        if bvh_refs is None:
+            out = _closest_hit(
+                tri_ref, n_tris, ox, oy, oz, dx, dy, dz, attr_cols
+            )
+        else:
+            out = _bvh_closest_hit(
+                bvh_refs, tri_ref, ox, oy, oz, dx, dy, dz, alive,
+                max_leaf, len(attr_cols),
+            )
         t = out[0]
         ngx, ngy, ngz = out[1], out[2], out[3]
         dux, duy, duz = out[4], out[5], out[6]
@@ -285,11 +306,18 @@ def _chain_loop(
             sox = px + ngx * off
             soy = py + ngy * off
             soz = pz + ngz * off
-            occ = _occluded(
-                tri_ref, n_tris, sox, soy, soz,
-                lpx - sox, lpy - soy, lpz - soz,
-                jnp.full(px.shape, 1.0 - SHADOW_EPSILON, jnp.float32),
-            )
+            t_sh = jnp.full(px.shape, 1.0 - SHADOW_EPSILON, jnp.float32)
+            if bvh_refs is None:
+                occ = _occluded(
+                    tri_ref, n_tris, sox, soy, soz,
+                    lpx - sox, lpy - soy, lpz - soz, t_sh,
+                )
+            else:
+                occ = _bvh_occluded(
+                    bvh_refs, tri_ref, sox, soy, soz,
+                    lpx - sox, lpy - soy, lpz - soz,
+                    jnp.where(live, t_sh, 0.0), max_leaf,
+                )
             s = jnp.where(live & ~occ, cos_ns / dist2, 0.0)
             return fr_ * ler * s, fg_ * leg * s, fb_ * leb * s
 
@@ -467,28 +495,54 @@ def _kernel(
     lb_o[:] = Lb
 
 
+def _kernel_bvh(
+    nodes_f_ref, nodes_i_ref, tri_ref,
+    ox_r, oy_r, oz_r, dx_r, dy_r, dz_r, w_r, pid_r, sid_r,
+    lr_o, lg_o, lb_o,
+    stack_ref, t_ref, best_ref, attr_ref,
+    *, n_tris, lights_p, lights_emit, lights_ns, max_depth,
+    spp, xs, ys, jitter, seed, kinds_present, max_lobes, debug,
+    strategy_all, max_leaf,
+):
+    Lr, Lg, Lb = _chain_loop(
+        tri_ref,
+        ox_r[:], oy_r[:], oz_r[:], dx_r[:], dy_r[:], dz_r[:],
+        w_r[:] > 0.0, pid_r[:], sid_r[:],
+        n_tris, lights_p, lights_emit, lights_ns, max_depth,
+        spp, xs, ys, jitter, seed, kinds_present, max_lobes,
+        debug, strategy_all,
+        bvh_refs=(nodes_f_ref, nodes_i_ref, stack_ref, t_ref, best_ref,
+                  attr_ref),
+        max_leaf=max_leaf,
+    )
+    lr_o[:] = Lr
+    lg_o[:] = Lg
+    lb_o[:] = Lb
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "n_tris", "lights_p", "lights_emit", "lights_ns", "max_depth",
         "spp", "xs", "ys", "jitter", "seed", "kinds_present", "max_lobes",
-        "debug", "strategy_all", "interpret",
+        "debug", "strategy_all", "max_leaf", "interpret",
     ),
 )
 def _run(
-    table, ox, oy, oz, dx, dy, dz, w, pid, sid,
+    table, nodes_f, nodes_i, ox, oy, oz, dx, dy, dz, w, pid, sid,
     n_tris, lights_p, lights_emit, lights_ns, max_depth,
     spp, xs, ys, jitter, seed, kinds_present, max_lobes,
-    debug, strategy_all, interpret=False,
+    debug, strategy_all, max_leaf=None, interpret=False,
 ):
     m = ox.shape[0]
-    grid = (m // TILE_ROWS,)
+    use_bvh = nodes_f is not None
+    rows = BVH_TILE_ROWS if use_bvh else TILE_ROWS
+    grid = (m // rows,)
     ray_spec = pl.BlockSpec(
-        (TILE_ROWS, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+        (rows, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
-    kernel = functools.partial(
-        _kernel,
+    kw = dict(
         n_tris=n_tris,
         lights_p=lights_p,
         lights_emit=lights_emit,
@@ -498,6 +552,22 @@ def _run(
         kinds_present=kinds_present, max_lobes=max_lobes,
         debug=debug, strategy_all=strategy_all,
     )
+    if use_bvh:
+        kernel = functools.partial(_kernel_bvh, max_leaf=max_leaf, **kw)
+        scratch, kwargs = _bvh_call_extras(
+            rows, kinds_present, max_lobes, interpret
+        )
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[vmem, vmem, vmem] + [ray_spec] * 9,
+            out_specs=[ray_spec] * 3,
+            out_shape=[jax.ShapeDtypeStruct((m, LANES), jnp.float32)] * 3,
+            scratch_shapes=scratch,
+            interpret=interpret,
+            **kwargs,
+        )(nodes_f, nodes_i, table, ox, oy, oz, dx, dy, dz, w, pid, sid)
+    kernel = functools.partial(_kernel, **kw)
     outs = pl.pallas_call(
         kernel,
         grid=grid,
@@ -515,9 +585,12 @@ def li_levels_mega(
 ):
     """Drop-in replacement for integrators.direct.li_levels on the
     supported subset.  packed = pack_direct(ctx, spec)."""
-    table, lights_p, lights_emit, kinds_present, max_lobes, lights_ns = packed
+    (table, lights_p, lights_emit, kinds_present, max_lobes, bvh,
+     lights_ns) = packed
+    nodes_f, nodes_i, max_leaf = bvh if bvh is not None else (None,) * 3
     n = o.shape[0]
-    tile = TILE_ROWS * LANES
+    rows = BVH_TILE_ROWS if bvh is not None else TILE_ROWS
+    tile = rows * LANES
     n_pad = -(-n // tile) * tile
     pad = n_pad - n
 
@@ -539,7 +612,7 @@ def li_levels_mega(
     if not (set(kinds_present) & {_DS, _SRK}):
         max_depth = min(max_depth, 2)
     lr, lg, lb = _run(
-        table,
+        table, nodes_f, nodes_i,
         prep(o[:, 0]), prep(o[:, 1]), prep(o[:, 2]),
         prep(d[:, 0]), prep(d[:, 1]), prep(d[:, 2]),
         prep(cam_weight.astype(jnp.float32)),
@@ -551,6 +624,7 @@ def li_levels_mega(
         jitter=bool(sampler.jitter), seed=int(sampler.seed),
         kinds_present=kinds_present, max_lobes=max_lobes,
         debug=debug, strategy_all=strategy_all,
+        max_leaf=max_leaf,
         interpret=interpret,
     )
     return jnp.stack(

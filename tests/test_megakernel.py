@@ -341,18 +341,25 @@ def test_supports_rejects_smooth_shading_normals(bench_ctx):
 
 
 @pytest.mark.parametrize(
-    "integ,material",
+    "integ,material,force_bvh",
     [
-        ("Debug", "mat_matte"),
-        ("Debug", "mat_debug"),
-        ("DirectLighting", "mat_matte"),
-        ("DirectLighting", "mat_plastic"),
+        ("Debug", "mat_matte", False),
+        ("Debug", "mat_debug", False),
+        ("DirectLighting", "mat_matte", False),
+        ("DirectLighting", "mat_plastic", False),
+        # the chain kernel's in-kernel packet BVH (mesh Debug scenes)
+        ("Debug", "mat_matte", True),
+        ("DirectLighting", "mat_matte", True),
     ],
 )
-def test_direct_radiance_matches_jnp_levels(integ, material):
+def test_direct_radiance_matches_jnp_levels(integ, material, force_bvh,
+                                            monkeypatch):
     """The Debug/DirectLighting chain kernel must reproduce li_levels
     exactly on the chain subset (no specular transmission)."""
     import dataclasses
+
+    if force_bvh:
+        monkeypatch.setenv("RS_MEGA_BVH", "force")
 
     from rs_ray_toy_tpu.ops.direct_megakernel import (
         pack_direct,
