@@ -223,14 +223,21 @@ def test_spectral_metal_render_differs_more():
             out.append(
                 np.asarray(
                     render_job(
-                        job, spp_override=2, pupil_samples=1 << 10, seed=0
+                        # spp 4: at 2 the lit set of this dark specular
+                        # scene sat at ~10 pixels and any sampler change
+                        # (e.g. the r3 stratum-permutation fix) flipped
+                        # the >12 gate
+                        job, spp_override=4, pupil_samples=1 << 10, seed=0
                     )["rgb_srgb_input"]
                 )
             )
         return out
 
     rgb_m, spc_m = render_pair("mat_metal")
-    lit = rgb_m.sum(-1) > 1e-3
+    # 3e-4: the metal-everything scene is dark and film averaging pushes
+    # single-hit speculars below 1e-3 as spp grows; at 3e-4/spp-4 the
+    # lit set is ~30 pixels and stable against sampler changes
+    lit = rgb_m.sum(-1) > 3e-4
     assert lit.sum() > 12
     # hue comparison on lit pixels
     def hue(img):
