@@ -57,6 +57,7 @@ from .path_megakernel import (
     _closest_hit,
     _occluded,
     _attr_cols,
+    _has_full,
     _sampler_dims,
     _fresnel_k,
     _lobe_f_k,
@@ -170,7 +171,7 @@ def _chain_loop(
     has_mf = LOBE_MF_REFL in kinds_present
     # must mirror _attr_cols' block condition exactly (debug lobes carry
     # constant f and need none of the s1/s2/alpha/fresnel attributes)
-    has_full = has_mf or _has_spec(kinds_present)
+    has_full = _has_full(kinds_present)
     mixed = len(kinds_present) > 1
     attr_cols = _attr_cols(kinds_present, max_lobes)
     one = jnp.ones(ox.shape, jnp.float32)

@@ -15,10 +15,16 @@ headline uses, which is also the most common interior-scene configuration —
   - triangle geometry only (<= MEGA_BVH_TRI_MAX; brute-force fori up to
     TRI_MAX, in-kernel packet BVH traversal above — leaf-ordered narrow
     table + fused-children nodes + SMEM stack, ops/bvh_pallas semantics),
-  - every material a single untextured Lambertian lobe
-    (matte with sigma=0, material/matte.rs:35-47),
-  - point lights only (<= LIGHT_MAX; delta => NEE needs no MIS),
-  - no participating media, no BSSRDF, no infinite lights,
+  - untextured materials over the supported lobe set: lambert, TR
+    microfacet, specular reflection/transmission/fresnel, and the
+    Disney scatter_distance stack (SPEC_TRANS + DISNEY_RETRO +
+    DISNEY_MICROFACET_REFL with the reference's non-reflective-chosen
+    pdf accumulation, reflection.rs:358-364),
+  - point lights (delta NEE), sphere-area lights (MIS NEE), or one
+    constant-environment light,
+  - the Burley BSSRDF for single-material scenes (probe chain + Sw
+    adapter fused, path.rs:166-210 / bssrdf.rs:107-232),
+  - no participating media (the volpath kernel covers homogeneous fog),
   - path integrator without ray differentials.
 Everything else falls back to the general jnp wavefront loop.  The
 estimator is IDENTICAL to integrators/path.py (same sample dims, same
@@ -55,10 +61,20 @@ from ..bsdf.lobes import (
     LOBE_SPEC_REFL,
     LOBE_SPEC_TRANS,
     LOBE_FRESNEL_SPEC,
+    LOBE_DISNEY_RETRO,
+    LOBE_DISNEY_MICROFACET_REFL,
     DIST_TROWBRIDGE_REITZ,
+    DIST_DISNEY_SEPARABLE_G,
     FRESNEL_DIELECTRIC,
     FRESNEL_CONDUCTOR,
+    FRESNEL_DISNEY,
 )
+
+# microfacet-shaped lobe kinds: DISNEY_MICROFACET_REFL shares the TR
+# visible-normal machinery with MF_REFL (separable Smith G + Disney
+# fresnel, disney.rs); cosine-shaped diffuse kinds share lambert's
+MF_KINDS = (LOBE_MF_REFL, LOBE_DISNEY_MICROFACET_REFL)
+COS_KINDS = (LOBE_LAMBERT_REFL, LOBE_DISNEY_RETRO)
 
 SPEC_KINDS = (LOBE_SPEC_REFL, LOBE_SPEC_TRANS, LOBE_FRESNEL_SPEC)
 
@@ -77,7 +93,7 @@ MEGA_BVH_TRI_MAX = 65536
 # make every bounce traverse the union of 16K rays' node sets
 BVH_TILE_ROWS = int(os.environ.get("RS_MEGA_TILE_ROWS", "32"))
 SPH_MAX = 8
-LOBES_MAX = 2
+LOBES_MAX = 3
 LIGHT_MAX = 8
 DEPTH_MAX = 15
 
@@ -105,8 +121,14 @@ EnvC = collections.namedtuple(
 )
 LightC = collections.namedtuple("LightC", "kind p emit o2w w2o radius env")
 SceneStatic = collections.namedtuple(
-    "SceneStatic", "spheres lights esc_rgb world_radius"
+    "SceneStatic", "spheres lights esc_rgb world_radius bssrdf",
+    defaults=(None,),
 )
+# single-material Burley BSSRDF constants (bssrdf.rs / disney.rs):
+# R/d 3-tuples, eta, and the host-precomputed Sw normalization
+# c = 1 - 2*fresnel_moment1(1/eta)
+BssrdfC = collections.namedtuple("BssrdfC", "R d eta c_sw")
+PROBE_SEGMENTS = 4  # bsdf/bssrdf.py bounded probe chain
 
 
 def _pow2(n):
@@ -144,6 +166,7 @@ def common_scene_checks(
     allow_env=False,
     tri_max=TRI_MAX,
     allow_media=False,
+    allow_bssrdf=False,
 ):
     """Host gates shared by BOTH megakernels (path + direct): RGB only,
     in-VMEM stratified sampler, VMEM-resident scene with flat shading
@@ -233,7 +256,7 @@ def common_scene_checks(
 
     if not REFERENCE_QUIRKS:
         return None  # kernels implement the quirk-exact estimator only
-    if np.any(np.asarray(mats["has_bssrdf"])[used]):
+    if not allow_bssrdf and np.any(np.asarray(mats["has_bssrdf"])[used]):
         return None
     if np.any(np.asarray(mats["bump_tex"])[used] >= 0):
         return None
@@ -291,22 +314,47 @@ def supports(ctx, spec, sampler, diff) -> bool:
         light_kinds=(LIGHT_POINT, LIGHT_DIFFUSE_AREA, LIGHT_INFINITE),
         allow_env=True,
         tri_max=tri_max,
+        allow_bssrdf=True,
     )
     if common is None:
         return False
     kinds, n_lobes, live, used = common
     if np.any(n_lobes[used] > LOBES_MAX):
         return False
+    if np.any(np.asarray(ctx.mats["has_bssrdf"])[used]):
+        # BSSRDF flow (path.rs:166-210 in-kernel): one used material
+        # (probe same-material test collapses to hit-found), point
+        # lights only (delta exit NEE), triangles only, no envs
+        if used.size != 1:
+            return False
+        lk = np.asarray(ctx.lights.kind)
+        if lk.size == 0 or np.any(lk != LIGHT_POINT):
+            return False
+        if ctx.infinite_envs or int(ctx.sph.count) != 0:
+            return False
     ok_kinds = (kinds == LOBE_LAMBERT_REFL) | (kinds == LOBE_MF_REFL)
+    ok_kinds |= (kinds == LOBE_DISNEY_RETRO) | (
+        kinds == LOBE_DISNEY_MICROFACET_REFL
+    )
     for sk in SPEC_KINDS:
         ok_kinds |= kinds == sk
     if np.any(~ok_kinds[live]):
         return False
-    # transmission-capable stacks must be single-lobe: the kernel's pdf
-    # averaging omits the cross-lobe accumulation the reference applies
-    # when the chosen lobe is non-reflective (reflection.rs:358-364)
-    is_trans_lobe = (kinds == LOBE_SPEC_TRANS) | (kinds == LOBE_FRESNEL_SPEC)
-    if np.any(is_trans_lobe & live & (n_lobes[:, None] > 1)):
+    # Disney microfacet: separable-Smith-G TR with the Disney fresnel and
+    # visible-normal sampling (disney.rs) — anything else falls back
+    is_dmf = live & (kinds == LOBE_DISNEY_MICROFACET_REFL)
+    if np.any(np.asarray(ctx.mats["dist"])[is_dmf] != DIST_DISNEY_SEPARABLE_G):
+        return False
+    if np.any(np.asarray(ctx.mats["fresnel"])[is_dmf] != FRESNEL_DISNEY):
+        return False
+    if np.any(~np.asarray(ctx.mats["sample_visible"])[is_dmf]):
+        return False
+    # SPEC_TRANS may now share a stack: _bsdf_sample_k implements the
+    # reference's non-reflective-chosen pdf accumulation
+    # (reflection.rs:358-364).  FRESNEL_SPEC stacks stay single-lobe
+    # (untested composition).
+    is_fs_lobe = kinds == LOBE_FRESNEL_SPEC
+    if np.any(is_fs_lobe & live & (n_lobes[:, None] > 1)):
         return False
     return True
 
@@ -542,11 +590,34 @@ def pack_scene(ctx, allow_bvh=True):
     )
     spheres = _pack_spheres_static(ctx)
     lights_c, esc_rgb = _pack_lights_static(ctx)
+    bss = None
+    has_b = np.asarray(ctx.mats["has_bssrdf"])
+    used_m = np.unique(mat[mat >= 0]) if mat.size else np.zeros(0, np.int64)
+    if used_m.size == 1 and bool(has_b[used_m[0]]):
+        mi = int(used_m[0])
+        eta_b = float(np.asarray(ctx.mats["bssrdf_eta"])[mi])
+        # fresnel_moment1 polynomial (bssrdf.rs:443-457) on 1/eta
+        e = 1.0 / eta_b
+        e2, e3 = e * e, e * e * e
+        e4, e5 = e3 * e, e3 * e * e
+        if e < 1.0:
+            fm1 = (0.45966 - 1.73965 * e + 3.37668 * e2 - 3.904945 * e3
+                   + 2.49277 * e4 - 0.68441 * e5)
+        else:
+            fm1 = (-4.61686 + 11.1136 * e - 10.4646 * e2 + 5.11455 * e3
+                   - 1.27198 * e4 + 0.12746 * e5)
+        bss = BssrdfC(
+            R=_t3(np.asarray(ctx.mats["bssrdf_R"])[mi]),
+            d=_t3(np.maximum(np.asarray(ctx.mats["bssrdf_d"])[mi], 1e-6)),
+            eta=eta_b,
+            c_sw=float(1.0 - 2.0 * fm1),
+        )
     wide = SceneStatic(
         spheres=spheres,
         lights=lights_c,
         esc_rgb=esc_rgb,
         world_radius=float(np.asarray(ctx.lights.world_radius)),
+        bssrdf=bss,
     )
     # static specialization facts: which lobe kinds exist on used materials
     # (triangles AND spheres) and the deepest live lobe stack — the kernel
@@ -605,9 +676,19 @@ def _has_spec_trans(kinds_present):
     )
 
 
+def _has_full(kinds_present):
+    """Does the kernel need the s1/s2/alpha/fresnel/eta attribute block?
+    (Must be used identically by _attr_cols and every lobe unpack.)"""
+    return (
+        any(k in kinds_present for k in MF_KINDS)
+        or LOBE_DISNEY_RETRO in kinds_present  # roughness rides in au
+        or _has_spec(kinds_present)
+    )
+
+
 def _attr_cols(kinds_present, max_lobes):
     """Table columns the specialized kernel actually needs."""
-    has_full = LOBE_MF_REFL in kinds_present or _has_spec(kinds_present)
+    has_full = _has_full(kinds_present)
     mixed = len(kinds_present) > 1
     cols = [9, 10, 11, 12, 13, 14, 15]  # ng, dpdu, n_lobes
     if _has_spec_trans(kinds_present):
@@ -1315,8 +1396,16 @@ def _fr_conductor_ch(ci2, si2, eta, k):
     return 0.5 * (rp + rs)
 
 
-def _fresnel_k(lob, cos_i):
-    """Fresnel dispatch on the lobe's code; returns (fr, fg, fb)."""
+def _schlick_weight_k(cos_t):
+    m = jnp.clip(1.0 - cos_t, 0.0, 1.0)
+    return (m * m) * (m * m) * m
+
+
+def _fresnel_k(lob, cos_i, kinds_present=()):
+    """Fresnel dispatch on the lobe's code; returns (fr, fg, fb).
+    FRESNEL_DISNEY (disney.rs:310-333) is compiled in only when a
+    Disney-microfacet lobe can appear: lerp(metallic in eta_a,
+    dielectric(1, eta in eta_b), schlick(c_spec0 in s1))."""
     fr_d = _fr_dielectric_k(cos_i, lob["eta_a"], lob["eta_b"])
     ci = jnp.clip(jnp.abs(cos_i), 0.0, 1.0)
     ci2 = ci * ci
@@ -1325,6 +1414,16 @@ def _fresnel_k(lob, cos_i):
     fc = tuple(
         _fr_conductor_ch(ci2, si2, lob["s2"][c], lob["s1"][c]) for c in range(3)
     )
+    has_disney = LOBE_DISNEY_MICROFACET_REFL in kinds_present
+    if has_disney:
+        metallic = lob["eta_a"]
+        fr_diel1 = _fr_dielectric_k(cos_i, 1.0, lob["eta_b"])
+        sw = _schlick_weight_k(cos_i)
+        fdis = tuple(
+            (1.0 - metallic) * fr_diel1
+            + metallic * (lob["s1"][c] + (1.0 - lob["s1"][c]) * sw)
+            for c in range(3)
+        )
     code = lob["fres"]
     out = []
     for c in range(3):
@@ -1333,6 +1432,8 @@ def _fresnel_k(lob, cos_i):
             fr_d,
             jnp.where(code == FRESNEL_CONDUCTOR, fc[c], 1.0),
         )
+        if has_disney:
+            v = jnp.where(code == FRESNEL_DISNEY, fdis[c], v)
         out.append(v)
     return out
 
@@ -1351,54 +1452,110 @@ def _spec_mask(lob, kinds_present):
     return True if lob["kind"] in SPEC_KINDS else None
 
 
+def _kind_mask(lob, kinds, kinds_present):
+    """Lane mask (or python bool) for `lob.kind in kinds`, respecting the
+    static single-kind case."""
+    k = lob["kind"]
+    if isinstance(k, int):
+        return k in kinds
+    m = None
+    for kk in kinds:
+        if kk not in kinds_present:
+            continue
+        mm = k == kk
+        m = mm if m is None else (m | mm)
+    return m if m is not None else False
+
+
 def _lobe_f_k(lob, wox, woy, woz, wix, wiy, wiz, kinds_present):
-    """lobe_f for LAMBERT_REFL / MF_REFL on local-frame components;
-    returns (fr, fg, fb).  Specular kinds evaluate to 0 (lobe_f
-    semantics).  (bsdf/eval.py lobe_f subset.)  Branches for kinds absent
-    from the scene are pruned at trace time."""
+    """lobe_f for LAMBERT_REFL / DISNEY_RETRO / MF_REFL /
+    DISNEY_MICROFACET_REFL on local-frame components; returns
+    (fr, fg, fb).  Specular kinds evaluate to 0 (lobe_f semantics).
+    (bsdf/eval.py lobe_f subset.)  Branches for kinds absent from the
+    scene are pruned at trace time."""
     sm = _spec_mask(lob, kinds_present)
     if sm is True:
         return (jnp.zeros_like(wox),) * 3
-    lam = tuple(lob["s0"][c] / PI for c in range(3))
-    if sm is not None:
-        lam = tuple(jnp.where(sm, 0.0, v) for v in lam)
-    if LOBE_MF_REFL not in kinds_present:
-        return lam
+    has_lam = LOBE_LAMBERT_REFL in kinds_present
+    has_retro = LOBE_DISNEY_RETRO in kinds_present
+    has_mfk = any(k in kinds_present for k in MF_KINDS)
 
-    co = jnp.abs(woz)
-    ci = jnp.abs(wiz)
-    whx, why, whz = wox + wix, woy + wiy, woz + wiz
-    wh_len = jnp.sqrt(jnp.maximum(whx * whx + why * why + whz * whz, 0.0))
-    ok = (co > 0.0) & (ci > 0.0) & (wh_len > 0.0)
-    inv_l = 1.0 / jnp.maximum(wh_len, 1e-20)
-    whx, why, whz = whx * inv_l, why * inv_l, whz * inv_l
-    flip = whz < 0.0
-    fx = jnp.where(flip, -whx, whx)
-    fy = jnp.where(flip, -why, why)
-    fz = jnp.where(flip, -whz, whz)
-    fr3 = _fresnel_k(lob, wix * fx + wiy * fy + wiz * fz)
-    d_val = _tr_d_k(whx, why, whz, lob["au"], lob["av"])
-    g_val = 1.0 / (
-        1.0
-        + _tr_lambda_k(wox, woy, woz, lob["au"], lob["av"])
-        + _tr_lambda_k(wix, wiy, wiz, lob["au"], lob["av"])
-    )
-    scale = d_val * g_val / jnp.maximum(4.0 * ci * co, 1e-20)
-    mf = tuple(
-        jnp.where(ok, lob["s0"][c] * fr3[c] * scale, 0.0) for c in range(3)
-    )
-    if LOBE_LAMBERT_REFL not in kinds_present and sm is None:
-        return mf
-    is_mf = lob["kind"] == LOBE_MF_REFL
-    out = tuple(jnp.where(is_mf, mf[c], lam[c]) for c in range(3))
+    # shared half-vector for retro + microfacet families
+    if has_retro or has_mfk:
+        whx, why, whz = wox + wix, woy + wiy, woz + wiz
+        wh2 = whx * whx + why * why + whz * whz
+        wh_len = jnp.sqrt(jnp.maximum(wh2, 0.0))
+        wh_zero = wh2 == 0.0
+        inv_l = 1.0 / jnp.maximum(wh_len, 1e-20)
+        nhx, nhy, nhz = whx * inv_l, why * inv_l, whz * inv_l
+
+    vals = []  # (mask, (r,g,b)) in kind order; later entries win
+    if has_lam:
+        lam = tuple(lob["s0"][c] / PI for c in range(3))
+        vals.append((_kind_mask(lob, (LOBE_LAMBERT_REFL,), kinds_present), lam))
+    if has_retro:
+        # disney.rs retro-reflection (eval.py lobe_f): rough rides in au
+        cos_d = wix * nhx + wiy * nhy + wiz * nhz
+        fo = _schlick_weight_k(jnp.abs(woz))
+        fi = _schlick_weight_k(jnp.abs(wiz))
+        rr = 2.0 * lob["au"] * cos_d * cos_d
+        fac = rr * (fo + fi + fo * fi * (rr - 1.0)) / PI
+        retro = tuple(
+            jnp.where(wh_zero, 0.0, lob["s0"][c] * fac) for c in range(3)
+        )
+        vals.append((_kind_mask(lob, (LOBE_DISNEY_RETRO,), kinds_present),
+                     retro))
+    if has_mfk:
+        co = jnp.abs(woz)
+        ci = jnp.abs(wiz)
+        ok = (co > 0.0) & (ci > 0.0) & (wh_len > 0.0)
+        flip = nhz < 0.0
+        fx = jnp.where(flip, -nhx, nhx)
+        fy = jnp.where(flip, -nhy, nhy)
+        fz = jnp.where(flip, -nhz, nhz)
+        fr3 = _fresnel_k(lob, wix * fx + wiy * fy + wiz * fz, kinds_present)
+        d_val = _tr_d_k(nhx, nhy, nhz, lob["au"], lob["av"])
+        lam_o = _tr_lambda_k(wox, woy, woz, lob["au"], lob["av"])
+        lam_i = _tr_lambda_k(wix, wiy, wiz, lob["au"], lob["av"])
+        g_joint = 1.0 / (1.0 + lam_o + lam_i)
+        if LOBE_DISNEY_MICROFACET_REFL in kinds_present:
+            # separable Smith G (disney.rs; eval._mf_g dist==SEPARABLE_G)
+            g_sep = (1.0 / (1.0 + lam_o)) * (1.0 / (1.0 + lam_i))
+            dm = _kind_mask(
+                lob, (LOBE_DISNEY_MICROFACET_REFL,), kinds_present
+            )
+            if dm is True:
+                g_val = g_sep
+            else:
+                g_val = jnp.where(dm, g_sep, g_joint)
+        else:
+            g_val = g_joint
+        scale = d_val * g_val / jnp.maximum(4.0 * ci * co, 1e-20)
+        mf = tuple(
+            jnp.where(ok, lob["s0"][c] * fr3[c] * scale, 0.0)
+            for c in range(3)
+        )
+        vals.append((_kind_mask(lob, MF_KINDS, kinds_present), mf))
+
+    out = None
+    for mask, v in vals:
+        if mask is False:
+            continue
+        if out is None or mask is True:
+            out = v
+        else:
+            out = tuple(jnp.where(mask, v[c], out[c]) for c in range(3))
+    if out is None:
+        out = (jnp.zeros_like(wox),) * 3
     if sm is not None:
         out = tuple(jnp.where(sm, 0.0, v) for v in out)
     return out
 
 
 def _lobe_pdf_k(lob, wox, woy, woz, wix, wiy, wiz, kinds_present):
-    """lobe_pdf for the two kinds (visible-normal TR; cosine lambert),
-    statically pruned like _lobe_f_k.  Specular kinds -> 0."""
+    """lobe_pdf: cosine for the diffuse family (lambert / retro),
+    visible-normal TR for the microfacet family, statically pruned like
+    _lobe_f_k.  Specular kinds -> 0."""
     sm = _spec_mask(lob, kinds_present)
     if sm is True:
         return jnp.zeros_like(wox)
@@ -1406,7 +1563,7 @@ def _lobe_pdf_k(lob, wox, woy, woz, wix, wiy, wiz, kinds_present):
     cos_pdf = jnp.where(same, jnp.abs(wiz) / PI, 0.0)
     if sm is not None:
         cos_pdf = jnp.where(sm, 0.0, cos_pdf)
-    if LOBE_MF_REFL not in kinds_present:
+    if not any(k in kinds_present for k in MF_KINDS):
         return cos_pdf
     whx, why, whz = wox + wix, woy + wiy, woz + wiz
     inv_l = lax.rsqrt(
@@ -1420,9 +1577,19 @@ def _lobe_pdf_k(lob, wox, woy, woz, wix, wiy, wiz, kinds_present):
         d_val / (1.0 + lam_o) * jnp.abs(dot_owh) / jnp.maximum(jnp.abs(woz), 1e-20)
     )
     mf_pdf = jnp.where(same, pdf_wh / jnp.maximum(4.0 * dot_owh, 1e-20), 0.0)
-    if LOBE_LAMBERT_REFL not in kinds_present and sm is None:
+    dm = _kind_mask(lob, MF_KINDS, kinds_present)
+    only_cos = not (
+        LOBE_LAMBERT_REFL in kinds_present
+        or LOBE_DISNEY_RETRO in kinds_present
+    )
+    if only_cos and sm is None and dm is True:
         return mf_pdf
-    out = jnp.where(lob["kind"] == LOBE_MF_REFL, mf_pdf, cos_pdf)
+    if dm is True:
+        out = mf_pdf
+    elif dm is False:
+        out = cos_pdf
+    else:
+        out = jnp.where(dm, mf_pdf, cos_pdf)
     if sm is not None:
         out = jnp.where(sm, 0.0, out)
     return out
@@ -1546,7 +1713,7 @@ def _bsdf_sample_k(
 
     Returns a dict: ws* (local dir), f (3-tuple), pdf, chosen-kind masks
     (for etaScale / specular-bounce tracking), fs_reflect or None."""
-    has_mf = LOBE_MF_REFL in kinds_present
+    has_mf = any(k in kinds_present for k in MF_KINDS)
     has_spec = _has_spec(kinds_present)
     has_st = _has_spec_trans(kinds_present)
     mixed = len(kinds_present) > 1
@@ -1557,22 +1724,23 @@ def _bsdf_sample_k(
         u0 = jnp.minimum(
             ub0 * matching - comp.astype(jnp.float32), ONE_MINUS_EPSILON
         )
-        sel1 = comp == 1
-        lob_c = {
-            k: (
-                tuple(
-                    jnp.where(sel1, lobs[1][k][c], lobs[0][k][c])
-                    for c in range(3)
-                )
-                if isinstance(lobs[0][k], tuple)
-                else (
-                    jnp.where(sel1, lobs[1][k], lobs[0][k])
-                    if not isinstance(lobs[0][k], int)
-                    else lobs[0][k]
-                )
-            )
-            for k in lobs[0]
-        }
+        lob_c = {}
+        for k in lobs[0]:
+            if isinstance(lobs[0][k], tuple):
+                acc = lobs[0][k]
+                for j in range(1, max_lobes):
+                    sj = comp == j
+                    acc = tuple(
+                        jnp.where(sj, lobs[j][k][c], acc[c]) for c in range(3)
+                    )
+                lob_c[k] = acc
+            elif isinstance(lobs[0][k], int):
+                lob_c[k] = lobs[0][k]
+            else:
+                acc = lobs[0][k]
+                for j in range(1, max_lobes):
+                    acc = jnp.where(comp == j, lobs[j][k], acc)
+                lob_c[k] = acc
     else:
         matching = jnp.minimum(n_lob, 1)
         u0 = jnp.minimum(ub0, ONE_MINUS_EPSILON)
@@ -1585,14 +1753,16 @@ def _bsdf_sample_k(
         # a lane mask otherwise — same expression either way
         return kind_c == k
 
-    is_mf_c = k_is(LOBE_MF_REFL)
+    is_mf_c = _kind_mask(lob_c, MF_KINDS, kinds_present)
+    is_cos_c = _kind_mask(lob_c, COS_KINDS, kinds_present)
     is_sr_c = k_is(LOBE_SPEC_REFL)
     is_st_c = k_is(LOBE_SPEC_TRANS)
     is_fs_c = k_is(LOBE_FRESNEL_SPEC)
     fs_reflect = None
 
-    # lambert candidate: cosine hemisphere in wo's half-space
-    if LOBE_LAMBERT_REFL in kinds_present:
+    # cosine candidate (lambert / disney-retro): hemisphere in wo's
+    # half-space
+    if any(k in kinds_present for k in COS_KINDS):
         dxo, dyo = _concentric_disk(u0, u1)
         z_cos = jnp.sqrt(jnp.maximum(0.0, 1.0 - dxo * dxo - dyo * dyo))
         z_cos = jnp.where(wo_z < 0.0, -z_cos, z_cos)
@@ -1642,9 +1812,9 @@ def _bsdf_sample_k(
         wsy = jnp.where(mask, vy, wsy)
         wsz = jnp.where(mask, vz, wsz)
 
-    if LOBE_LAMBERT_REFL in kinds_present:
+    if any(k in kinds_present for k in COS_KINDS):
         _put(
-            k_is(LOBE_LAMBERT_REFL) if (mixed or has_spec) else True,
+            is_cos_c if (mixed or has_spec) else True,
             dxo, dyo, z_cos,
         )
     if has_mf:
@@ -1711,11 +1881,26 @@ def _bsdf_sample_k(
         pdf = _ovr_p(
             is_fs_c, jnp.where(fs_reflect, fr_fs, 1.0 - fr_fs)
         )
-    # REFERENCE_QUIRKS: pdf accumulation gate is !is_reflection —
-    # every multi-lobe-capable subset lobe reflects (supports()
-    # forbids transmission lobes in stacks), so only the 1/matching
-    # average applies
+    # REFERENCE_QUIRKS: pdf accumulation gate is !is_reflection
+    # (reflection.rs:358-364) — in this subset only a chosen SPEC_TRANS
+    # lobe is non-reflective, so its pdf accumulates the OTHER matching
+    # lobes' pdfs at the sampled direction before the 1/matching average
     if max_lobes > 1:
+        if LOBE_SPEC_TRANS in kinds_present and is_st_c is not False:
+            extra = jnp.zeros_like(pdf)
+            for j in range(max_lobes):
+                pj = _lobe_pdf_k(
+                    lobs[j], wol_x, wol_y, wo_z, wsx, wsy, wsz,
+                    kinds_present,
+                )
+                use = (j < n_lob) & (comp != j)
+                extra = extra + jnp.where(use, pj, 0.0)
+            acc = (
+                extra
+                if is_st_c is True
+                else jnp.where(is_st_c, extra, 0.0)
+            )
+            pdf = pdf + acc
         pdf = jnp.where(
             matching > 1, pdf / matching.astype(jnp.float32), pdf
         )
@@ -1724,6 +1909,31 @@ def _bsdf_sample_k(
         is_sr_c=is_sr_c, is_st_c=is_st_c, is_fs_c=is_fs_c,
         fs_reflect=fs_reflect,
     )
+
+
+def _sample_sr_k(d_ch, u):
+    """Burley radius sample (bsdf/bssrdf.py sample_sr), componentwise."""
+    first = u < 0.25
+    u1 = jnp.minimum(u * 4.0, ONE_MINUS_EPSILON)
+    u2 = jnp.minimum((u - 0.25) / 0.75, ONE_MINUS_EPSILON)
+    r1 = d_ch * jnp.log(1.0 / (1.0 - u1))
+    r2 = 3.0 * d_ch * jnp.log(1.0 / (1.0 - u2))
+    return jnp.where(first, r1, r2)
+
+
+def _pdf_sr_k(d_c, r):
+    """PBRT-intended pdf of _sample_sr_k (d_c static float)."""
+    rr = jnp.maximum(r, 1e-6)
+    return 0.25 * jnp.exp(-rr / d_c) / (2.0 * PI * d_c * rr) + 0.75 * jnp.exp(
+        -rr / (3.0 * d_c)
+    ) / (6.0 * PI * d_c * rr)
+
+
+def _sw_f_k(bss, cos_w):
+    """Sw adapter f (bssrdf.sw_f): (1-Fr(cos))/(c pi) * eta^2, with the
+    normalization c precomputed on host (BssrdfC.c_sw)."""
+    fr = _fr_dielectric_k(cos_w, 1.0, bss.eta)
+    return (1.0 - fr) / max(bss.c_sw * PI, 1e-9) * (bss.eta * bss.eta)
 
 
 def _bounce_loop(
@@ -1740,10 +1950,10 @@ def _bounce_loop(
     all_point = n_lights > 0 and all(l.kind == LIGHT_POINT for l in lights)
     has_env_nee = any(l.kind == LIGHT_INFINITE for l in lights)
     esc_rgb = wide.esc_rgb
-    has_mf = LOBE_MF_REFL in kinds_present
+    has_mf = any(k in kinds_present for k in MF_KINDS)
     has_spec = _has_spec(kinds_present)
     has_st = _has_spec_trans(kinds_present)
-    has_full = has_mf or has_spec
+    has_full = _has_full(kinds_present)
     mixed = len(kinds_present) > 1
     attr_cols = _attr_cols(kinds_present, max_lobes)
     one = jnp.ones(ox.shape, jnp.float32)
@@ -2172,6 +2382,277 @@ def _bounce_loop(
         dx = jnp.where(active, nwx, dx)
         dy = jnp.where(active, nwy, dy)
         dz = jnp.where(active, nwz, dz)
+
+        # ---- BSSRDF branch (path.rs:166-210; bsdf/bssrdf.py in-kernel).
+        # Statically enabled when the scene's single material carries the
+        # Burley BSSRDF: spec-trans bounces re-emerge at a profile-sampled
+        # exit point with the Sw adapter.  Probe chain = PROBE_SEGMENTS
+        # bounded re-casts; same-material test collapses to hit-found
+        # (supports() pins one used material, triangles only). ----
+        bssc = wide.bssrdf
+        if bssc is not None and has_st:
+            st_smp = smp["is_st_c"]
+            if st_smp is True:
+                st_smp = jnp.ones_like(active)
+            elif st_smp is False:
+                st_smp = jnp.zeros_like(active)
+            is_trans = active & st_smp
+            u1b = _sampler_dims(
+                pid, sid, dim0 + 5, spp, xs, ys, jitter, seed, False
+            )
+            u2b0, u2b1 = _sampler_dims(
+                pid, sid, dim0 + 6, spp, xs, ys, jitter, seed, True
+            )
+
+            def probe_hit(cx, cy, cz, pdx, pdy, pdz, alive_m):
+                if bvh_refs is None:
+                    o2 = _closest_hit(
+                        tri_ref, n_tris, cx, cy, cz, pdx, pdy, pdz, attr_cols
+                    )
+                else:
+                    o2 = _bvh_closest_hit(
+                        bvh_refs, tri_ref, cx, cy, cz, pdx, pdy, pdz,
+                        alive_m, max_leaf, len(attr_cols),
+                    )
+                return o2[0], o2[1], o2[2], o2[3]
+
+            # projection axis (bssrdf.rs:118-141): 1/2 ns, 1/4 each tangent
+            ub = u1b
+            sel0 = ub < 0.5
+            sel1 = (ub >= 0.5) & (ub < 0.75)
+            ub = jnp.where(
+                sel0, ub * 2.0,
+                jnp.where(sel1, (ub - 0.5) * 4.0, (ub - 0.75) * 4.0),
+            )
+
+            def _axsel(a, b, c):
+                return jnp.where(sel0, a, jnp.where(sel1, b, c))
+
+            vxx = _axsel(ssx, tsx, ngx)
+            vxy = _axsel(ssy, tsy, ngy)
+            vxz = _axsel(ssz, tsz, ngz)
+            vyx = _axsel(tsx, ngx, ssx)
+            vyy = _axsel(tsy, ngy, ssy)
+            vyz = _axsel(tsz, ngz, ssz)
+            vzx = _axsel(ngx, ssx, tsx)
+            vzy = _axsel(ngy, ssy, tsy)
+            vzz = _axsel(ngz, ssz, tsz)
+
+            # channel + the reference's u*u*N remap quirk (bssrdf.rs:143-145)
+            chb = jnp.clip((ub * 3.0).astype(jnp.int32), 0, 2)
+            ub = ub * ub * 3.0 - chb.astype(jnp.float32)
+            d_ch = jnp.where(
+                chb == 0, bssc.d[0], jnp.where(chb == 1, bssc.d[1], bssc.d[2])
+            )
+            r_b = _sample_sr_k(d_ch, u2b0)
+            u999 = jnp.minimum(
+                (jnp.float32(0.999) - 0.25) / 0.75, ONE_MINUS_EPSILON
+            )
+            r_mx = 3.0 * d_ch * jnp.log(1.0 / (1.0 - u999))
+            ok_b = is_trans & (r_b >= 0.0) & (r_b < r_mx)
+            l_ch = 2.0 * jnp.sqrt(jnp.maximum(r_mx * r_mx - r_b * r_b, 0.0))
+            phi_b = 2.0 * PI * u2b1
+            cphi = jnp.cos(phi_b)
+            sphi = jnp.sin(phi_b)
+            bx = px + (vxx * cphi + vyx * sphi) * r_b - vzx * (l_ch * 0.5)
+            by = py + (vxy * cphi + vyy * sphi) * r_b - vzy * (l_ch * 0.5)
+            bz = pz + (vxz * cphi + vyz * sphi) * r_b - vzz * (l_ch * 0.5)
+            tgx = bx + vzx * l_ch
+            tgy = by + vzy * l_ch
+            tgz = bz + vzz * l_ch
+
+            cxp, cyp, czp = bx, by, bz
+            alive_b = ok_b
+            fpx = []
+            fpy = []
+            fpz = []
+            fnx = []
+            fny = []
+            fnz = []
+            fvs = []
+            for _k in range(PROBE_SEGMENTS):
+                sgx, sgy, sgz = tgx - cxp, tgy - cyp, tgz - czp
+                sl = jnp.sqrt(
+                    jnp.maximum(sgx * sgx + sgy * sgy + sgz * sgz, 0.0)
+                )
+                inv_sl = 1.0 / jnp.maximum(sl, 1e-20)
+                pdx, pdy, pdz = sgx * inv_sl, sgy * inv_sl, sgz * inv_sl
+                tpb, pnx, pny, pnz = probe_hit(
+                    cxp, cyp, czp, pdx, pdy, pdz, alive_b
+                )
+                gk = alive_b & (tpb < sl * (1.0 - 1e-4)) & (sl > 1e-9)
+                hxp = cxp + pdx * tpb
+                hyp = cyp + pdy * tpb
+                hzp = czp + pdz * tpb
+                fpx.append(jnp.where(gk, hxp, 0.0))
+                fpy.append(jnp.where(gk, hyp, 0.0))
+                fpz.append(jnp.where(gk, hzp, 0.0))
+                fnx.append(pnx)
+                fny.append(pny)
+                fnz.append(pnz)
+                fvs.append(gk)
+                magb = jnp.abs(hxp) + jnp.abs(hyp) + jnp.abs(hzp)
+                epsb = 1e-4 + 1e-5 * magb
+                offb = jnp.where(
+                    pdx * pnx + pdy * pny + pdz * pnz < 0.0, -epsb, epsb
+                )
+                cxp = jnp.where(gk, hxp + pnx * offb, cxp)
+                cyp = jnp.where(gk, hyp + pny * offb, cyp)
+                czp = jnp.where(gk, hzp + pnz * offb, czp)
+                alive_b = gk
+
+            nf = fvs[0].astype(jnp.int32)
+            for _k in range(1, PROBE_SEGMENTS):
+                nf = nf + fvs[_k].astype(jnp.int32)
+            ok_b = ok_b & (nf > 0)
+            pick = jnp.clip(
+                (ub * nf.astype(jnp.float32)).astype(jnp.int32),
+                0,
+                jnp.maximum(nf - 1, 0),
+            )
+            cumv = jnp.zeros_like(nf)
+            ex = jnp.zeros_like(px)
+            ey = jnp.zeros_like(px)
+            ez = jnp.zeros_like(px)
+            enx = jnp.zeros_like(px)
+            eny = jnp.zeros_like(px)
+            enz = jnp.zeros_like(px)
+            for _k in range(PROBE_SEGMENTS):
+                cumv = cumv + fvs[_k].astype(jnp.int32)
+                selk = fvs[_k] & (cumv == pick + 1)
+                ex = jnp.where(selk, fpx[_k], ex)
+                ey = jnp.where(selk, fpy[_k], ey)
+                ez = jnp.where(selk, fpz[_k], ez)
+                enx = jnp.where(selk, fnx[_k], enx)
+                eny = jnp.where(selk, fny[_k], eny)
+                enz = jnp.where(selk, fnz[_k], enz)
+
+            # pdf_sp (bssrdf.rs:195-232): 3 axes x 3 channels / nf
+            dvx, dvy, dvz = px - ex, py - ey, pz - ez
+            dl0 = _dot3(ssx, ssy, ssz, dvx, dvy, dvz)
+            dl1 = _dot3(tsx, tsy, tsz, dvx, dvy, dvz)
+            dl2 = _dot3(ngx, ngy, ngz, dvx, dvy, dvz)
+            nl0 = _dot3(ssx, ssy, ssz, enx, eny, enz)
+            nl1 = _dot3(tsx, tsy, tsz, enx, eny, enz)
+            nl2 = _dot3(ngx, ngy, ngz, enx, eny, enz)
+            rp0 = jnp.sqrt(jnp.maximum(dl1 * dl1 + dl2 * dl2, 0.0))
+            rp1 = jnp.sqrt(jnp.maximum(dl2 * dl2 + dl0 * dl0, 0.0))
+            rp2 = jnp.sqrt(jnp.maximum(dl0 * dl0 + dl1 * dl1, 0.0))
+            pdf_b = jnp.zeros_like(px)
+            for rp, nl, aprob in (
+                (rp0, nl0, 0.25), (rp1, nl1, 0.25), (rp2, nl2, 0.5)
+            ):
+                anl = jnp.abs(nl)
+                for c in range(3):
+                    pdf_b = pdf_b + _pdf_sr_k(bssc.d[c], rp) * anl * aprob
+            pdf_b = pdf_b * (1.0 / 3.0)
+            pdf_b = pdf_b / jnp.maximum(nf.astype(jnp.float32), 1.0)
+            dist_b = jnp.sqrt(
+                jnp.maximum(dvx * dvx + dvy * dvy + dvz * dvz, 0.0)
+            )
+            rr_b = jnp.maximum(dist_b, 1e-6)
+            sp3 = tuple(
+                bssc.R[c]
+                * (jnp.exp(-rr_b / bssc.d[c]) + jnp.exp(-rr_b / (3.0 * bssc.d[c])))
+                / (8.0 * PI * bssc.d[c] * rr_b)
+                for c in range(3)
+            )
+            valid_b = ok_b & (pdf_b > 0.0)
+            got = is_trans & valid_b
+            inv_pb = 1.0 / jnp.maximum(pdf_b, 1e-20)
+            br = jnp.where(got, br * sp3[0] * inv_pb, br)
+            bg = jnp.where(got, bg * sp3[1] * inv_pb, bg)
+            bb = jnp.where(got, bb * sp3[2] * inv_pb, bb)
+            active = jnp.where(is_trans, got, active)
+
+            # exit NEE: uniform one-light pick, Sw adapter (path.py:160-176)
+            if n_lights > 0:
+                u_pk = _sampler_dims(
+                    pid, sid, dim0 + 7, spp, xs, ys, jitter, seed, False
+                )
+                li2 = jnp.minimum(
+                    (u_pk * n_lights).astype(jnp.int32), n_lights - 1
+                )
+                l2x = jnp.zeros_like(px)
+                l2y = jnp.zeros_like(px)
+                l2z = jnp.zeros_like(px)
+                e2r = jnp.zeros_like(px)
+                e2g = jnp.zeros_like(px)
+                e2b = jnp.zeros_like(px)
+                for k in range(n_lights):
+                    sel = li2 == k
+                    l2x = jnp.where(sel, lights_p[k][0], l2x)
+                    l2y = jnp.where(sel, lights_p[k][1], l2y)
+                    l2z = jnp.where(sel, lights_p[k][2], l2z)
+                    e2r = jnp.where(sel, lights_emit[k][0], e2r)
+                    e2g = jnp.where(sel, lights_emit[k][1], e2g)
+                    e2b = jnp.where(sel, lights_emit[k][2], e2b)
+                t2x, t2y, t2z = l2x - ex, l2y - ey, l2z - ez
+                d2b = jnp.maximum(t2x * t2x + t2y * t2y + t2z * t2z, 1e-20)
+                inv_db = lax.rsqrt(d2b)
+                w2x_ = t2x * inv_db
+                w2y_ = t2y * inv_db
+                w2z_ = t2z * inv_db
+                cwi = _dot3(w2x_, w2y_, w2z_, enx, eny, enz)
+                fsw = _sw_f_k(bssc, cwi) * jnp.abs(cwi)
+                magE = jnp.abs(ex) + jnp.abs(ey) + jnp.abs(ez)
+                epsE = 1e-4 + 1e-5 * magE
+                offE = jnp.where(
+                    _dot3(t2x, t2y, t2z, enx, eny, enz) < 0.0, -epsE, epsE
+                )
+                sxo = ex + enx * offE
+                syo = ey + eny * offE
+                szo = ez + enz * offE
+                occ2 = occluded_all(
+                    sxo, syo, szo, l2x - sxo, l2y - syo, l2z - szo,
+                    jnp.where(got, 1.0 - SHADOW_EPSILON, 0.0),
+                )
+                nee2 = got & ~occ2
+                sc2 = jnp.where(nee2, fsw * float(n_lights) / d2b, 0.0)
+                Lr = Lr + br * e2r * sc2
+                Lg = Lg + bg * e2g * sc2
+                Lb = Lb + bb * e2b * sc2
+
+            # indirect: cosine-sample the Sw adapter at the exit point
+            uo0, uo1 = _sampler_dims(
+                pid, sid, dim0 + 9, spp, xs, ys, jitter, seed, True
+            )
+            dxo2, dyo2 = _concentric_disk(uo0, uo1)
+            zo = jnp.sqrt(
+                jnp.maximum(0.0, 1.0 - dxo2 * dxo2 - dyo2 * dyo2)
+            )
+            # vec.coordinate_system(ns) componentwise (a1, a2 = cross)
+            use_x2 = jnp.abs(enx) > jnp.abs(eny)
+            inv_a2 = 1.0 / jnp.sqrt(
+                jnp.where(use_x2, enx * enx + enz * enz, eny * eny + enz * enz)
+            )
+            a1x = jnp.where(use_x2, -enz, 0.0) * inv_a2
+            a1y = jnp.where(use_x2, 0.0, enz) * inv_a2
+            a1z = jnp.where(use_x2, enx, -eny) * inv_a2
+            a2x = eny * a1z - enz * a1y
+            a2y = enz * a1x - enx * a1z
+            a2z = enx * a1y - eny * a1x
+            wox2 = a1x * dxo2 + a2x * dyo2 + enx * zo
+            woy2 = a1y * dxo2 + a2y * dyo2 + eny * zo
+            woz2 = a1z * dxo2 + a2z * dyo2 + enz * zo
+            cos_o2 = jnp.maximum(zo, 1e-9)
+            swo = _sw_f_k(bssc, cos_o2) * PI
+            br = jnp.where(got, br * swo, br)
+            bg = jnp.where(got, bg * swo, bg)
+            bb = jnp.where(got, bb * swo, bb)
+            magO = jnp.abs(ex) + jnp.abs(ey) + jnp.abs(ez)
+            epsO = 1e-4 + 1e-5 * magO
+            offO = jnp.where(
+                _dot3(wox2, woy2, woz2, enx, eny, enz) < 0.0, -epsO, epsO
+            )
+            ox = jnp.where(got, ex + enx * offO, ox)
+            oy = jnp.where(got, ey + eny * offO, oy)
+            oz = jnp.where(got, ez + enz * offO, oz)
+            dx = jnp.where(got, wox2, dx)
+            dy = jnp.where(got, woy2, dy)
+            dz = jnp.where(got, woz2, dz)
+            if spec_prev is not None:
+                spec_prev = spec_prev & ~got
 
         # ---- Russian roulette (path.rs:212-222) on beta * etaScale ----
         if bounce > 3:

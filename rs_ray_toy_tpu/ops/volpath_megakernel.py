@@ -48,6 +48,7 @@ from .path_megakernel import (
     TILE_ROWS,
     TRI_MAX,
     _attr_cols,
+    _has_full,
     _bsdf_sample_k,
     _bvh_call_extras,
     _bvh_closest_hit,
@@ -242,9 +243,8 @@ def _vol_bounce_loop(
     g = med.g
     n_lights = len(lights_p)
     has_st = _has_spec_trans(kinds_present)
-    has_mf = LOBE_MF_REFL in kinds_present
     has_spec = any(k in kinds_present for k in SPEC_KINDS)
-    has_full = has_mf or has_spec
+    has_full = _has_full(kinds_present)
     mixed = len(kinds_present) > 1
     attr_cols = _attr_cols(kinds_present, max_lobes)
     one = jnp.ones(ox.shape, jnp.float32)

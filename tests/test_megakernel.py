@@ -413,3 +413,82 @@ def test_direct_radiance_matches_jnp_levels(integ, material, force_bvh,
     assert frac_diverged < 5e-3, f"{frac_diverged:.2%} of rays diverged"
     assert float(np.quantile(rel, 0.99)) < 1e-4, "bulk not bit-level"
     assert abs(l_mega.mean() - l_ref.mean()) < 1e-6 + 3e-3 * abs(l_ref.mean())
+
+
+DISNEY_SSS_MAT = {
+    "material_type": "DisneyMaterial",
+    "material_name": "mat_sss",
+    "color": {"values": [0.8, 0.6, 0.4]},
+    "scatter_distance": {"values": [1.0, 0.8, 0.6]},
+    "roughness": 0.3,
+}
+
+
+@pytest.mark.parametrize("force_bvh", [False, True])
+def test_disney_bssrdf_matches_jnp_loop(force_bvh, monkeypatch):
+    """BASELINE config 5 in-kernel: the 3-lobe Disney scatter_distance
+    stack (SPEC_TRANS + DISNEY_RETRO + DISNEY_MICROFACET_REFL with the
+    reference's non-reflective-chosen pdf accumulation) plus the Burley
+    BSSRDF probe chain and Sw adapter must reproduce li_path per ray."""
+    from rs_ray_toy_tpu.ops.path_megakernel import (
+        pack_scene,
+        li_path_mega,
+        supports,
+    )
+    from rs_ray_toy_tpu.integrators.path import li_path
+    from rs_ray_toy_tpu.camera.realistic import RealisticCamera
+    from rs_ray_toy_tpu.sampler.stratified import StratifiedSampler
+
+    if force_bvh:
+        monkeypatch.setenv("RS_MEGA_BVH", "force")
+    job, ctx = _make_job("mat_sss", extra_materials=[DISNEY_SSS_MAT])
+    sampler = StratifiedSampler(job.sampler, seed=0)
+    assert supports(ctx, job.integrator, sampler, None)
+    packed = pack_scene(ctx)
+    assert packed[5].bssrdf is not None
+    if force_bvh:
+        assert packed[6] is not None
+    cam = RealisticCamera(job.camera, job.film, pupil_samples=1 << 10)
+
+    n = 64 * 36
+    pid = jnp.arange(n, dtype=jnp.uint32)
+    px = jnp.stack([(pid % 64) + 0.5, (pid // 64) + 0.5], -1).astype(jnp.float32)
+    s_idx = jnp.zeros((n,), jnp.uint32)
+    u_lens = sampler.get_2d(pid, s_idx, 1)
+    o, d, w = cam.generate_rays(px, u_lens)
+
+    l_ref = np.asarray(
+        li_path(ctx, o, d, w, sampler, pid, s_idx, job.integrator)
+    )
+    l_mega = np.asarray(
+        li_path_mega(
+            ctx, packed, o, d, w, sampler, pid, s_idx, job.integrator,
+            interpret=True,
+        )
+    )
+    assert np.isfinite(l_mega).all()
+    assert l_ref.sum() > 10  # the sss scene is actually lit
+    denom = np.maximum(np.abs(l_ref), 1e-3)
+    rel = np.abs(l_mega - l_ref) / denom
+    frac_diverged = float((rel.max(-1) > 1e-3).mean())
+    assert frac_diverged < 5e-3, f"{frac_diverged:.2%} of rays diverged"
+    assert abs(l_mega.mean() - l_ref.mean()) < 1e-6 + 3e-3 * abs(l_ref.mean())
+
+
+def test_disney_bssrdf_render_job(monkeypatch):
+    """End-to-end sss render through render_job: the fused path must
+    engage and match the jnp render."""
+    import dataclasses
+
+    from rs_ray_toy_tpu.render import render_job
+
+    job, _ = _make_job("mat_sss", extra_materials=[DISNEY_SSS_MAT])
+    outs = {}
+    for flag in ("1", "0"):
+        monkeypatch.setenv("RS_MEGAKERNEL", flag)
+        res = render_job(job, spp_override=2, pupil_samples=1 << 10, seed=0)
+        if flag == "1":
+            assert res["render_path"] == "megakernel"
+        outs[flag] = np.asarray(res["rgb_srgb_input"])
+    rmse = float(np.sqrt(np.mean((outs["1"] - outs["0"]) ** 2)))
+    assert rmse < 1e-4, f"sss megakernel render deviates: rmse {rmse}"
