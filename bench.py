@@ -107,6 +107,11 @@ def _build_scene(scene_kind, material, integrator_kind, fog, sppm_cfg=None):
             "medium_type": "Homogeneous", "g": 0.0,
         }
         tag += "_fog"
+    if scene_kind == "halton":
+        # BASELINE config 2 proper: low-discrepancy sampler (the kernel
+        # consumes HaltonSampler slot values via the input-matrix path)
+        cfg["Sampler"] = {"sampler_type": "HaltonSampler", "nsamp": spp}
+        tag += "_halton"
     td = tempfile.mkdtemp()
     for aux in ("cube.obj", "s_01.png"):
         src = os.path.join(os.path.dirname(scene_path), aux)
@@ -180,6 +185,8 @@ MATRIX = [
       "photons_per_iter": 1 << 17}),
     ("sphere_area", "sphere_area", "", "path", False, 64, None),
     ("env", "env", "", "path", False, 64, None),
+    # BASELINE config 2 proper: low-discrepancy (Halton) sampler, 256 spp
+    ("halton", "halton", "", "path", False, 256, None),
     ("path", "ref", "", "path", False, 64, None),
 ]
 

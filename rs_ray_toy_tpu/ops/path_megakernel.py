@@ -61,7 +61,10 @@ from ..bsdf.lobes import (
     LOBE_SPEC_REFL,
     LOBE_SPEC_TRANS,
     LOBE_FRESNEL_SPEC,
+    LOBE_DISNEY_DIFFUSE,
     LOBE_DISNEY_RETRO,
+    LOBE_DISNEY_SHEEN,
+    LOBE_DISNEY_CLEARCOAT,
     LOBE_DISNEY_MICROFACET_REFL,
     DIST_TROWBRIDGE_REITZ,
     DIST_DISNEY_SEPARABLE_G,
@@ -74,7 +77,12 @@ from ..bsdf.lobes import (
 # visible-normal machinery with MF_REFL (separable Smith G + Disney
 # fresnel, disney.rs); cosine-shaped diffuse kinds share lambert's
 MF_KINDS = (LOBE_MF_REFL, LOBE_DISNEY_MICROFACET_REFL)
-COS_KINDS = (LOBE_LAMBERT_REFL, LOBE_DISNEY_RETRO)
+COS_KINDS = (
+    LOBE_LAMBERT_REFL,
+    LOBE_DISNEY_DIFFUSE,
+    LOBE_DISNEY_RETRO,
+    LOBE_DISNEY_SHEEN,
+)
 
 SPEC_KINDS = (LOBE_SPEC_REFL, LOBE_SPEC_TRANS, LOBE_FRESNEL_SPEC)
 
@@ -93,7 +101,7 @@ MEGA_BVH_TRI_MAX = 65536
 # make every bounce traverse the union of 16K rays' node sets
 BVH_TILE_ROWS = int(os.environ.get("RS_MEGA_TILE_ROWS", "32"))
 SPH_MAX = 8
-LOBES_MAX = 3
+LOBES_MAX = 5
 LIGHT_MAX = 8
 DEPTH_MAX = 15
 
@@ -167,6 +175,7 @@ def common_scene_checks(
     tri_max=TRI_MAX,
     allow_media=False,
     allow_bssrdf=False,
+    allow_halton=False,
 ):
     """Host gates shared by BOTH megakernels (path + direct): RGB only,
     in-VMEM stratified sampler, VMEM-resident scene with flat shading
@@ -182,11 +191,19 @@ def common_scene_checks(
     # needs power-of-two strata (integer div/mod by non-constants does not
     # lower to Mosaic)
     from ..sampler.stratified import StratifiedSampler
+    from ..sampler.halton import HaltonSampler
 
     if sampler is not None:
-        if not isinstance(sampler, StratifiedSampler):
-            return None
-        if not (_pow2(sampler.spp) and _pow2(sampler.xs) and _pow2(sampler.ys)):
+        if isinstance(sampler, StratifiedSampler):
+            if not (
+                _pow2(sampler.spp) and _pow2(sampler.xs) and _pow2(sampler.ys)
+            ):
+                return None
+        elif allow_halton and isinstance(sampler, HaltonSampler):
+            # Halton slot values ride into the kernel as an input matrix
+            # (_sampler_payload) — no in-kernel constraint at all
+            pass
+        else:
             return None
     n_sph = int(ctx.sph.count)
     if allow_spheres:
@@ -315,6 +332,7 @@ def supports(ctx, spec, sampler, diff) -> bool:
         allow_env=True,
         tri_max=tri_max,
         allow_bssrdf=True,
+        allow_halton=True,
     )
     if common is None:
         return False
@@ -333,9 +351,14 @@ def supports(ctx, spec, sampler, diff) -> bool:
         if ctx.infinite_envs or int(ctx.sph.count) != 0:
             return False
     ok_kinds = (kinds == LOBE_LAMBERT_REFL) | (kinds == LOBE_MF_REFL)
-    ok_kinds |= (kinds == LOBE_DISNEY_RETRO) | (
-        kinds == LOBE_DISNEY_MICROFACET_REFL
-    )
+    for dk in (
+        LOBE_DISNEY_DIFFUSE,
+        LOBE_DISNEY_RETRO,
+        LOBE_DISNEY_SHEEN,
+        LOBE_DISNEY_CLEARCOAT,
+        LOBE_DISNEY_MICROFACET_REFL,
+    ):
+        ok_kinds |= kinds == dk
     for sk in SPEC_KINDS:
         ok_kinds |= kinds == sk
     if np.any(~ok_kinds[live]):
@@ -682,6 +705,7 @@ def _has_full(kinds_present):
     return (
         any(k in kinds_present for k in MF_KINDS)
         or LOBE_DISNEY_RETRO in kinds_present  # roughness rides in au
+        or LOBE_DISNEY_CLEARCOAT in kinds_present  # weight/gloss in au/av
         or _has_spec(kinds_present)
     )
 
@@ -1452,6 +1476,25 @@ def _spec_mask(lob, kinds_present):
     return True if lob["kind"] in SPEC_KINDS else None
 
 
+def _gtr1_k(cos_theta, alpha):
+    """disney.rs GTR1 incl. the reference's log10 (eval._gtr1)."""
+    a2 = alpha * alpha
+    return (a2 - 1.0) / (
+        PI
+        * jnp.log10(jnp.maximum(a2, 1e-9))
+        * (1.0 + (a2 - 1.0) * cos_theta * cos_theta)
+    )
+
+
+def _cc_g_k(cos_theta, alpha=0.25):
+    """Smith G_GGX at fixed clearcoat alpha (eval._smith_g_ggx)."""
+    a2 = alpha * alpha
+    c2 = cos_theta * cos_theta
+    return 1.0 / jnp.maximum(
+        cos_theta + jnp.sqrt(jnp.maximum(a2 + c2 - a2 * c2, 0.0)), 1e-9
+    )
+
+
 def _kind_mask(lob, kinds, kinds_present):
     """Lane mask (or python bool) for `lob.kind in kinds`, respecting the
     static single-kind case."""
@@ -1477,11 +1520,14 @@ def _lobe_f_k(lob, wox, woy, woz, wix, wiy, wiz, kinds_present):
     if sm is True:
         return (jnp.zeros_like(wox),) * 3
     has_lam = LOBE_LAMBERT_REFL in kinds_present
+    has_dd = LOBE_DISNEY_DIFFUSE in kinds_present
     has_retro = LOBE_DISNEY_RETRO in kinds_present
+    has_sheen = LOBE_DISNEY_SHEEN in kinds_present
+    has_cc = LOBE_DISNEY_CLEARCOAT in kinds_present
     has_mfk = any(k in kinds_present for k in MF_KINDS)
 
-    # shared half-vector for retro + microfacet families
-    if has_retro or has_mfk:
+    # shared half-vector for retro/sheen/clearcoat + microfacet families
+    if has_retro or has_sheen or has_cc or has_mfk:
         whx, why, whz = wox + wix, woy + wiy, woz + wiz
         wh2 = whx * whx + why * why + whz * whz
         wh_len = jnp.sqrt(jnp.maximum(wh2, 0.0))
@@ -1489,22 +1535,55 @@ def _lobe_f_k(lob, wox, woy, woz, wix, wiy, wiz, kinds_present):
         inv_l = 1.0 / jnp.maximum(wh_len, 1e-20)
         nhx, nhy, nhz = whx * inv_l, why * inv_l, whz * inv_l
 
+    if has_dd or has_retro or has_sheen:
+        fo_d = _schlick_weight_k(jnp.abs(woz))
+        fi_d = _schlick_weight_k(jnp.abs(wiz))
     vals = []  # (mask, (r,g,b)) in kind order; later entries win
     if has_lam:
         lam = tuple(lob["s0"][c] / PI for c in range(3))
         vals.append((_kind_mask(lob, (LOBE_LAMBERT_REFL,), kinds_present), lam))
+    if has_dd:
+        # disney.rs DisneyDiffuse::f (eval.py lobe_f)
+        dfac = (1.0 - fo_d / 2.0) * (1.0 - fi_d / 2.0) / PI
+        dd = tuple(lob["s0"][c] * dfac for c in range(3))
+        vals.append((_kind_mask(lob, (LOBE_DISNEY_DIFFUSE,), kinds_present),
+                     dd))
+    if has_retro or has_sheen:
+        cos_d = wix * nhx + wiy * nhy + wiz * nhz
     if has_retro:
         # disney.rs retro-reflection (eval.py lobe_f): rough rides in au
-        cos_d = wix * nhx + wiy * nhy + wiz * nhz
-        fo = _schlick_weight_k(jnp.abs(woz))
-        fi = _schlick_weight_k(jnp.abs(wiz))
         rr = 2.0 * lob["au"] * cos_d * cos_d
-        fac = rr * (fo + fi + fo * fi * (rr - 1.0)) / PI
+        fac = rr * (fo_d + fi_d + fo_d * fi_d * (rr - 1.0)) / PI
         retro = tuple(
             jnp.where(wh_zero, 0.0, lob["s0"][c] * fac) for c in range(3)
         )
         vals.append((_kind_mask(lob, (LOBE_DISNEY_RETRO,), kinds_present),
                      retro))
+    if has_sheen:
+        # disney.rs DisneySheen::f = s0 * schlick_weight(cos_d)
+        swd = _schlick_weight_k(cos_d)
+        sh = tuple(
+            jnp.where(wh_zero, 0.0, lob["s0"][c] * swd) for c in range(3)
+        )
+        vals.append((_kind_mask(lob, (LOBE_DISNEY_SHEEN,), kinds_present),
+                     sh))
+    if has_cc:
+        # disney.rs DisneyClearcoat::f: weight in au, gloss in av; GTR1 D
+        # with the reference's log10 quirk, fixed-alpha (0.25) Smith G,
+        # schlick 0.04 fresnel
+        v_cc = jnp.where(
+            wh_zero,
+            0.0,
+            lob["au"]
+            * _cc_g_k(jnp.abs(woz)) * _cc_g_k(jnp.abs(wiz))
+            * (0.04 + 0.96 * _schlick_weight_k(
+                wox * nhx + woy * nhy + woz * nhz))
+            * _gtr1_k(jnp.abs(nhz), lob["av"])
+            / 4.0,
+        )
+        cc3 = (v_cc, v_cc, v_cc)
+        vals.append((_kind_mask(lob, (LOBE_DISNEY_CLEARCOAT,), kinds_present),
+                     cc3))
     if has_mfk:
         co = jnp.abs(woz)
         ci = jnp.abs(wiz)
@@ -1563,33 +1642,45 @@ def _lobe_pdf_k(lob, wox, woy, woz, wix, wiy, wiz, kinds_present):
     cos_pdf = jnp.where(same, jnp.abs(wiz) / PI, 0.0)
     if sm is not None:
         cos_pdf = jnp.where(sm, 0.0, cos_pdf)
-    if not any(k in kinds_present for k in MF_KINDS):
+    has_mfk = any(k in kinds_present for k in MF_KINDS)
+    has_cc = LOBE_DISNEY_CLEARCOAT in kinds_present
+    if not (has_mfk or has_cc):
         return cos_pdf
     whx, why, whz = wox + wix, woy + wiy, woz + wiz
-    inv_l = lax.rsqrt(
-        jnp.maximum(whx * whx + why * why + whz * whz, 1e-30)
-    )
+    wh2 = whx * whx + why * why + whz * whz
+    inv_l = lax.rsqrt(jnp.maximum(wh2, 1e-30))
     whx, why, whz = whx * inv_l, why * inv_l, whz * inv_l
-    d_val = _tr_d_k(whx, why, whz, lob["au"], lob["av"])
-    lam_o = _tr_lambda_k(wox, woy, woz, lob["au"], lob["av"])
-    dot_owh = wox * whx + woy * why + woz * whz
-    pdf_wh = (
-        d_val / (1.0 + lam_o) * jnp.abs(dot_owh) / jnp.maximum(jnp.abs(woz), 1e-20)
-    )
-    mf_pdf = jnp.where(same, pdf_wh / jnp.maximum(4.0 * dot_owh, 1e-20), 0.0)
-    dm = _kind_mask(lob, MF_KINDS, kinds_present)
-    only_cos = not (
-        LOBE_LAMBERT_REFL in kinds_present
-        or LOBE_DISNEY_RETRO in kinds_present
-    )
-    if only_cos and sm is None and dm is True:
-        return mf_pdf
-    if dm is True:
-        out = mf_pdf
-    elif dm is False:
-        out = cos_pdf
-    else:
-        out = jnp.where(dm, mf_pdf, cos_pdf)
+    out = cos_pdf
+    if has_mfk:
+        d_val = _tr_d_k(whx, why, whz, lob["au"], lob["av"])
+        lam_o = _tr_lambda_k(wox, woy, woz, lob["au"], lob["av"])
+        dot_owh = wox * whx + woy * why + woz * whz
+        pdf_wh = (
+            d_val / (1.0 + lam_o) * jnp.abs(dot_owh)
+            / jnp.maximum(jnp.abs(woz), 1e-20)
+        )
+        mf_pdf = jnp.where(
+            same, pdf_wh / jnp.maximum(4.0 * dot_owh, 1e-20), 0.0
+        )
+        dm = _kind_mask(lob, MF_KINDS, kinds_present)
+        if dm is True:
+            out = mf_pdf
+        elif dm is not False:
+            out = jnp.where(dm, mf_pdf, out)
+    if has_cc:
+        # eval._clearcoat_pdf: GTR1 D * |cos wh| / (4 wo.wh)
+        dr = _gtr1_k(jnp.abs(whz), lob["av"])
+        dot_owh2 = wox * whx + woy * why + woz * whz
+        cc_pdf = jnp.where(
+            same & (wh2 > 0.0),
+            dr * jnp.abs(whz) / jnp.maximum(4.0 * dot_owh2, 1e-9),
+            0.0,
+        )
+        cm = _kind_mask(lob, (LOBE_DISNEY_CLEARCOAT,), kinds_present)
+        if cm is True:
+            out = cc_pdf
+        elif cm is not False:
+            out = jnp.where(cm, cc_pdf, out)
     if sm is not None:
         out = jnp.where(sm, 0.0, out)
     return out
@@ -1669,6 +1760,86 @@ def _concentric_disk(u0, u1):
     dxo = jnp.cos(theta) * r
     dyo = jnp.sin(theta) * r
     return jnp.where(zero, 0.0, dxo), jnp.where(zero, 0.0, dyo)
+
+
+def _used_slots(
+    max_depth, n_lights, all_point, has_env_nee, has_bssrdf, with_cam
+):
+    """Static enumeration of the sampler slots the bounce loop consumes,
+    in consumption order — (slot, n_components) pairs.  Must mirror the
+    `sdim` call sites in `_bounce_loop`/`_raygen` exactly: the Halton
+    mode ships these slots' values into the kernel as an input matrix
+    (one row per component), and `_slot_cols` maps slot -> row on both
+    the host and kernel side.  Estimator-equivalence tests pin the
+    pairing (a drifted enumeration shows up as per-ray divergence)."""
+    slots = []
+    if with_cam:
+        slots += [(0, 2), (1, 2)]  # film jitter, lens uv
+    from ..sampler.dims import path_dim0
+
+    for bounce in range(max_depth):
+        d0 = path_dim0(bounce)
+        if all_point:
+            slots.append((d0, 1))
+        elif n_lights > 0:
+            slots.append((d0, 1))
+            slots.append((d0 + 1, 2))
+            if has_env_nee:
+                slots.append((d0 + 2, 2))
+        slots.append((d0 + 3, 2))  # BSDF sample
+        if has_bssrdf:
+            slots.append((d0 + 5, 1))
+            slots.append((d0 + 6, 2))
+            if n_lights > 0:
+                slots.append((d0 + 7, 1))
+            slots.append((d0 + 9, 2))
+        if bounce > 3:
+            slots.append((d0 + 4, 1))  # RR
+    return tuple(slots)
+
+
+def _slot_cols(hal_slots):
+    """slot -> first row index in the Halton u-matrix."""
+    cols, c = {}, 0
+    for slot, n in hal_slots:
+        cols[slot] = c
+        c += n
+    return cols, c
+
+
+def _halton_u(sampler, pid, s_idx, hal_slots):
+    """(NC, N) matrix of the sampler values for `hal_slots`, computed
+    with the production HaltonSampler (sampler/halton.py) — the kernel
+    consumes them verbatim, so Halton parity is exact by construction
+    (radical-inverse digit math never has to lower to Mosaic)."""
+    parts = []
+    for slot, n in hal_slots:
+        if n == 1:
+            parts.append(sampler.get_1d(pid, s_idx, slot))
+        else:
+            u = sampler.get_2d(pid, s_idx, slot)
+            parts.append(u[..., 0])
+            parts.append(u[..., 1])
+    return jnp.stack(parts, 0).astype(jnp.float32)
+
+
+def _mk_sdim(pid, sid, spp, xs, ys, jitter, seed, u_ref, hal_slots):
+    """Closure giving the bounce loop its per-slot uniforms: stratified
+    math in-kernel (u_ref None), or static rows of the Halton input."""
+    if u_ref is None:
+        def sdim(dim, want_2d):
+            return _sampler_dims(
+                pid, sid, dim, spp, xs, ys, jitter, seed, want_2d
+            )
+        return sdim
+    cols, _ = _slot_cols(hal_slots)
+
+    def sdim(dim, want_2d):
+        c = cols[dim]
+        if want_2d:
+            return u_ref[c], u_ref[c + 1]
+        return u_ref[c]
+    return sdim
 
 
 def _sampler_dims(pid, sid, dim, spp, xs, ys, jitter, seed, want_2d):
@@ -1755,6 +1926,7 @@ def _bsdf_sample_k(
 
     is_mf_c = _kind_mask(lob_c, MF_KINDS, kinds_present)
     is_cos_c = _kind_mask(lob_c, COS_KINDS, kinds_present)
+    is_cc_c = _kind_mask(lob_c, (LOBE_DISNEY_CLEARCOAT,), kinds_present)
     is_sr_c = k_is(LOBE_SPEC_REFL)
     is_st_c = k_is(LOBE_SPEC_TRANS)
     is_fs_c = k_is(LOBE_FRESNEL_SPEC)
@@ -1776,6 +1948,30 @@ def _bsdf_sample_k(
         mry = 2.0 * dot_owh * hy - wol_y
         mrz = 2.0 * dot_owh * hz - wo_z
         mr_ok = (dot_owh >= 0.0) & ((wo_z * mrz) > 0.0) & (wo_z != 0.0)
+    # clearcoat candidate: GTR1 wh sample + reflect (disney.rs
+    # DisneyClearcoat::sample_f incl. the reference's missing-sqrt
+    # literal form, eval.py:938-953)
+    if LOBE_DISNEY_CLEARCOAT in kinds_present:
+        gl = lob_c["av"]
+        a2c = gl * gl
+        cc_cos = (
+            1.0 - jnp.power(jnp.maximum(a2c, 1e-9), 1.0 - u0)
+        ) / jnp.sqrt(jnp.maximum(1.0 - a2c, 1e-9))
+        cc_cos = jnp.clip(cc_cos, -1.0, 1.0)
+        cc_sin = jnp.sqrt(jnp.maximum(0.0, 1.0 - cc_cos * cc_cos))
+        cc_phi = 2.0 * PI * u1
+        whcx = cc_sin * jnp.cos(cc_phi)
+        whcy = cc_sin * jnp.sin(cc_phi)
+        whcz = cc_cos
+        flip_cc = (wo_z * whcz) <= 0.0
+        whcx = jnp.where(flip_cc, -whcx, whcx)
+        whcy = jnp.where(flip_cc, -whcy, whcy)
+        whcz = jnp.where(flip_cc, -whcz, whcz)
+        dot_ow = wol_x * whcx + wol_y * whcy + wo_z * whcz
+        ccx = 2.0 * dot_ow * whcx - wol_x
+        ccy = 2.0 * dot_ow * whcy - wol_y
+        ccz = 2.0 * dot_ow * whcz - wo_z
+
     # specular candidates (reflection.rs:638-649, 686-715, 755-797)
     if has_spec:
         ea_c, eb_c = lob_c["eta_a"], lob_c["eta_b"]
@@ -1819,6 +2015,8 @@ def _bsdf_sample_k(
         )
     if has_mf:
         _put(is_mf_c if mixed else True, mrx, mry, mrz)
+    if LOBE_DISNEY_CLEARCOAT in kinds_present:
+        _put(is_cc_c if mixed else True, ccx, ccy, ccz)
     if LOBE_SPEC_REFL in kinds_present:
         _put(is_sr_c if mixed else True, srx, sry, srz)
     if LOBE_SPEC_TRANS in kinds_present:
@@ -1940,8 +2138,9 @@ def _bounce_loop(
     tri_ref, ox, oy, oz, dx, dy, dz, active, pid, sid,
     n_tris, wide, max_depth, rr_threshold,
     spp, xs, ys, jitter, seed, kinds_present, max_lobes,
-    bvh_refs=None, max_leaf=None,
+    bvh_refs=None, max_leaf=None, u_ref=None, hal_slots=None,
 ):
+    sdim = _mk_sdim(pid, sid, spp, xs, ys, jitter, seed, u_ref, hal_slots)
     lights = wide.lights
     spheres = wide.spheres
     n_lights = len(lights)
@@ -2132,9 +2331,7 @@ def _bounce_loop(
         if all_point:
             # fast path: delta lights only — no u_light, no MIS
             # (common.py:336-356 semantics; round-2 code kept verbatim)
-            u_pick = _sampler_dims(
-                pid, sid, dim0, spp, xs, ys, jitter, seed, False
-            )
+            u_pick = sdim(dim0, False)
             li_idx = jnp.minimum(
                 (u_pick * n_lights).astype(jnp.int32), n_lights - 1
             )
@@ -2193,15 +2390,11 @@ def _bounce_loop(
         elif n_lights > 0:
             # generic branch: area / env lights with the MIS power
             # heuristic (estimate_direct, integrator/mod.rs:403-558)
-            u_pick = _sampler_dims(
-                pid, sid, dim0, spp, xs, ys, jitter, seed, False
-            )
+            u_pick = sdim(dim0, False)
             li_idx = jnp.minimum(
                 (u_pick * n_lights).astype(jnp.int32), n_lights - 1
             )
-            u_l0, u_l1 = _sampler_dims(
-                pid, sid, dim0 + 1, spp, xs, ys, jitter, seed, True
-            )
+            u_l0, u_l1 = sdim(dim0 + 1, True)
             ls = _nee_light_k(wide, li_idx, px, py, pz, u_l0, u_l1)
             wix, wiy, wiz = ls["wi"]
             lir, lig, lib = ls["li"]
@@ -2277,9 +2470,7 @@ def _bounce_loop(
             # sampled INFINITE light contribute — statically skipped for
             # area-only scenes
             if has_env_nee:
-                us0, us1 = _sampler_dims(
-                    pid, sid, dim0 + 2, spp, xs, ys, jitter, seed, True
-                )
+                us0, us1 = sdim(dim0 + 2, True)
                 smp2 = _bsdf_sample_k(
                     lobs, n_lob, wol_x, wol_y, wo_z, us0, us1,
                     kinds_present, max_lobes,
@@ -2314,9 +2505,7 @@ def _bounce_loop(
                 Lb = Lb + bb * f2[2] * env.rgb[2] * scale2
 
         # ---- sample the BSDF (bsdf_sample, REFERENCE_QUIRKS-exact) ----
-        ub0, ub1 = _sampler_dims(
-            pid, sid, dim0 + 3, spp, xs, ys, jitter, seed, True
-        )
+        ub0, ub1 = sdim(dim0 + 3, True)
         smp = _bsdf_sample_k(
             lobs, n_lob, wol_x, wol_y, wo_z, ub0, ub1,
             kinds_present, max_lobes,
@@ -2397,12 +2586,8 @@ def _bounce_loop(
             elif st_smp is False:
                 st_smp = jnp.zeros_like(active)
             is_trans = active & st_smp
-            u1b = _sampler_dims(
-                pid, sid, dim0 + 5, spp, xs, ys, jitter, seed, False
-            )
-            u2b0, u2b1 = _sampler_dims(
-                pid, sid, dim0 + 6, spp, xs, ys, jitter, seed, True
-            )
+            u1b = sdim(dim0 + 5, False)
+            u2b0, u2b1 = sdim(dim0 + 6, True)
 
             def probe_hit(cx, cy, cz, pdx, pdy, pdz, alive_m):
                 if bvh_refs is None:
@@ -2567,9 +2752,7 @@ def _bounce_loop(
 
             # exit NEE: uniform one-light pick, Sw adapter (path.py:160-176)
             if n_lights > 0:
-                u_pk = _sampler_dims(
-                    pid, sid, dim0 + 7, spp, xs, ys, jitter, seed, False
-                )
+                u_pk = sdim(dim0 + 7, False)
                 li2 = jnp.minimum(
                     (u_pk * n_lights).astype(jnp.int32), n_lights - 1
                 )
@@ -2614,9 +2797,7 @@ def _bounce_loop(
                 Lb = Lb + bb * e2b * sc2
 
             # indirect: cosine-sample the Sw adapter at the exit point
-            uo0, uo1 = _sampler_dims(
-                pid, sid, dim0 + 9, spp, xs, ys, jitter, seed, True
-            )
+            uo0, uo1 = sdim(dim0 + 9, True)
             dxo2, dyo2 = _concentric_disk(uo0, uo1)
             zo = jnp.sqrt(
                 jnp.maximum(0.0, 1.0 - dxo2 * dxo2 - dyo2 * dyo2)
@@ -2659,9 +2840,7 @@ def _bounce_loop(
             beta_max = jnp.maximum(br, jnp.maximum(bg, bb)) * es
             do_rr = active & (beta_max < rr_threshold)
             q = jnp.maximum(0.05, 1.0 - beta_max)
-            u_rr = _sampler_dims(
-                pid, sid, dim0 + 4, spp, xs, ys, jitter, seed, False
-            )
+            u_rr = sdim(dim0 + 4, False)
             killed = do_rr & (u_rr < q)
             active = active & ~killed
             surv = do_rr & ~killed
@@ -2676,16 +2855,20 @@ def _bounce_loop(
 def _kernel(
     tri_ref,
     ox_r, oy_r, oz_r, dx_r, dy_r, dz_r, w_r, pid_r, sid_r,
-    lr_o, lg_o, lb_o,
-    *, n_tris, wide, max_depth, rr_threshold,
-    spp, xs, ys, jitter, seed, kinds_present, max_lobes,
+    *rest,
+    n_tris, wide, max_depth, rr_threshold,
+    spp, xs, ys, jitter, seed, kinds_present, max_lobes, hal_slots=None,
 ):
+    # rest = ([u_r when halton], lr_o, lg_o, lb_o)
+    u_r = rest[0] if hal_slots is not None else None
+    lr_o, lg_o, lb_o = rest[-3:]
     Lr, Lg, Lb = _bounce_loop(
         tri_ref,
         ox_r[:], oy_r[:], oz_r[:], dx_r[:], dy_r[:], dz_r[:],
         w_r[:] > 0.0, pid_r[:], sid_r[:],
         n_tris, wide, max_depth, rr_threshold,
         spp, xs, ys, jitter, seed, kinds_present, max_lobes,
+        u_ref=u_r, hal_slots=hal_slots,
     )
     lr_o[:] = Lr
     lg_o[:] = Lg
@@ -2695,11 +2878,15 @@ def _kernel(
 def _kernel_bvh(
     nodes_f_ref, nodes_i_ref, tri_ref,
     ox_r, oy_r, oz_r, dx_r, dy_r, dz_r, w_r, pid_r, sid_r,
-    lr_o, lg_o, lb_o,
-    stack_ref, t_ref, best_ref, attr_ref,
-    *, n_tris, wide, max_depth, rr_threshold,
+    *rest,
+    n_tris, wide, max_depth, rr_threshold,
     spp, xs, ys, jitter, seed, kinds_present, max_lobes, max_leaf,
+    hal_slots=None,
 ):
+    # rest = ([u_r when halton], lr_o, lg_o, lb_o, stack, t, best, attr)
+    u_r = rest[0] if hal_slots is not None else None
+    lr_o, lg_o, lb_o = rest[-7:-4]
+    stack_ref, t_ref, best_ref, attr_ref = rest[-4:]
     Lr, Lg, Lb = _bounce_loop(
         tri_ref,
         ox_r[:], oy_r[:], oz_r[:], dx_r[:], dy_r[:], dz_r[:],
@@ -2709,6 +2896,7 @@ def _kernel_bvh(
         bvh_refs=(nodes_f_ref, nodes_i_ref, stack_ref, t_ref, best_ref,
                   attr_ref),
         max_leaf=max_leaf,
+        u_ref=u_r, hal_slots=hal_slots,
     )
     lr_o[:] = Lr
     lg_o[:] = Lg
@@ -2737,13 +2925,14 @@ def _bvh_call_extras(rows, kinds_present, max_lobes, interpret):
     static_argnames=(
         "n_tris", "wide", "max_depth", "rr_threshold",
         "spp", "xs", "ys", "jitter", "seed", "kinds_present", "max_lobes",
-        "max_leaf", "interpret",
+        "max_leaf", "hal_slots", "interpret",
     ),
 )
 def _run(
     table, nodes_f, nodes_i, ox, oy, oz, dx, dy, dz, w, pid, sid,
     n_tris, wide, max_depth, rr_threshold,
     spp, xs, ys, jitter, seed, kinds_present, max_lobes, max_leaf=None,
+    u=None, hal_slots=None,
     interpret=False,
 ):
     m = ox.shape[0]
@@ -2754,6 +2943,13 @@ def _run(
         (rows, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    u_in, u_specs = (), []
+    if hal_slots is not None:
+        nc = u.shape[0]
+        u_in = (u,)
+        u_specs = [pl.BlockSpec(
+            (nc, rows, LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+        )]
     if use_bvh:
         kernel = functools.partial(
             _kernel_bvh,
@@ -2761,7 +2957,7 @@ def _run(
             max_depth=max_depth, rr_threshold=rr_threshold,
             spp=spp, xs=xs, ys=ys, jitter=jitter, seed=seed,
             kinds_present=kinds_present, max_lobes=max_lobes,
-            max_leaf=max_leaf,
+            max_leaf=max_leaf, hal_slots=hal_slots,
         )
         scratch, kwargs = _bvh_call_extras(
             rows, kinds_present, max_lobes, interpret
@@ -2769,13 +2965,14 @@ def _run(
         return pl.pallas_call(
             kernel,
             grid=grid,
-            in_specs=[vmem, vmem, vmem] + [ray_spec] * 9,
+            in_specs=[vmem, vmem, vmem] + [ray_spec] * 9 + u_specs,
             out_specs=[ray_spec] * 3,
             out_shape=[jax.ShapeDtypeStruct((m, LANES), jnp.float32)] * 3,
             scratch_shapes=scratch,
             interpret=interpret,
             **kwargs,
-        )(nodes_f, nodes_i, table, ox, oy, oz, dx, dy, dz, w, pid, sid)
+        )(nodes_f, nodes_i, table, ox, oy, oz, dx, dy, dz, w, pid, sid,
+          *u_in)
     kernel = functools.partial(
         _kernel,
         n_tris=n_tris,
@@ -2784,16 +2981,49 @@ def _run(
         rr_threshold=rr_threshold,
         spp=spp, xs=xs, ys=ys, jitter=jitter, seed=seed,
         kinds_present=kinds_present, max_lobes=max_lobes,
+        hal_slots=hal_slots,
     )
     outs = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[vmem] + [ray_spec] * 9,
+        in_specs=[vmem] + [ray_spec] * 9 + u_specs,
         out_specs=[ray_spec] * 3,
         out_shape=[jax.ShapeDtypeStruct((m, LANES), jnp.float32)] * 3,
         interpret=interpret,
-    )(table, ox, oy, oz, dx, dy, dz, w, pid, sid)
+    )(table, ox, oy, oz, dx, dy, dz, w, pid, sid, *u_in)
     return outs
+
+
+def _sampler_payload(
+    sampler, wide, kinds_present, spec, pid, s_arr, prep, with_cam
+):
+    """(hal_slots, u, samp_static) for a megakernel launch: stratified
+    samplers keep the in-kernel hash math (u None); Halton samplers ship
+    their slot values as a (NC, n_blocks, LANES) input computed by the
+    production HaltonSampler — exact parity, any spp."""
+    from ..sampler.halton import HaltonSampler
+
+    samp_static = dict(
+        spp=int(sampler.spp),
+        xs=int(getattr(sampler, "xs", 1)),
+        ys=int(getattr(sampler, "ys", 1)),
+        jitter=bool(getattr(sampler, "jitter", False)),
+        seed=int(sampler.seed),
+    )
+    if not isinstance(sampler, HaltonSampler):
+        return None, None, samp_static
+    lights = wide.lights
+    n_lights = len(lights)
+    all_point = n_lights > 0 and all(l.kind == LIGHT_POINT for l in lights)
+    has_env_nee = any(l.kind == LIGHT_INFINITE for l in lights)
+    has_bssrdf = wide.bssrdf is not None and _has_spec_trans(kinds_present)
+    hal_slots = _used_slots(
+        int(spec.max_depth), n_lights, all_point, has_env_nee, has_bssrdf,
+        with_cam,
+    )
+    umat = _halton_u(sampler, pid, s_arr, hal_slots)  # (NC, N)
+    u = jnp.stack([prep(umat[c]) for c in range(umat.shape[0])], 0)
+    return hal_slots, u, samp_static
 
 
 def li_path_mega(
@@ -2818,18 +3048,23 @@ def li_path_mega(
         return x.reshape(n_pad // LANES, LANES)
 
     s_arr = jnp.broadcast_to(jnp.asarray(s_idx, jnp.uint32), (n,))
+    pid_arr = jnp.asarray(pixel_id, jnp.uint32)
+    hal_slots, u, samp_static = _sampler_payload(
+        sampler, wide, kinds_present, spec, pid_arr, s_arr, prep,
+        with_cam=False,
+    )
     lr, lg, lb = _run(
         table, nodes_f, nodes_i,
         prep(o[:, 0]), prep(o[:, 1]), prep(o[:, 2]),
         prep(d[:, 0]), prep(d[:, 1]), prep(d[:, 2]),
         prep(cam_weight.astype(jnp.float32)),
-        prep(jnp.asarray(pixel_id, jnp.uint32)), prep(s_arr),
+        prep(pid_arr), prep(s_arr),
         n_tris=int(table.shape[0]), wide=wide,
         max_depth=int(spec.max_depth), rr_threshold=float(spec.rr_threshold),
-        spp=int(sampler.spp), xs=int(sampler.xs), ys=int(sampler.ys),
-        jitter=bool(sampler.jitter), seed=int(sampler.seed),
+        **samp_static,
         kinds_present=kinds_present, max_lobes=max_lobes,
         max_leaf=max_leaf,
+        u=u, hal_slots=hal_slots,
         interpret=interpret,
     )
     return jnp.stack(
@@ -2869,11 +3104,11 @@ def pack_camera(cam):
     )
 
 
-def _raygen(px, py, pid, sid, cam, spp, xs, ys, jitter, seed):
+def _raygen(px, py, sdim, cam):
     """Componentwise generate_rays on the tile.  Returns
     (ox, oy, oz, dx, dy, dz, weight) in world space."""
-    uf0, uf1 = _sampler_dims(pid, sid, 0, spp, xs, ys, jitter, seed, True)
-    ul0, ul1 = _sampler_dims(pid, sid, 1, spp, xs, ys, jitter, seed, True)
+    uf0, uf1 = sdim(0, True)
+    ul0, ul1 = sdim(1, True)
     sx = (px + uf0) / cam["xres"]
     sy = (py + uf1) / cam["yres"]
     # film.rs:200-208 physical extent; camera.rs:542 pFilm = (-x, y, 0)
@@ -3015,19 +3250,23 @@ def _raygen(px, py, pid, sid, cam, spp, xs, ys, jitter, seed):
 def _kernel_cam(
     tri_ref,
     px_r, py_r, pid_r, sid_r,
-    lr_o, lg_o, lb_o, w_o,
-    *, n_tris, wide, max_depth, rr_threshold,
+    *rest,
+    n_tris, wide, max_depth, rr_threshold,
     spp, xs, ys, jitter, seed, cam, kinds_present, max_lobes,
+    hal_slots=None,
 ):
+    # rest = ([u_r when halton], lr_o, lg_o, lb_o, w_o)
+    u_r = rest[0] if hal_slots is not None else None
+    lr_o, lg_o, lb_o, w_o = rest[-4:]
     pid = pid_r[:]
     sid = sid_r[:]
-    ox, oy, oz, dx, dy, dz, weight = _raygen(
-        px_r[:], py_r[:], pid, sid, cam, spp, xs, ys, jitter, seed
-    )
+    sdim = _mk_sdim(pid, sid, spp, xs, ys, jitter, seed, u_r, hal_slots)
+    ox, oy, oz, dx, dy, dz, weight = _raygen(px_r[:], py_r[:], sdim, cam)
     Lr, Lg, Lb = _bounce_loop(
         tri_ref, ox, oy, oz, dx, dy, dz, weight > 0.0, pid, sid,
         n_tris, wide, max_depth, rr_threshold,
         spp, xs, ys, jitter, seed, kinds_present, max_lobes,
+        u_ref=u_r, hal_slots=hal_slots,
     )
     lr_o[:] = Lr
     lg_o[:] = Lg
@@ -3038,16 +3277,20 @@ def _kernel_cam(
 def _kernel_cam_bvh(
     nodes_f_ref, nodes_i_ref, tri_ref,
     px_r, py_r, pid_r, sid_r,
-    lr_o, lg_o, lb_o, w_o,
-    stack_ref, t_ref, best_ref, attr_ref,
-    *, n_tris, wide, max_depth, rr_threshold,
+    *rest,
+    n_tris, wide, max_depth, rr_threshold,
     spp, xs, ys, jitter, seed, cam, kinds_present, max_lobes, max_leaf,
+    hal_slots=None,
 ):
+    # rest = ([u_r when halton], lr_o, lg_o, lb_o, w_o, stack, t, best,
+    # attr)
+    u_r = rest[0] if hal_slots is not None else None
+    lr_o, lg_o, lb_o, w_o = rest[-8:-4]
+    stack_ref, t_ref, best_ref, attr_ref = rest[-4:]
     pid = pid_r[:]
     sid = sid_r[:]
-    ox, oy, oz, dx, dy, dz, weight = _raygen(
-        px_r[:], py_r[:], pid, sid, cam, spp, xs, ys, jitter, seed
-    )
+    sdim = _mk_sdim(pid, sid, spp, xs, ys, jitter, seed, u_r, hal_slots)
+    ox, oy, oz, dx, dy, dz, weight = _raygen(px_r[:], py_r[:], sdim, cam)
     Lr, Lg, Lb = _bounce_loop(
         tri_ref, ox, oy, oz, dx, dy, dz, weight > 0.0, pid, sid,
         n_tris, wide, max_depth, rr_threshold,
@@ -3055,6 +3298,7 @@ def _kernel_cam_bvh(
         bvh_refs=(nodes_f_ref, nodes_i_ref, stack_ref, t_ref, best_ref,
                   attr_ref),
         max_leaf=max_leaf,
+        u_ref=u_r, hal_slots=hal_slots,
     )
     lr_o[:] = Lr
     lg_o[:] = Lg
@@ -3077,14 +3321,14 @@ class _Hashable(dict):
     static_argnames=(
         "n_tris", "wide", "max_depth", "rr_threshold",
         "spp", "xs", "ys", "jitter", "seed", "cam", "kinds_present",
-        "max_lobes", "max_leaf", "interpret",
+        "max_lobes", "max_leaf", "hal_slots", "interpret",
     ),
 )
 def _run_cam(
     table, nodes_f, nodes_i, px, py, pid, sid,
     n_tris, wide, max_depth, rr_threshold,
     spp, xs, ys, jitter, seed, cam, kinds_present, max_lobes,
-    max_leaf=None, interpret=False,
+    max_leaf=None, u=None, hal_slots=None, interpret=False,
 ):
     m = px.shape[0]
     use_bvh = nodes_f is not None
@@ -3094,6 +3338,13 @@ def _run_cam(
         (rows, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    u_in, u_specs = (), []
+    if hal_slots is not None:
+        nc = u.shape[0]
+        u_in = (u,)
+        u_specs = [pl.BlockSpec(
+            (nc, rows, LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+        )]
     if use_bvh:
         kernel = functools.partial(
             _kernel_cam_bvh,
@@ -3101,7 +3352,7 @@ def _run_cam(
             max_depth=max_depth, rr_threshold=rr_threshold,
             spp=spp, xs=xs, ys=ys, jitter=jitter, seed=seed, cam=cam,
             kinds_present=kinds_present, max_lobes=max_lobes,
-            max_leaf=max_leaf,
+            max_leaf=max_leaf, hal_slots=hal_slots,
         )
         scratch, kwargs = _bvh_call_extras(
             rows, kinds_present, max_lobes, interpret
@@ -3109,28 +3360,29 @@ def _run_cam(
         return pl.pallas_call(
             kernel,
             grid=grid,
-            in_specs=[vmem, vmem, vmem] + [ray_spec] * 4,
+            in_specs=[vmem, vmem, vmem] + [ray_spec] * 4 + u_specs,
             out_specs=[ray_spec] * 4,
             out_shape=[jax.ShapeDtypeStruct((m, LANES), jnp.float32)] * 4,
             scratch_shapes=scratch,
             interpret=interpret,
             **kwargs,
-        )(nodes_f, nodes_i, table, px, py, pid, sid)
+        )(nodes_f, nodes_i, table, px, py, pid, sid, *u_in)
     kernel = functools.partial(
         _kernel_cam,
         n_tris=n_tris, wide=wide,
         max_depth=max_depth, rr_threshold=rr_threshold,
         spp=spp, xs=xs, ys=ys, jitter=jitter, seed=seed, cam=cam,
         kinds_present=kinds_present, max_lobes=max_lobes,
+        hal_slots=hal_slots,
     )
     outs = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[vmem] + [ray_spec] * 4,
+        in_specs=[vmem] + [ray_spec] * 4 + u_specs,
         out_specs=[ray_spec] * 4,
         out_shape=[jax.ShapeDtypeStruct((m, LANES), jnp.float32)] * 4,
         interpret=interpret,
-    )(table, px, py, pid, sid)
+    )(table, px, py, pid, sid, *u_in)
     return outs
 
 
@@ -3160,18 +3412,23 @@ def li_path_mega_cam(
         return x.reshape(n_pad // LANES, LANES)
 
     s_arr = jnp.broadcast_to(jnp.asarray(s_idx, jnp.uint32), (n,))
+    pid_arr = jnp.asarray(pixel_id, jnp.uint32)
+    hal_slots, u, samp_static = _sampler_payload(
+        sampler, wide, kinds_present, spec, pid_arr, s_arr, prep,
+        with_cam=True,
+    )
     lr, lg, lb, w = _run_cam(
         table, nodes_f, nodes_i,
         prep(pixel_xy[:, 0].astype(jnp.float32)),
         prep(pixel_xy[:, 1].astype(jnp.float32)),
-        prep(jnp.asarray(pixel_id, jnp.uint32)), prep(s_arr),
+        prep(pid_arr), prep(s_arr),
         n_tris=int(table.shape[0]), wide=wide,
         max_depth=int(spec.max_depth), rr_threshold=float(spec.rr_threshold),
-        spp=int(sampler.spp), xs=int(sampler.xs), ys=int(sampler.ys),
-        jitter=bool(sampler.jitter), seed=int(sampler.seed),
+        **samp_static,
         cam=_Hashable(cam_packed),
         kinds_present=kinds_present, max_lobes=max_lobes,
         max_leaf=max_leaf,
+        u=u, hal_slots=hal_slots,
         interpret=interpret,
     )
     l = jnp.stack(

@@ -316,9 +316,8 @@ def render_job(
             # depend on the fused path — never drop to jnp silently
             print(
                 "rs_ray_toy_tpu: scene outside the path-megakernel subset"
-                " (e.g. Halton sampler, smooth normals, textures, media"
-                " without the volpath subset) — using the jnp wavefront"
-                " loop",
+                " (e.g. smooth normals, textures, media without the"
+                " volpath subset) — using the jnp wavefront loop",
                 file=sys.stderr,
             )
     if (

@@ -283,7 +283,11 @@ def test_render_job_uses_megakernel(bench_ctx, monkeypatch):
 def test_raygen_matches_camera(bench_ctx):
     """_raygen (the in-kernel camera) is pure jnp — run it eagerly and
     compare against RealisticCamera.generate_rays on the same samples."""
-    from rs_ray_toy_tpu.ops.path_megakernel import pack_camera, _raygen
+    from rs_ray_toy_tpu.ops.path_megakernel import (
+        pack_camera,
+        _raygen,
+        _mk_sdim,
+    )
     from rs_ray_toy_tpu.camera.realistic import RealisticCamera
     from rs_ray_toy_tpu.sampler.stratified import StratifiedSampler
 
@@ -303,10 +307,11 @@ def test_raygen_matches_camera(bench_ctx):
     )
 
     camp = pack_camera(cam)
-    ox, oy, oz, dx, dy, dz, w = _raygen(
-        px, py, pid, sid, camp,
-        sampler.spp, sampler.xs, sampler.ys, sampler.jitter, sampler.seed,
+    sdim = _mk_sdim(
+        pid, sid, sampler.spp, sampler.xs, sampler.ys, sampler.jitter,
+        sampler.seed, None, None,
     )
+    ox, oy, oz, dx, dy, dz, w = _raygen(px, py, sdim, camp)
     o = np.stack([np.asarray(ox), np.asarray(oy), np.asarray(oz)], -1)
     d = np.stack([np.asarray(dx), np.asarray(dy), np.asarray(dz)], -1)
     w = np.asarray(w)
@@ -492,3 +497,152 @@ def test_disney_bssrdf_render_job(monkeypatch):
         outs[flag] = np.asarray(res["rgb_srgb_input"])
     rmse = float(np.sqrt(np.mean((outs["1"] - outs["0"]) ** 2)))
     assert rmse < 1e-4, f"sss megakernel render deviates: rmse {rmse}"
+
+
+DISNEY_PLAIN_MAT = {
+    "material_type": "DisneyMaterial",
+    "material_name": "mat_dis",
+    "color": {"values": [0.8, 0.5, 0.3]},
+    "roughness": 0.4,
+    "metallic": 0.3,
+    "sheen": 0.5,
+    "clearcoat": 0.6,
+}
+
+
+def test_disney_full_stack_matches_jnp_loop():
+    """Plain Disney (no scatter_distance): the 5-lobe stack — diffuse,
+    retro, sheen, Disney microfacet (separable G + Disney fresnel), and
+    clearcoat (GTR1 with the reference's log10 + missing-sqrt sampling
+    quirks) — must reproduce li_path per ray."""
+    from rs_ray_toy_tpu.ops.path_megakernel import (
+        pack_scene,
+        li_path_mega,
+        supports,
+    )
+    from rs_ray_toy_tpu.integrators.path import li_path
+    from rs_ray_toy_tpu.camera.realistic import RealisticCamera
+    from rs_ray_toy_tpu.sampler.stratified import StratifiedSampler
+
+    job, ctx = _make_job("mat_dis", extra_materials=[DISNEY_PLAIN_MAT])
+    sampler = StratifiedSampler(job.sampler, seed=0)
+    assert supports(ctx, job.integrator, sampler, None)
+    packed = pack_scene(ctx)
+    cam = RealisticCamera(job.camera, job.film, pupil_samples=1 << 10)
+
+    n = 64 * 36
+    pid = jnp.arange(n, dtype=jnp.uint32)
+    px = jnp.stack([(pid % 64) + 0.5, (pid // 64) + 0.5], -1).astype(jnp.float32)
+    s_idx = jnp.zeros((n,), jnp.uint32)
+    u_lens = sampler.get_2d(pid, s_idx, 1)
+    o, d, w = cam.generate_rays(px, u_lens)
+
+    l_ref = np.asarray(
+        li_path(ctx, o, d, w, sampler, pid, s_idx, job.integrator)
+    )
+    l_mega = np.asarray(
+        li_path_mega(
+            ctx, packed, o, d, w, sampler, pid, s_idx, job.integrator,
+            interpret=True,
+        )
+    )
+    assert np.isfinite(l_mega).all()
+    assert l_ref.sum() > 10
+    denom = np.maximum(np.abs(l_ref), 1e-3)
+    rel = np.abs(l_mega - l_ref) / denom
+    frac_diverged = float((rel.max(-1) > 1e-3).mean())
+    assert frac_diverged < 5e-3, f"{frac_diverged:.2%} of rays diverged"
+    assert abs(l_mega.mean() - l_ref.mean()) < 1e-6 + 3e-3 * abs(l_ref.mean())
+
+
+def test_halton_sampler_matches_jnp_loop():
+    """Halton (BASELINE config-2's low-discrepancy sampler): the kernel
+    consumes slot values computed by the production HaltonSampler and
+    shipped in as an input matrix (_sampler_payload), so per-ray radiance
+    must equal li_path with the same sampler — including non-pow2 spp."""
+    from rs_ray_toy_tpu.ops.path_megakernel import (
+        pack_scene,
+        li_path_mega,
+        supports,
+    )
+    from rs_ray_toy_tpu.integrators.path import li_path
+    from rs_ray_toy_tpu.camera.realistic import RealisticCamera
+    from rs_ray_toy_tpu.sampler.halton import HaltonSampler
+    from rs_ray_toy_tpu.scene.loader import SamplerSpec
+
+    job, ctx = _make_job("mat_plastic")
+    sampler = HaltonSampler(
+        SamplerSpec(kind="halton", nsamp=6), 64, 36, seed=0
+    )
+    assert supports(ctx, job.integrator, sampler, None)
+    packed = pack_scene(ctx)
+    cam = RealisticCamera(job.camera, job.film, pupil_samples=1 << 10)
+
+    n = 64 * 36
+    pid = jnp.arange(n, dtype=jnp.uint32)
+    px = jnp.stack([(pid % 64) + 0.5, (pid // 64) + 0.5], -1).astype(jnp.float32)
+    s_idx = jnp.full((n,), 3, jnp.uint32)  # mid-sequence sample index
+    u_lens = sampler.get_2d(pid, s_idx, 1)
+    o, d, w = cam.generate_rays(px, u_lens)
+
+    l_ref = np.asarray(
+        li_path(ctx, o, d, w, sampler, pid, s_idx, job.integrator)
+    )
+    l_mega = np.asarray(
+        li_path_mega(
+            ctx, packed, o, d, w, sampler, pid, s_idx, job.integrator,
+            interpret=True,
+        )
+    )
+    assert np.isfinite(l_mega).all()
+    assert l_ref.sum() > 10
+    denom = np.maximum(np.abs(l_ref), 1e-3)
+    rel = np.abs(l_mega - l_ref) / denom
+    frac_diverged = float((rel.max(-1) > 1e-3).mean())
+    assert frac_diverged < 5e-3, f"{frac_diverged:.2%} of rays diverged"
+
+
+def test_halton_cam_fused_matches_unfused():
+    """The cam-fused kernel entry under Halton: li_path_mega_cam must
+    match generate_rays + li_path_mega (slots 0/1 read from the same
+    input matrix the bounce loop uses)."""
+    from rs_ray_toy_tpu.ops.path_megakernel import (
+        pack_scene,
+        pack_camera,
+        li_path_mega,
+        li_path_mega_cam,
+    )
+    from rs_ray_toy_tpu.camera.realistic import RealisticCamera
+    from rs_ray_toy_tpu.sampler.halton import HaltonSampler
+    from rs_ray_toy_tpu.scene.loader import SamplerSpec
+
+    job, ctx = _make_job("mat_matte")
+    sampler = HaltonSampler(
+        SamplerSpec(kind="halton", nsamp=4), 64, 36, seed=0
+    )
+    packed = pack_scene(ctx)
+    cam = RealisticCamera(job.camera, job.film, pupil_samples=1 << 10)
+
+    n = 64 * 36
+    pid = jnp.arange(n, dtype=jnp.uint32)
+    pxy = jnp.stack([pid % 64, pid // 64], -1).astype(jnp.float32)
+    s_idx = jnp.ones((n,), jnp.uint32)
+
+    u_film = sampler.get_2d(pid, s_idx, 0)
+    u_lens = sampler.get_2d(pid, s_idx, 1)
+    o, d, w = cam.generate_rays(pxy + u_film, u_lens)
+    l_ref = np.asarray(
+        li_path_mega(
+            ctx, packed, o, d, w, sampler, pid, s_idx, job.integrator,
+            interpret=True,
+        )
+    )
+    l_fused, w_fused = li_path_mega_cam(
+        ctx, packed, pack_camera(cam), pxy, pid, s_idx, sampler,
+        job.integrator, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(w_fused), np.asarray(w), rtol=2e-5)
+    live = np.asarray(w) > 0
+    np.testing.assert_allclose(
+        np.asarray(l_fused)[live], l_ref[live], rtol=2e-4, atol=1e-5
+    )
