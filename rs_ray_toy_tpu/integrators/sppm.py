@@ -326,11 +326,35 @@ def render_sppm(ctx: SceneCtx, cam, sampler, film_spec, spec, write_image_fn=Non
     light_distr = ctx._power_distribution
     n_photons = spec.photons_per_iter
 
+    # fused camera pass (ops/sppm_megakernel.py): the whole sppm.rs
+    # camera walk in one Pallas kernel on the supported subset;
+    # estimator-identical to _camera_pass (tests/test_megakernel.py)
+    from ..ops import sppm_megakernel as _smk
+
+    _mega_packed = (
+        _smk.pack_sppm(ctx)
+        if C == 3 and _smk.supports_sppm_camera(ctx, spec, sampler)
+        else None
+    )
+
     @jax.jit
     def one_iteration(state, it):
-        ld_delta, vp = _camera_pass(
-            ctx, cam, sampler, pixel_xy, pixel_id, it, spec.max_depth, state
-        )
+        if _mega_packed is not None:
+            n = pixel_id.shape[0]
+            s_i = jnp.full((n,), it, jnp.uint32)
+            u_film = sampler.get_2d(pixel_id, s_i, 0)
+            u_lens = sampler.get_2d(pixel_id, s_i, 1)
+            ro, rd, wgt = cam.generate_rays(pixel_xy + u_film, u_lens)
+            ld_delta, vp = _smk.sppm_camera_mega(
+                ctx, _mega_packed, ro, rd, wgt, sampler, pixel_id, it,
+                spec.max_depth,
+                interpret=jax.default_backend() == "cpu",
+            )
+        else:
+            ld_delta, vp = _camera_pass(
+                ctx, cam, sampler, pixel_xy, pixel_id, it, spec.max_depth,
+                state,
+            )
         state = state._replace(ld=state.ld + ld_delta)
 
         # ---- grid bounds / resolution (sppm.rs:262-292) ----

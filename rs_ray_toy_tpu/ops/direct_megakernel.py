@@ -8,16 +8,20 @@ benchmark: every tree level round-trips the full SoA state through HBM,
 and levels *double* (reflect+transmit children).  This kernel runs the
 whole tree for a ray tile in VMEM.
 
-Scope (supports_direct): the chain subset — scenes whose materials have
-no specular-TRANSMISSION lobes, so the transmit child of every tree node
-is dead (sample_f(SPECULAR|TRANSMISSION) matches nothing) and the tree
-degenerates to a reflect chain walked iteratively.  This covers
-scene.json (matte/plastic/metal/debug materials) and mirror scenes.
-Everything else falls back to the jnp level loop.
+Scope (supports_direct): the reference's recursive specular tree is
+walked by TRACE-TIME recursion — every tree node unrolls into the
+kernel with a static branch id.  Scenes without transmission lobes
+recurse linearly (the reflect chain: scene.json matte/plastic/metal/
+debug materials, mirrors); glass scenes (SPEC_REFL + SPEC_TRANS
+two-lobe form — the loader's allow_multiple_lobes is false for direct
+integrators so FRESNEL_SPEC never occurs) expand the full
+reflect+transmit binary tree up to TREE_DEPTH_MAX, replacing the jnp
+level loop's 2^depth megabatch doubling.  Everything else falls back
+to the jnp level loop.
 
 Estimator-identical to li_levels: same sampler dims (dim_base =
-8 + branch*257 with the chain branch ids 0,1,3,7,..), same NEE
-(all-lights per estimate_direct or one-light), same child betas.
+8 + branch*257 with tree-node ids reflect=2b+1 / transmit=2b+2), same
+NEE (all-lights per estimate_direct or one-light), same child betas.
 """
 
 import functools
@@ -60,15 +64,18 @@ from .path_megakernel import (
     _has_full,
     _sampler_dims,
     _fresnel_k,
+    _fr_dielectric_k,
     _lobe_f_k,
     _concentric_disk,
     _dot3,
     _normalize3,
     _has_spec,
+    _has_spec_trans,
     pack_scene,
 )
 
 DEPTH_MAX = 8  # chain levels; 2^8 branch ids stay in int32 dim range
+TREE_DEPTH_MAX = 6  # full reflect+transmit trees: 2^5-1 = 31 node bodies
 
 # kinds the NEE/f machinery of this kernel understands
 _NEE_KINDS = (
@@ -100,14 +107,20 @@ def supports_direct(ctx, spec, sampler, diff) -> bool:
         return False
     kinds, n_lobes, live, used = common
     ok_kinds = np.zeros_like(kinds, bool)
-    for k in _NEE_KINDS:
+    for k in _NEE_KINDS + (LOBE_SPEC_TRANS,):
         ok_kinds |= kinds == k
     if np.any(~ok_kinds[live]):
         return False
-    # chain-only: no specular transmission anywhere (the transmit child
-    # of every node must be statically dead)
-    for k in (LOBE_SPEC_TRANS, LOBE_FRESNEL_SPEC):
-        if np.any(live & (kinds == k)):
+    # FRESNEL_SPEC can't occur here (the loader builds it only for
+    # path/volpath integrators, scene/loader.py allow_multiple_lobes) —
+    # reject defensively anyway
+    if np.any(live & (kinds == LOBE_FRESNEL_SPEC)):
+        return False
+    # transmission makes the specular recursion a full binary tree; the
+    # trace-time unroll emits 2^(max_depth-1)-1 node bodies, so cap the
+    # depth (glass DirectLighting; TREE_DEPTH_MAX=6 -> <=31 nodes)
+    if np.any(live & (kinds == LOBE_SPEC_TRANS)):
+        if spec.max_depth > TREE_DEPTH_MAX:
             return False
     return True
 
@@ -176,21 +189,30 @@ def _chain_loop(
     attr_cols = _attr_cols(kinds_present, max_lobes)
     one = jnp.ones(ox.shape, jnp.float32)
     zero = jnp.zeros(ox.shape, jnp.float32)
-    br, bg, bb = (
-        jnp.where(active0, one, 0.0),
-        jnp.where(active0, one, 0.0),
-        jnp.where(active0, one, 0.0),
-    )
-    Lr, Lg, Lb = zero, zero, zero
+    b0 = jnp.where(active0, one, 0.0)
 
-    # any specular-reflection-matching lobe at all? (chain liveness)
+    # static subtree liveness (direct.py branch_live): a reflect child
+    # exists iff some lobe matches SPECULAR|REFLECTION, a transmit child
+    # iff some lobe matches SPECULAR|TRANSMISSION.  FRESNEL_SPEC never
+    # appears here (the loader only builds it for path/volpath —
+    # scene/loader.py allow_multiple_lobes — and supports_direct rejects
+    # it), so glass under DirectLighting is the SPEC_REFL + SPEC_TRANS
+    # two-lobe form whose children split the tree.
     can_chain = (LOBE_DEBUG_SPECULAR in kinds_present) or (
         LOBE_SPEC_REFL in kinds_present
     )
+    has_st = LOBE_SPEC_TRANS in kinds_present
 
-    branch = 0
-    depth = 1
-    while True:
+    # The reference's recursive li + specular_reflect/specular_transmit
+    # tree (integrator/mod.rs:150-301) is walked by TRACE-TIME recursion:
+    # each tree node is unrolled into the kernel with its own STATIC
+    # branch id (so sampler dims stay compile-time constants, matching
+    # direct.py's dim_base = 8 + branch*257 exactly) and per-lane dead
+    # subtrees simply carry beta = 0.  Chain-only scenes (no transmission)
+    # recurse linearly — the same program as the old iterative loop —
+    # while glass scenes expand the full 2^depth tree without the jnp
+    # path's level-doubling megabatches (integrators/direct.py:152-176).
+    def _visit(ox, oy, oz, dx, dy, dz, br, bg, bb, branch, depth):
         dim_base = 8 + branch * 257
         # chain liveness == nonzero beta (level 0: active0 seeds beta)
         alive = (br != 0.0) | (bg != 0.0) | (bb != 0.0)
@@ -208,6 +230,9 @@ def _chain_loop(
         dux, duy, duz = out[4], out[5], out[6]
         n_lob = out[7].astype(jnp.int32)
         cur = 8
+        if _has_spec_trans(kinds_present):
+            cur += 1  # _attr_cols col 31 (Bsdf eta) — etaScale is a
+            # path-integrator concern; the direct tree never reads it
         lobs = []
         zero_k = zero
         for l in range(max_lobes):
@@ -369,111 +394,176 @@ def _chain_loop(
             lvl_b = lvl_b + eb * n_lights
             dim_child = dim_base + 3
 
-        Lr = Lr + br * lvl_r
-        Lg = Lg + bg * lvl_g
-        Lb = Lb + bb * lvl_b
+        Lr = br * lvl_r
+        Lg = bg * lvl_g
+        Lb = bb * lvl_b
 
-        if depth + 1 >= max_depth or not can_chain:
-            break
+        if depth + 1 >= max_depth or not (can_chain or has_st):
+            return Lr, Lg, Lb
 
-        # reflect child (integrator/mod.rs:150-213): sample_f over
-        # SPECULAR|REFLECTION — matches DEBUG_SPECULAR (cosine sample,
-        # constant blue f) or SPEC_REFL (mirror)
-        ub0, ub1 = _sampler_dims(
-            pid, sid, dim_child, spp, xs, ys, jitter, seed, True
-        )
-        # the matching set has at most one lobe in this subset: find it
-        m_kind = None
-        m_lob = None
-        for l in range(max_lobes):
-            k = lobs[l]["kind"]
-            if isinstance(k, int):
-                is_m = k in (LOBE_DEBUG_SPECULAR, LOBE_SPEC_REFL)
-                sel = jnp.full(px.shape, is_m) & (l < n_lob)
-            else:
-                sel = (
-                    (k == LOBE_DEBUG_SPECULAR) | (k == LOBE_SPEC_REFL)
-                ) & (l < n_lob)
-            if m_lob is None:
-                m_lob = {
-                    kk: (
-                        tuple(jnp.where(sel, vv[c], 0.0) for c in range(3))
-                        if isinstance(vv, tuple)
-                        else jnp.where(sel, vv, 0)
-                    )
-                    for kk, vv in lobs[l].items()
-                }
-                m_kind = jnp.where(sel, k, 0)
-                has_m = sel
-            else:
-                for kk, vv in lobs[l].items():
-                    if isinstance(vv, tuple):
-                        m_lob[kk] = tuple(
-                            jnp.where(sel, vv[c], m_lob[kk][c]) for c in range(3)
+        def _select_matching(match_kinds):
+            """Merge the (at most one per lane) lobe matching
+            `match_kinds` into a single lobe dict + liveness mask."""
+            m_kind = None
+            m_lob = None
+            has_m = None
+            for l in range(max_lobes):
+                k = lobs[l]["kind"]
+                if isinstance(k, int):
+                    is_m = k in match_kinds
+                    sel = jnp.full(px.shape, is_m) & (l < n_lob)
+                else:
+                    sel = jnp.zeros(px.shape, bool)
+                    for mk in match_kinds:
+                        sel = sel | (k == mk)
+                    sel = sel & (l < n_lob)
+                if m_lob is None:
+                    m_lob = {
+                        kk: (
+                            tuple(
+                                jnp.where(sel, vv[c], 0.0) for c in range(3)
+                            )
+                            if isinstance(vv, tuple)
+                            else jnp.where(sel, vv, 0)
                         )
-                    else:
-                        m_lob[kk] = jnp.where(sel, vv, m_lob[kk])
-                m_kind = jnp.where(sel, lobs[l]["kind"], m_kind)
-                has_m = has_m | sel
+                        for kk, vv in lobs[l].items()
+                    }
+                    m_kind = jnp.where(sel, k, 0)
+                    has_m = sel
+                else:
+                    for kk, vv in lobs[l].items():
+                        if isinstance(vv, tuple):
+                            m_lob[kk] = tuple(
+                                jnp.where(sel, vv[c], m_lob[kk][c])
+                                for c in range(3)
+                            )
+                        else:
+                            m_lob[kk] = jnp.where(sel, vv, m_lob[kk])
+                    m_kind = jnp.where(sel, lobs[l]["kind"], m_kind)
+                    has_m = has_m | sel
+            return m_lob, m_kind, has_m
 
-        u0 = jnp.minimum(ub0, ONE_MINUS_EPSILON)
-        is_ds = m_kind == LOBE_DEBUG_SPECULAR
-        is_sr = m_kind == LOBE_SPEC_REFL
-        # cosine candidate (DEBUG_SPECULAR's default BxDF::sample_f)
-        if LOBE_DEBUG_SPECULAR in kinds_present:
-            dxo, dyo = _concentric_disk(u0, ub1)
-            z_cos = jnp.sqrt(jnp.maximum(0.0, 1.0 - dxo * dxo - dyo * dyo))
-            z_cos = jnp.where(wo_z < 0.0, -z_cos, z_cos)
-        else:
-            dxo = dyo = z_cos = zero
-        # mirror candidate
-        srx, sry, srz = -wol_x, -wol_y, wo_z
-        wsx = jnp.where(is_sr, srx, dxo)
-        wsy = jnp.where(is_sr, sry, dyo)
-        wsz = jnp.where(is_sr, srz, z_cos)
-        # f and pdf of the chosen lobe
-        fs_r = fs_g = fs_b = zero
-        pdf = zero
-        if LOBE_DEBUG_SPECULAR in kinds_present:
-            same = (wo_z * wsz) > 0.0
-            cos_pdf = jnp.where(same, jnp.abs(wsz) / PI, 0.0)
-            fs_b = jnp.where(is_ds, 1.0, fs_b)  # f = (0,0,1)
-            pdf = jnp.where(is_ds, cos_pdf, pdf)
-        if LOBE_SPEC_REFL in kinds_present:
+        def _recurse_child(wsx, wsy, wsz, fs_r, fs_g, fs_b, pdf, has_m, ci):
+            """Shared child tail (integrator/mod.rs:162-176): world dir,
+            beta = f |wi.ns| / pdf, offset origin, recurse with the
+            child's tree-node id."""
+            nwx = ssx * wsx + tsx * wsy + ngx * wsz
+            nwy = ssy * wsx + tsy * wsy + ngy * wsz
+            nwz = ssz * wsx + tsz * wsy + ngz * wsz
+            cosw = jnp.abs(_dot3(nwx, nwy, nwz, ngx, ngy, ngz))
+            ok = (
+                live
+                & has_m
+                & (wo_z != 0.0)
+                & (pdf > 0.0)
+                & (cosw != 0.0)
+                & ((fs_r != 0.0) | (fs_g != 0.0) | (fs_b != 0.0))
+            )
+            scale = cosw / jnp.maximum(pdf, 1e-20)
+            cbr = jnp.where(ok, br * fs_r * scale, 0.0)
+            cbg = jnp.where(ok, bg * fs_g * scale, 0.0)
+            cbb = jnp.where(ok, bb * fs_b * scale, 0.0)
+            off2 = jnp.where(
+                _dot3(nwx, nwy, nwz, ngx, ngy, ngz) < 0.0, -eps, eps
+            )
+            return _visit(
+                px + ngx * off2, py + ngy * off2, pz + ngz * off2,
+                nwx, nwy, nwz, cbr, cbg, cbb,
+                branch * 2 + 1 + ci, depth + 1,
+            )
+
+        if can_chain:
+            # reflect child (integrator/mod.rs:150-213): sample_f over
+            # SPECULAR|REFLECTION — matches DEBUG_SPECULAR (cosine sample,
+            # constant blue f) or SPEC_REFL (mirror)
+            ub0, ub1 = _sampler_dims(
+                pid, sid, dim_child, spp, xs, ys, jitter, seed, True
+            )
+            m_lob, m_kind, has_m = _select_matching(
+                (LOBE_DEBUG_SPECULAR, LOBE_SPEC_REFL)
+            )
+            u0 = jnp.minimum(ub0, ONE_MINUS_EPSILON)
+            is_ds = m_kind == LOBE_DEBUG_SPECULAR
+            is_sr = m_kind == LOBE_SPEC_REFL
+            # cosine candidate (DEBUG_SPECULAR's default BxDF::sample_f)
+            if LOBE_DEBUG_SPECULAR in kinds_present:
+                dxo, dyo = _concentric_disk(u0, ub1)
+                z_cos = jnp.sqrt(
+                    jnp.maximum(0.0, 1.0 - dxo * dxo - dyo * dyo)
+                )
+                z_cos = jnp.where(wo_z < 0.0, -z_cos, z_cos)
+            else:
+                dxo = dyo = z_cos = zero
+            # mirror candidate
+            srx, sry, srz = -wol_x, -wol_y, wo_z
+            wsx = jnp.where(is_sr, srx, dxo)
+            wsy = jnp.where(is_sr, sry, dyo)
+            wsz = jnp.where(is_sr, srz, z_cos)
+            # f and pdf of the chosen lobe
+            fs_r = fs_g = fs_b = zero
+            pdf = zero
+            if LOBE_DEBUG_SPECULAR in kinds_present:
+                same = (wo_z * wsz) > 0.0
+                cos_pdf = jnp.where(same, jnp.abs(wsz) / PI, 0.0)
+                fs_b = jnp.where(is_ds, 1.0, fs_b)  # f = (0,0,1)
+                pdf = jnp.where(is_ds, cos_pdf, pdf)
+            if LOBE_SPEC_REFL in kinds_present:
+                aci = jnp.maximum(jnp.abs(wsz), 1e-20)
+                fr3 = _fresnel_k(m_lob, wsz)
+                fs_r = jnp.where(is_sr, m_lob["s0"][0] * fr3[0] / aci, fs_r)
+                fs_g = jnp.where(is_sr, m_lob["s0"][1] * fr3[1] / aci, fs_g)
+                fs_b = jnp.where(is_sr, m_lob["s0"][2] * fr3[2] / aci, fs_b)
+                pdf = jnp.where(is_sr, 1.0, pdf)
+            cLr, cLg, cLb = _recurse_child(
+                wsx, wsy, wsz, fs_r, fs_g, fs_b, pdf, has_m, 0
+            )
+            Lr = Lr + cLr
+            Lg = Lg + cLg
+            Lb = Lb + cLb
+
+        if has_st:
+            # transmit child (integrator/mod.rs:216-301): sample_f over
+            # SPECULAR|TRANSMISSION — matches SPEC_TRANS only.  The u
+            # slot (dim_child+1) advances in direct.py but a specular
+            # lobe never reads it, so the kernel skips computing it.
+            # Refraction + f per SpecularTransmission::sample_f
+            # (reflection.rs:686-715; the same math as the path
+            # megakernel's ST candidate in _bsdf_sample_k).
+            m_lob, m_kind, has_m = _select_matching((LOBE_SPEC_TRANS,))
+            ea, eb = m_lob["eta_a"], m_lob["eta_b"]
+            entering = wo_z > 0.0
+            ei = jnp.where(entering, ea, eb)
+            et = jnp.where(entering, eb, ea)
+            eta_rel = ei / jnp.maximum(et, 1e-9)
+            abs_cz = jnp.abs(wo_z)
+            sin2_t = eta_rel * eta_rel * jnp.maximum(
+                0.0, 1.0 - abs_cz * abs_cz
+            )
+            st_ok = sin2_t < 1.0  # total internal reflection gate
+            cos_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin2_t))
+            nz_sign = jnp.where(entering, 1.0, -1.0)
+            wsx = -eta_rel * wol_x
+            wsy = -eta_rel * wol_y
+            wsz = -eta_rel * wo_z + (eta_rel * abs_cz - cos_t) * nz_sign
+            # f = T (1-Fr(wi_z)) (eta_i^2/eta_t^2) / |cos| (radiance mode)
+            scale_t = (ei * ei) / jnp.maximum(et * et, 1e-20)
+            fr_t = _fr_dielectric_k(wsz, ea, eb)
             aci = jnp.maximum(jnp.abs(wsz), 1e-20)
-            fr3 = _fresnel_k(m_lob, wsz)
-            fs_r = jnp.where(is_sr, m_lob["s0"][0] * fr3[0] / aci, fs_r)
-            fs_g = jnp.where(is_sr, m_lob["s0"][1] * fr3[1] / aci, fs_g)
-            fs_b = jnp.where(is_sr, m_lob["s0"][2] * fr3[2] / aci, fs_b)
-            pdf = jnp.where(is_sr, 1.0, pdf)
+            fac = jnp.where(st_ok, (1.0 - fr_t) * scale_t / aci, 0.0)
+            fs_r = m_lob["s0"][0] * fac
+            fs_g = m_lob["s0"][1] * fac
+            fs_b = m_lob["s0"][2] * fac
+            pdf = jnp.where(st_ok, 1.0, 0.0)
+            cLr, cLg, cLb = _recurse_child(
+                wsx, wsy, wsz, fs_r, fs_g, fs_b, pdf, has_m, 1
+            )
+            Lr = Lr + cLr
+            Lg = Lg + cLg
+            Lb = Lb + cLb
 
-        nwx = ssx * wsx + tsx * wsy + ngx * wsz
-        nwy = ssy * wsx + tsy * wsy + ngy * wsz
-        nwz = ssz * wsx + tsz * wsy + ngz * wsz
-        cosw = jnp.abs(_dot3(nwx, nwy, nwz, ngx, ngy, ngz))
-        ok = (
-            live
-            & has_m
-            & (wo_z != 0.0)
-            & (pdf > 0.0)
-            & (cosw != 0.0)
-            & ((fs_r != 0.0) | (fs_g != 0.0) | (fs_b != 0.0))
-        )
-        scale = cosw / jnp.maximum(pdf, 1e-20)
-        br = jnp.where(ok, br * fs_r * scale, 0.0)
-        bg = jnp.where(ok, bg * fs_g * scale, 0.0)
-        bb = jnp.where(ok, bb * fs_b * scale, 0.0)
-        off2 = jnp.where(
-            _dot3(nwx, nwy, nwz, ngx, ngy, ngz) < 0.0, -eps, eps
-        )
-        ox = px + ngx * off2
-        oy = py + ngy * off2
-        oz = pz + ngz * off2
-        dx, dy, dz = nwx, nwy, nwz
-        branch = branch * 2 + 1
-        depth += 1
+        return Lr, Lg, Lb
 
-    return Lr, Lg, Lb
+    return _visit(ox, oy, oz, dx, dy, dz, b0, b0, b0, 0, 1)
 
 
 def _kernel(

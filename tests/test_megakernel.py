@@ -355,12 +355,22 @@ def test_supports_rejects_smooth_shading_normals(bench_ctx):
         # the chain kernel's in-kernel packet BVH (mesh Debug scenes)
         ("Debug", "mat_matte", True),
         ("DirectLighting", "mat_matte", True),
+        # glass: SPEC_REFL + SPEC_TRANS two-lobe form — the full
+        # reflect+transmit tree via trace-time recursion (no level
+        # doubling).  "mixed" puts glass on one cube only (dead subtrees
+        # + mixed lobe tables per lane); the all-glass Debug case makes
+        # the transmit chains CONTRIBUTE through the flat 0.1 base at
+        # interior hits (scene.json's layout gives the mixed scene's
+        # specular children nothing lit to hit)
+        ("DirectLighting", "mat_glass_mixed", False),
+        ("Debug", "mat_glass", False),
+        ("Debug", "mat_glass", True),
     ],
 )
 def test_direct_radiance_matches_jnp_levels(integ, material, force_bvh,
                                             monkeypatch):
-    """The Debug/DirectLighting chain kernel must reproduce li_levels
-    exactly on the chain subset (no specular transmission)."""
+    """The Debug/DirectLighting tree kernel must reproduce li_levels
+    exactly (reflect chains, and reflect+transmit trees for glass)."""
     import dataclasses
 
     if force_bvh:
@@ -380,8 +390,22 @@ def test_direct_radiance_matches_jnp_levels(integ, material, force_bvh,
     cfg = json.load(open(os.path.join(SAMPLES, "scene.json")))
     cfg["Film"]["xres"], cfg["Film"]["yres"] = 64, 36
     cfg["Integrator"] = {"integrator_type": integ, "max_depth": 4}
-    for prim in cfg["Aggregate"]["primitives"]:
-        prim["material_name"] = material
+    if material.startswith("mat_glass"):
+        cfg.setdefault("materials", []).append({
+            "material_type": "GlassMaterial",
+            "material_name": "mat_glass",
+            "eta": 1.5,
+        })
+    if material == "mat_glass_mixed":
+        # first cube instance glass, the other two stay matte
+        prim = cfg["Aggregate"]["primitives"][0]
+        inst = prim["instances"]
+        first = dict(prim, material_name="mat_glass", instances=[inst[0]])
+        prim["instances"] = inst[1:]
+        cfg["Aggregate"]["primitives"].insert(0, first)
+    else:
+        for prim in cfg["Aggregate"]["primitives"]:
+            prim["material_name"] = material
     td = tempfile.mkdtemp()
     shutil.copy(os.path.join(SAMPLES, "cube.obj"), td)
     path = os.path.join(td, "s.json")
@@ -412,6 +436,11 @@ def test_direct_radiance_matches_jnp_levels(integ, material, force_bvh,
     )
     assert np.isfinite(l_mega).all()
     assert l_ref.max() > 0
+    if material == "mat_glass" and integ == "Debug":
+        # the transmit chains must actually CONTRIBUTE (interior-hit 0.1
+        # bases push the depth-2 sum of ~20.4 past 30) — guards the tree
+        # walk against regressing to the reflect-only chain
+        assert l_ref.sum() > 30
     denom = np.maximum(np.abs(l_ref), 1e-3)
     rel = np.abs(l_mega - l_ref) / denom
     frac_diverged = float((rel.max(-1) > 1e-3).mean())
@@ -646,3 +675,119 @@ def test_halton_cam_fused_matches_unfused():
     np.testing.assert_allclose(
         np.asarray(l_fused)[live], l_ref[live], rtol=2e-4, atol=1e-5
     )
+
+
+def test_sppm_camera_mega_matches_jnp():
+    """The fused SPPM camera pass (ops/sppm_megakernel.py) must
+    reproduce integrators.sppm._camera_pass per ray: ld delta and the
+    full VisiblePoints record (p/wo/beta/mat/valid), including the
+    luminance-threshold camera RR and glossy-at-last-depth VPs."""
+    from rs_ray_toy_tpu.ops.sppm_megakernel import (
+        pack_sppm,
+        sppm_camera_mega,
+        supports_sppm_camera,
+    )
+    from rs_ray_toy_tpu.integrators.sppm import _camera_pass
+    from rs_ray_toy_tpu.camera.realistic import RealisticCamera
+    from rs_ray_toy_tpu.sampler.stratified import StratifiedSampler
+    from rs_ray_toy_tpu.scene.loader import load_scene
+    from rs_ray_toy_tpu.integrators.common import SceneCtx
+
+    cfg = json.load(open(os.path.join(SAMPLES, "scene.json")))
+    cfg["Film"]["xres"], cfg["Film"]["yres"] = 64, 36
+    cfg["Integrator"] = {
+        "integrator_type": "SPPM", "max_depth": 3, "radius": 1.0,
+        "n_iters": 2, "photons_per_iter": 1 << 10,
+    }
+    # one plastic cube: glossy lobes exercise the last-depth VP rule
+    prim = cfg["Aggregate"]["primitives"][0]
+    inst = prim["instances"]
+    first = dict(prim, material_name="mat_plastic", instances=[inst[0]])
+    prim["instances"] = inst[1:]
+    cfg["Aggregate"]["primitives"].insert(0, first)
+    td = tempfile.mkdtemp()
+    shutil.copy(os.path.join(SAMPLES, "cube.obj"), td)
+    path = os.path.join(td, "s.json")
+    json.dump(cfg, open(path, "w"))
+    job = load_scene(path)
+    ctx = SceneCtx(job.scene)
+    sampler = StratifiedSampler(job.sampler, seed=0)
+    assert supports_sppm_camera(ctx, job.integrator, sampler)
+    packed = pack_sppm(ctx)
+    cam = RealisticCamera(job.camera, job.film, pupil_samples=1 << 10)
+
+    h, w = 36, 64
+    ys, xs = np.mgrid[0:h, 0:w]
+    pixel_xy = jnp.asarray(np.stack([xs.ravel(), ys.ravel()], -1),
+                           jnp.float32)
+    pixel_id = jnp.asarray((ys * w + xs).ravel(), jnp.uint32)
+    it = jnp.uint32(1)
+
+    ld_ref, vp_ref = _camera_pass(
+        ctx, cam, sampler, pixel_xy, pixel_id, it,
+        job.integrator.max_depth, None,
+    )
+
+    n = h * w
+    s_i = jnp.full((n,), it, jnp.uint32)
+    u_film = sampler.get_2d(pixel_id, s_i, 0)
+    u_lens = sampler.get_2d(pixel_id, s_i, 1)
+    ro, rd, wgt = cam.generate_rays(pixel_xy + u_film, u_lens)
+    ld_m, vp_m = sppm_camera_mega(
+        ctx, packed, ro, rd, wgt, sampler, pixel_id, it,
+        job.integrator.max_depth, interpret=True,
+    )
+
+    ld_ref = np.asarray(ld_ref)
+    ld_m = np.asarray(ld_m)
+    assert np.isfinite(ld_m).all()
+    assert ld_ref.sum() > 1
+    denom = np.maximum(np.abs(ld_ref), 1e-3)
+    rel = np.abs(ld_m - ld_ref) / denom
+    assert float((rel.max(-1) > 1e-3).mean()) < 5e-3
+
+    assert (np.asarray(vp_m.valid) == np.asarray(vp_ref.valid)).all()
+    live = np.asarray(vp_ref.valid)
+    assert live.sum() > 30  # the small film sees ~50 cube hits
+    for fld in ("p", "wo", "beta", "dpdu", "ng"):
+        a = np.asarray(getattr(vp_m, fld))[live]
+        b = np.asarray(getattr(vp_ref, fld))[live]
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=1e-5, err_msg=fld)
+    assert (np.asarray(vp_m.mat)[live] == np.asarray(vp_ref.mat)[live]).all()
+
+
+def test_sppm_render_equal_with_and_without_megakernel(monkeypatch):
+    """render_sppm through the fused camera pass must produce the same
+    image as the jnp wavefront pass (same RNG chain end-to-end,
+    including the photon pass and grid deposit that stay in jnp)."""
+    from rs_ray_toy_tpu.integrators.sppm import render_sppm
+    from rs_ray_toy_tpu.camera.realistic import RealisticCamera
+    from rs_ray_toy_tpu.sampler.stratified import StratifiedSampler
+    from rs_ray_toy_tpu.scene.loader import load_scene
+    from rs_ray_toy_tpu.integrators.common import SceneCtx
+
+    cfg = json.load(open(os.path.join(SAMPLES, "scene.json")))
+    cfg["Film"]["xres"], cfg["Film"]["yres"] = 64, 36
+    cfg["Integrator"] = {
+        "integrator_type": "SPPM", "max_depth": 3, "radius": 1.0,
+        "n_iters": 2, "photons_per_iter": 1 << 10,
+    }
+    td = tempfile.mkdtemp()
+    shutil.copy(os.path.join(SAMPLES, "cube.obj"), td)
+    path = os.path.join(td, "s.json")
+    json.dump(cfg, open(path, "w"))
+    job = load_scene(path)
+    ctx = SceneCtx(job.scene)
+    cam = RealisticCamera(job.camera, job.film, pupil_samples=1 << 10)
+    sampler = StratifiedSampler(job.sampler, seed=0)
+
+    imgs = {}
+    for flag in ("1", "0"):
+        monkeypatch.setenv("RS_MEGAKERNEL", flag)
+        imgs[flag] = np.asarray(
+            render_sppm(ctx, cam, sampler, job.film, job.integrator)
+        )
+    assert np.isfinite(imgs["1"]).all()
+    assert imgs["0"].max() > 0
+    rmse = float(np.sqrt(np.mean((imgs["1"] - imgs["0"]) ** 2)))
+    assert rmse < 1e-5, f"fused sppm camera pass deviates: rmse {rmse}"
