@@ -331,9 +331,28 @@ def render_sppm(ctx: SceneCtx, cam, sampler, film_spec, spec, write_image_fn=Non
     # estimator-identical to _camera_pass (tests/test_megakernel.py)
     from ..ops import sppm_megakernel as _smk
 
+    import os as _os
+
+    # on CPU the kernels run in (slow, python-stepped) interpret mode —
+    # keep the jnp wavefront paths there unless a test forces the fused
+    # ones (RS_SPPM_MEGA_CPU=1); real backends always prefer fused
+    _cpu = jax.default_backend() == "cpu"
+    _allow_mega = (not _cpu) or _os.environ.get("RS_SPPM_MEGA_CPU") == "1"
     _mega_packed = (
         _smk.pack_sppm(ctx)
-        if C == 3 and _smk.supports_sppm_camera(ctx, spec, sampler)
+        if _allow_mega
+        and C == 3
+        and _smk.supports_sppm_camera(ctx, spec, sampler)
+        else None
+    )
+    # fused grid deposit (same module): Morton-sorted photon events +
+    # per-pixel-tile range walk — replaces the serialized `.at[].add`
+    # scan.  RS_SPPM_DEPOSIT=0 keeps the jnp scan for A/B.
+    _dep_resolved = (
+        _smk.resolve_mat_tables(ctx)
+        if _mega_packed is not None
+        and spec.max_depth > 1
+        and _os.environ.get("RS_SPPM_DEPOSIT", "1") != "0"
         else None
     )
 
@@ -383,37 +402,39 @@ def render_sppm(ctx: SceneCtx, cam, sampler, film_spec, spec, write_image_fn=Non
             inb = jnp.all((c >= 0) & (c < grid_res), axis=-1)
             return jnp.clip(c, 0, grid_res - 1), inb
 
-        # ---- VP -> cell entries (27 per VP, masked) ----
-        cmin, _ = to_grid(vp.p - state.radius[:, None])
-        cmax, _ = to_grid(vp.p + state.radius[:, None])
-        entries_cell = []
-        entries_vp = []
-        for dz in range(3):
-            for dy in range(3):
-                for dx in range(3):
-                    cx = cmin[:, 0] + dx
-                    cy = cmin[:, 1] + dy
-                    cz = cmin[:, 2] + dz
-                    ok = (
-                        valid
-                        & (cx <= cmax[:, 0])
-                        & (cy <= cmax[:, 1])
-                        & (cz <= cmax[:, 2])
-                    )
-                    cell = jnp.where(ok, _hash_cell(cx, cy, cz, hash_size), hash_size)
-                    entries_cell.append(cell)
-                    entries_vp.append(jnp.arange(n_pixels, dtype=jnp.int32))
-        cells = jnp.concatenate(entries_cell)
-        vps = jnp.concatenate(entries_vp)
-        order = jnp.argsort(cells)
-        cells_sorted = cells[order]
-        vps_sorted = vps[order]
-        cell_start = jnp.searchsorted(cells_sorted, jnp.arange(hash_size))
-        cell_end = jnp.searchsorted(cells_sorted, jnp.arange(hash_size), side="right")
-        # exact per-cell scan length (traced fori bound -> while_loop):
-        # the round-1 static 64-entry bound silently dropped deposits in
-        # dense VP clusters — exactly where SPPM matters
-        scan_len = jnp.max(cell_end - cell_start)
+        # ---- VP -> cell entries (27 per VP, masked; jnp scan path only —
+        # the fused deposit sorts the PHOTON side instead) ----
+        if _dep_resolved is None:
+            cmin, _ = to_grid(vp.p - state.radius[:, None])
+            cmax, _ = to_grid(vp.p + state.radius[:, None])
+            entries_cell = []
+            entries_vp = []
+            for dz in range(3):
+                for dy in range(3):
+                    for dx in range(3):
+                        cx = cmin[:, 0] + dx
+                        cy = cmin[:, 1] + dy
+                        cz = cmin[:, 2] + dz
+                        ok = (
+                            valid
+                            & (cx <= cmax[:, 0])
+                            & (cy <= cmax[:, 1])
+                            & (cz <= cmax[:, 2])
+                        )
+                        cell = jnp.where(ok, _hash_cell(cx, cy, cz, hash_size), hash_size)
+                        entries_cell.append(cell)
+                        entries_vp.append(jnp.arange(n_pixels, dtype=jnp.int32))
+            cells = jnp.concatenate(entries_cell)
+            vps = jnp.concatenate(entries_vp)
+            order = jnp.argsort(cells)
+            cells_sorted = cells[order]
+            vps_sorted = vps[order]
+            cell_start = jnp.searchsorted(cells_sorted, jnp.arange(hash_size))
+            cell_end = jnp.searchsorted(cells_sorted, jnp.arange(hash_size), side="right")
+            # exact per-cell scan length (traced fori bound -> while_loop):
+            # the round-1 static 64-entry bound silently dropped deposits in
+            # dense VP clusters — exactly where SPPM matters
+            scan_len = jnp.max(cell_end - cell_start)
 
         # ---- photon pass (sppm.rs:346-506) ----
         pidx = jnp.arange(n_photons)
@@ -443,6 +464,7 @@ def render_sppm(ctx: SceneCtx, cam, sampler, film_spec, spec, write_image_fn=Non
 
         phi_acc = jnp.zeros((n_pixels, C), DTYPE)
         m_acc = jnp.zeros((n_pixels,), jnp.int32)
+        ev_p, ev_wi, ev_beta, ev_live = [], [], [], []
 
         for depth in range(spec.max_depth):
             t_max = jnp.full((n_photons,), jnp.inf, DTYPE)
@@ -451,7 +473,13 @@ def render_sppm(ctx: SceneCtx, cam, sampler, film_spec, spec, write_image_fn=Non
             si = ctx.surface(hit, ro, rd)
             si = si._replace(valid=si.valid & ph_active)
 
-            if depth > 0:
+            if depth > 0 and _dep_resolved is not None:
+                # fused deposit: collect the event, splat after the loop
+                ev_p.append(si.p)
+                ev_wi.append(-rd)
+                ev_beta.append(beta)
+                ev_live.append(ph_active)
+            elif depth > 0:
                 cell, inb = to_grid(si.p)
                 hcell = _hash_cell(cell[:, 0], cell[:, 1], cell[:, 2], hash_size)
                 start = cell_start[hcell]
@@ -512,6 +540,16 @@ def render_sppm(ctx: SceneCtx, cam, sampler, film_spec, spec, write_image_fn=Non
                 ro,
             )
             rd = jnp.where(ph_active[:, None], bs.wi_world, rd)
+
+        if _dep_resolved is not None:
+            phi_acc, m_acc = _smk.deposit_mega(
+                vp, state.radius, _dep_resolved,
+                jnp.concatenate(ev_p), jnp.concatenate(ev_wi),
+                jnp.concatenate(ev_beta), jnp.concatenate(ev_live),
+                lo, diag,
+                _mega_packed[3], _mega_packed[4],
+                interpret=jax.default_backend() == "cpu",
+            )
 
         # ---- radius / tau update (sppm.rs:508-532, PBRT sqrt) ----
         m = m_acc.astype(DTYPE)

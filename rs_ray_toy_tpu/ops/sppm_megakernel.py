@@ -106,15 +106,16 @@ def supports_sppm_camera(ctx, spec, sampler) -> bool:
     if common is None:
         return False
     kinds, n_lobes, live, used = common
-    ok_kinds = np.zeros_like(kinds, bool)
-    for k in DIFFUSE_KINDS + GLOSSY_KINDS:
-        ok_kinds |= kinds == k
-    # specular kinds bounce without making VPs — the path kernel's
-    # sample machinery covers them, but keep the v1 subset to the bench
-    # materials (no spec-trans etaScale / BSSRDF interplay here)
-    from .path_megakernel import SPEC_KINDS
+    # exactly the kinds _lobe_f_k / _bsdf_sample_k implement (the path
+    # kernel's material subset minus the BSSRDF stack); specular kinds
+    # bounce without making VPs.  Oren-Nayar / translucent / debug /
+    # fake-ss materials fall back to the jnp wavefront pass.
+    from .path_megakernel import COS_KINDS, MF_KINDS, SPEC_KINDS
 
-    for k in SPEC_KINDS:
+    ok_kinds = np.zeros_like(kinds, bool)
+    for k in (
+        COS_KINDS + MF_KINDS + (LOBE_DISNEY_CLEARCOAT,) + SPEC_KINDS
+    ):
         ok_kinds |= kinds == k
     if np.any(~ok_kinds[live]):
         return False
@@ -498,3 +499,366 @@ def sppm_camera_mega(
         valid=flat[19] > 0.0,
     )
     return ld, vp
+
+
+# ---------------------------------------------------------------------------
+# Fused grid deposit (sppm.rs:346-506 photon->VP splat, TPU-native form)
+#
+# The reference's hash grid is pure acceleration: a photon deposits on a
+# VP iff |photon.p - vp.p|^2 <= vp.radius^2 (the cell walk only
+# enumerates candidates; hash collisions only ADD candidates that the
+# distance test rejects).  The jnp scan path (integrators/sppm.py)
+# replicates the cell walk with a serialized `.at[].add` scatter per
+# scan step — the one shape this codebase avoids everywhere else.
+#
+# TPU-native reformulation (zero scatters, zero per-lane gathers):
+#   1. photon deposit events are keyed by the 30-bit Morton code of
+#      their (<=1024^3, clamped) grid cell and sorted with a
+#      multi-operand lax.sort (bitonic — no gather traffic);
+#   2. each PIXEL TILE (rows x 128 lanes, raster order) computes the
+#      Morton range [morton(min cmin), morton(max cmax)] of its lanes'
+#      p +- r cell boxes.  Morton codes are monotone under componentwise
+#      <=, so the sorted-event range [searchsorted(lo), searchsorted(hi)]
+#      covers every event any lane can accept; the distance test inside
+#      the kernel keeps exactness (any extra enumerated event fails it);
+#   3. the kernel walks the tile's event range with a scalar while loop
+#      (the packet-BVH row-fetch idiom), broadcasting each event row to
+#      all lanes: distance + reflect-side gates, _lobe_f_k with the VP's
+#      resolved lobe stack, phi/m accumulate in VMEM registers — the
+#      outputs are plain per-pixel arrays.
+#
+# Exactness note (docs/PARITY.md): phi/m differ from the reference only
+# for a photon lying EXACTLY on the grid bbox face at distance EXACTLY
+# r from a VP (the reference's `inb` excludes it, the distance test
+# keeps it) — a measure-zero float-boundary case.
+# ---------------------------------------------------------------------------
+
+DEP_ROWS = 8  # pixel-tile rows: 8x128 lanes keeps tile world-boxes tight
+# events per kernel launch: a (E,16) f32 VMEM array is physically padded
+# to 128 lanes per row, so 8192 rows = 4 MB — safely inside VMEM next to
+# the streamed attribute block
+DEP_EV_CHUNK = 1 << 13
+_MORTON_SENTINEL = jnp.uint32(0x7FFFFFFF)
+
+
+def _morton_spread10(v):
+    """Spread the low 10 bits of uint32 v to every 3rd bit."""
+    v = v & jnp.uint32(0x3FF)
+    v = (v | (v << 16)) & jnp.uint32(0x030000FF)
+    v = (v | (v << 8)) & jnp.uint32(0x0300F00F)
+    v = (v | (v << 4)) & jnp.uint32(0x030C30C3)
+    v = (v | (v << 2)) & jnp.uint32(0x09249249)
+    return v
+
+
+def morton3(cx, cy, cz):
+    """30-bit Morton code; monotone under componentwise <=."""
+    return (
+        _morton_spread10(cx.astype(jnp.uint32))
+        | (_morton_spread10(cy.astype(jnp.uint32)) << 1)
+        | (_morton_spread10(cz.astype(jnp.uint32)) << 2)
+    )
+
+
+def _dep_att_layout(kinds_present, max_lobes):
+    """(names, per-lobe spec) for the VP attribute matrix rows."""
+    has_full = _has_full(kinds_present)
+    mixed = len(kinds_present) > 1
+    base = 18  # px py pz r2 ss(3) ts(3) ng(3) wol(3) n_lob valid
+    per_lobe = (1 if mixed else 0) + 3 + (11 if has_full else 0)
+    return base, per_lobe, mixed, has_full
+
+
+def _deposit_kernel(
+    rng_ref, att_ref, events_ref, pr_o, pg_o, pb_o, m_o,
+    *, kinds_present, max_lobes,
+):
+    base, per_lobe, mixed, has_full = _dep_att_layout(
+        kinds_present, max_lobes
+    )
+    s = rng_ref[0, 0]
+    e = rng_ref[0, 1]
+    a = att_ref
+    px, py, pz, r2 = a[0], a[1], a[2], a[3]
+    ssx, ssy, ssz = a[4], a[5], a[6]
+    tsx, tsy, tsz = a[7], a[8], a[9]
+    ngx, ngy, ngz = a[10], a[11], a[12]
+    wol_x, wol_y, wo_z = a[13], a[14], a[15]
+    n_lob = a[16].astype(jnp.int32)
+    valid = a[17] > 0.0
+    zero = jnp.zeros_like(px)
+    lobs = []
+    for l in range(max_lobes):
+        c = base + l * per_lobe
+        lob = {}
+        if mixed:
+            lob["kind"] = a[c].astype(jnp.int32)
+            c += 1
+        else:
+            lob["kind"] = kinds_present[0]
+        lob["s0"] = (a[c], a[c + 1], a[c + 2])
+        c += 3
+        if has_full:
+            lob["s1"] = (a[c], a[c + 1], a[c + 2])
+            lob["s2"] = (a[c + 3], a[c + 4], a[c + 5])
+            lob["au"] = a[c + 6]
+            lob["av"] = a[c + 7]
+            lob["fres"] = a[c + 8].astype(jnp.int32)
+            lob["eta_a"] = a[c + 9]
+            lob["eta_b"] = a[c + 10]
+        else:
+            lob["s1"] = lob["s2"] = (zero,) * 3
+            lob["au"] = lob["av"] = zero
+            lob["fres"] = 0
+            lob["eta_a"] = lob["eta_b"] = zero
+        lobs.append(lob)
+
+    def cond(c):
+        return c[0] < e
+
+    def body(c):
+        k, pr, pg, pb, mc = c
+        row = events_ref[pl.ds(k, 1), :]  # (1, 16) scalar row fetch
+        ex, ey, ez = row[0, 0], row[0, 1], row[0, 2]
+        wix, wiy, wiz = row[0, 3], row[0, 4], row[0, 5]
+        ebr, ebg, ebb = row[0, 6], row[0, 7], row[0, 8]
+        elive = row[0, 9] > 0.0
+        ddx = px - ex
+        ddy = py - ey
+        ddz = pz - ez
+        d2 = ddx * ddx + ddy * ddy + ddz * ddz
+        near = valid & (d2 <= r2) & elive
+        # bsdf_f(vp.wo, wi, ALL): reflect-side gate on ng (= ns here);
+        # the supported lobe set is reflection-only
+        wi_ng = wix * ngx + wiy * ngy + wiz * ngz
+        gate = near & ((wi_ng * wo_z) > 0.0) & (wo_z != 0.0)
+        wil_x = wix * ssx + wiy * ssy + wiz * ssz
+        wil_y = wix * tsx + wiy * tsy + wiz * tsz
+        fr_, fg_, fb_ = zero, zero, zero
+        for l in range(max_lobes):
+            lf = _lobe_f_k(
+                lobs[l], wol_x, wol_y, wo_z, wil_x, wil_y, wi_ng,
+                kinds_present,
+            )
+            use = gate & (l < n_lob)
+            fr_ = fr_ + jnp.where(use, lf[0], 0.0)
+            fg_ = fg_ + jnp.where(use, lf[1], 0.0)
+            fb_ = fb_ + jnp.where(use, lf[2], 0.0)
+        pr = pr + fr_ * ebr
+        pg = pg + fg_ * ebg
+        pb = pb + fb_ * ebb
+        mc = mc + jnp.where(near, 1.0, 0.0)
+        return k + 1, pr, pg, pb, mc
+
+    _, pr, pg, pb, mc = lax.while_loop(
+        cond, body, (s, zero, zero, zero, zero)
+    )
+    pr_o[:] = pr
+    pg_o[:] = pg
+    pb_o[:] = pb
+    m_o[:] = mc
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("kinds_present", "max_lobes", "interpret"),
+)
+def _deposit_run(att, events, ranges, kinds_present, max_lobes,
+                 interpret=False):
+    c_att, m, _ = att.shape
+    grid = (m // DEP_ROWS,)
+    att_spec = pl.BlockSpec(
+        (c_att, DEP_ROWS, LANES), lambda i: (0, i, 0),
+        memory_space=pltpu.VMEM,
+    )
+    out_spec = pl.BlockSpec(
+        (DEP_ROWS, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    rng_spec = pl.BlockSpec(
+        (1, 2), lambda i: (i, 0), memory_space=pltpu.SMEM
+    )
+    kernel = functools.partial(
+        _deposit_kernel, kinds_present=kinds_present, max_lobes=max_lobes
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            rng_spec,
+            att_spec,
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=[out_spec] * 4,
+        out_shape=[jax.ShapeDtypeStruct((m, LANES), jnp.float32)] * 4,
+        interpret=interpret,
+    )(ranges, att, events)
+
+
+def resolve_mat_tables(ctx):
+    """Per-MATERIAL resolved lobe columns (alpha remap etc. applied),
+    host-side once per scene — the deposit gathers rows by vp.mat."""
+    from .path_megakernel import _resolve_mat_arrays
+
+    n_mats = int(np.asarray(ctx.mats["kind"]).shape[0])
+    r = _resolve_mat_arrays(ctx.mats, np.arange(n_mats))
+    return {k: jnp.asarray(v) for k, v in r.items()}
+
+
+def deposit_mega(
+    vp, radius, resolved, ev_p, ev_wi, ev_beta, ev_live,
+    lo, diag, kinds_present, max_lobes, interpret=False,
+):
+    """phi (N,3), m (N,) for one SPPM iteration.  vp: VisiblePoints;
+    ev_*: (E,·) photon deposit events (all depths stacked); lo/diag:
+    grid bbox (the kernel derives its own clamped <=1024^3 resolution —
+    pure acceleration, the distance test keeps reference semantics)."""
+    n = vp.p.shape[0]
+    valid = vp.valid & jnp.any(vp.beta > 0.0, axis=-1)
+
+    # clamped grid for Morton keys (shared by events and VP boxes)
+    safe_diag = jnp.where(diag == 0.0, 1.0, diag)
+    max_diag = jnp.maximum(jnp.max(diag), 1e-20)
+    max_radius = jnp.maximum(
+        jnp.max(jnp.where(valid, radius, 0.0)), 1e-20
+    )
+    base_res = max_diag / max_radius
+    res = jnp.clip(
+        (base_res * diag / max_diag).astype(jnp.int32), 1, 1024
+    )
+
+    def cell_of(p):
+        rel = (p - lo) / safe_diag
+        c = (rel * res.astype(jnp.float32)).astype(jnp.int32)
+        inb = jnp.all((c >= 0) & (c < res), axis=-1)
+        return jnp.clip(c, 0, res - 1), inb
+
+    # ---- event side: Morton key + multi-operand bitonic sort ----
+    ecell, einb = cell_of(ev_p)
+    ekey = jnp.where(
+        ev_live & einb,
+        morton3(ecell[:, 0], ecell[:, 1], ecell[:, 2]),
+        _MORTON_SENTINEL,
+    )
+    ops = lax.sort(
+        (ekey,
+         ev_p[:, 0], ev_p[:, 1], ev_p[:, 2],
+         ev_wi[:, 0], ev_wi[:, 1], ev_wi[:, 2],
+         ev_beta[:, 0], ev_beta[:, 1], ev_beta[:, 2]),
+        num_keys=1,
+    )
+    skey = ops[0]
+    e_total = ekey.shape[0]
+    live_col = jnp.where(skey != _MORTON_SENTINEL, 1.0, 0.0)
+    # pad rows to a multiple of 8 (f32 VMEM sublane tile); pad rows are
+    # dead (live col 0) and past every clipped range anyway
+    e_pad_to = -(-e_total // 8) * 8
+    ev_tab = jnp.zeros((e_pad_to, 16), jnp.float32)
+    for j in range(9):
+        ev_tab = ev_tab.at[:e_total, j].set(ops[1 + j].astype(jnp.float32))
+    ev_tab = ev_tab.at[:e_total, 9].set(live_col)
+
+    # ---- VP side: per-tile Morton ranges over the p +- r cell boxes ----
+    tile = DEP_ROWS * LANES
+    n_pad = -(-n // tile) * tile
+    pad = n_pad - n
+
+    def prep(x):
+        if pad:
+            x = jnp.concatenate([x, jnp.zeros((pad,), x.dtype)])
+        return x.reshape(n_pad // LANES, LANES)
+
+    cmin, _ = cell_of(vp.p - radius[:, None])
+    cmax, _ = cell_of(vp.p + radius[:, None])
+    big = jnp.int32(1 << 20)
+    cmin_m = jnp.where(valid[:, None], cmin, big)
+    cmax_m = jnp.where(valid[:, None], cmax, -1)
+    if pad:
+        cmin_m = jnp.concatenate(
+            [cmin_m, jnp.full((pad, 3), big, jnp.int32)]
+        )
+        cmax_m = jnp.concatenate(
+            [cmax_m, jnp.full((pad, 3), -1, jnp.int32)]
+        )
+    t_count = n_pad // tile
+    tmin = jnp.min(cmin_m.reshape(t_count, tile, 3), axis=1)
+    tmax = jnp.max(cmax_m.reshape(t_count, tile, 3), axis=1)
+    empty = jnp.any(tmax < tmin, axis=-1)
+    klo = morton3(
+        jnp.maximum(tmin[:, 0], 0), jnp.maximum(tmin[:, 1], 0),
+        jnp.maximum(tmin[:, 2], 0),
+    )
+    khi = morton3(
+        jnp.maximum(tmax[:, 0], 0), jnp.maximum(tmax[:, 1], 0),
+        jnp.maximum(tmax[:, 2], 0),
+    )
+    s_t = jnp.searchsorted(skey, klo)
+    e_t = jnp.searchsorted(skey, khi, side="right")
+    s_t = jnp.where(empty, 0, s_t).astype(jnp.int32)
+    e_t = jnp.where(empty, 0, e_t).astype(jnp.int32)
+
+    # ---- VP attribute matrix (C, M, LANES) ----
+    from ..bsdf import eval as beval
+
+    frame = beval.make_frame(vp.ns, vp.ng, vp.dpdu)
+    wol = jnp.stack(
+        [jnp.sum(vp.wo * frame.ss, -1), jnp.sum(vp.wo * frame.ts, -1),
+         jnp.sum(vp.wo * frame.ns, -1)], -1,
+    )
+    safe_mat = jnp.clip(vp.mat, 0, resolved["kinds"].shape[0] - 1)
+    base, per_lobe, mixed, has_full = _dep_att_layout(
+        kinds_present, max_lobes
+    )
+    rows = [
+        vp.p[:, 0], vp.p[:, 1], vp.p[:, 2],
+        jnp.where(valid, radius * radius, -1.0),
+        frame.ss[:, 0], frame.ss[:, 1], frame.ss[:, 2],
+        frame.ts[:, 0], frame.ts[:, 1], frame.ts[:, 2],
+        frame.ns[:, 0], frame.ns[:, 1], frame.ns[:, 2],
+        wol[:, 0], wol[:, 1], wol[:, 2],
+        resolved["n_lobes"][safe_mat].astype(jnp.float32),
+        jnp.where(valid, 1.0, 0.0),
+    ]
+    l_avail = resolved["kinds"].shape[1]
+    for l in range(max_lobes):
+        la = min(l, l_avail - 1)
+        if mixed:
+            rows.append(resolved["kinds"][safe_mat, la].astype(jnp.float32))
+        rows.append(resolved["s0"][safe_mat, la, 0])
+        rows.append(resolved["s0"][safe_mat, la, 1])
+        rows.append(resolved["s0"][safe_mat, la, 2])
+        if has_full:
+            for c in range(3):
+                rows.append(resolved["s1"][safe_mat, la, c])
+            for c in range(3):
+                rows.append(resolved["s2"][safe_mat, la, c])
+            rows.append(resolved["au"][safe_mat, la])
+            rows.append(resolved["av"][safe_mat, la])
+            rows.append(resolved["fres"][safe_mat, la].astype(jnp.float32))
+            rows.append(resolved["ea"][safe_mat, la])
+            rows.append(resolved["eb"][safe_mat, la])
+    att = jnp.stack([prep(r.astype(jnp.float32)) for r in rows], 0)
+
+    # ---- chunked launches (event table must fit VMEM) ----
+    phi_r = jnp.zeros((n_pad // LANES, LANES), jnp.float32)
+    phi_g = jnp.zeros_like(phi_r)
+    phi_b = jnp.zeros_like(phi_r)
+    m_cnt = jnp.zeros_like(phi_r)
+    for c0 in range(0, int(ev_tab.shape[0]), DEP_EV_CHUNK):
+        c1 = min(c0 + DEP_EV_CHUNK, int(ev_tab.shape[0]))
+        sc = jnp.clip(s_t, c0, c1) - c0
+        ec = jnp.clip(e_t, c0, c1) - c0
+        ranges = jnp.stack([sc, ec], -1).astype(jnp.int32)
+        pr, pg, pb, mc = _deposit_run(
+            att, ev_tab[c0:c1], ranges, kinds_present, max_lobes,
+            interpret=interpret,
+        )
+        phi_r = phi_r + pr
+        phi_g = phi_g + pg
+        phi_b = phi_b + pb
+        m_cnt = m_cnt + mc
+    phi = jnp.stack(
+        [phi_r.reshape(-1)[:n], phi_g.reshape(-1)[:n],
+         phi_b.reshape(-1)[:n]], -1,
+    ).astype(DTYPE)
+    m = m_cnt.reshape(-1)[:n].astype(jnp.int32)
+    return phi, m

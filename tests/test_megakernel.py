@@ -781,13 +781,22 @@ def test_sppm_render_equal_with_and_without_megakernel(monkeypatch):
     cam = RealisticCamera(job.camera, job.film, pupil_samples=1 << 10)
     sampler = StratifiedSampler(job.sampler, seed=0)
 
+    # three-way: fully fused (camera kernel + Morton deposit kernel),
+    # fused camera + jnp scan deposit, and fully jnp — all must agree
     imgs = {}
-    for flag in ("1", "0"):
-        monkeypatch.setenv("RS_MEGAKERNEL", flag)
-        imgs[flag] = np.asarray(
+    monkeypatch.setenv("RS_SPPM_MEGA_CPU", "1")  # force fused on CPU
+    for tag, (mega, dep) in {
+        "fused": ("1", "1"), "scan": ("1", "0"), "jnp": ("0", "0"),
+    }.items():
+        monkeypatch.setenv("RS_MEGAKERNEL", mega)
+        monkeypatch.setenv("RS_SPPM_DEPOSIT", dep)
+        imgs[tag] = np.asarray(
             render_sppm(ctx, cam, sampler, job.film, job.integrator)
         )
-    assert np.isfinite(imgs["1"]).all()
-    assert imgs["0"].max() > 0
-    rmse = float(np.sqrt(np.mean((imgs["1"] - imgs["0"]) ** 2)))
-    assert rmse < 1e-5, f"fused sppm camera pass deviates: rmse {rmse}"
+    assert np.isfinite(imgs["fused"]).all()
+    assert imgs["jnp"].max() > 0
+    for tag in ("fused", "scan"):
+        rmse = float(np.sqrt(np.mean((imgs[tag] - imgs["jnp"]) ** 2)))
+        assert rmse < 1e-5, f"sppm {tag} path deviates: rmse {rmse}"
+    # the deposit actually fires in this scene (photons land on VPs)
+    assert float(np.abs(imgs["fused"]).sum()) > 0
