@@ -464,22 +464,36 @@ def render_sppm(ctx: SceneCtx, cam, sampler, film_spec, spec, write_image_fn=Non
 
         phi_acc = jnp.zeros((n_pixels, C), DTYPE)
         m_acc = jnp.zeros((n_pixels,), jnp.int32)
-        ev_p, ev_wi, ev_beta, ev_live = [], [], [], []
 
-        for depth in range(spec.max_depth):
+        if _dep_resolved is not None:
+            # fused photon walk: bounce/RR uniforms computed HERE with
+            # the production radical inverse (exact Halton parity) and
+            # shipped into the kernel; deposit events come back out
+            u_rows = []
+            for depth in range(spec.max_depth - 1):
+                d_b = 5 + 2 * depth
+                u_rows.append(ri(d_b))
+                u_rows.append(ri(d_b + 1))
+                u_rows.append(ri(d_b + 2 + spec.max_depth * 2))
+            evs = _smk.sppm_photon_mega(
+                _mega_packed, ro, rd, beta, ph_active,
+                jnp.stack(u_rows, 0), spec.max_depth,
+                interpret=jax.default_backend() == "cpu",
+            )
+            phi_acc, m_acc = _smk.deposit_mega(
+                vp, state.radius, _dep_resolved, *evs, lo, diag,
+                _mega_packed[3], _mega_packed[4],
+                interpret=jax.default_backend() == "cpu",
+            )
+
+        for depth in range(spec.max_depth if _dep_resolved is None else 0):
             t_max = jnp.full((n_photons,), jnp.inf, DTYPE)
             hit = ctx.intersect(ro, rd, t_max)
             ph_active = ph_active & hit.valid
             si = ctx.surface(hit, ro, rd)
             si = si._replace(valid=si.valid & ph_active)
 
-            if depth > 0 and _dep_resolved is not None:
-                # fused deposit: collect the event, splat after the loop
-                ev_p.append(si.p)
-                ev_wi.append(-rd)
-                ev_beta.append(beta)
-                ev_live.append(ph_active)
-            elif depth > 0:
+            if depth > 0:
                 cell, inb = to_grid(si.p)
                 hcell = _hash_cell(cell[:, 0], cell[:, 1], cell[:, 2], hash_size)
                 start = cell_start[hcell]
@@ -540,16 +554,6 @@ def render_sppm(ctx: SceneCtx, cam, sampler, film_spec, spec, write_image_fn=Non
                 ro,
             )
             rd = jnp.where(ph_active[:, None], bs.wi_world, rd)
-
-        if _dep_resolved is not None:
-            phi_acc, m_acc = _smk.deposit_mega(
-                vp, state.radius, _dep_resolved,
-                jnp.concatenate(ev_p), jnp.concatenate(ev_wi),
-                jnp.concatenate(ev_beta), jnp.concatenate(ev_live),
-                lo, diag,
-                _mega_packed[3], _mega_packed[4],
-                interpret=jax.default_backend() == "cpu",
-            )
 
         # ---- radius / tau update (sppm.rs:508-532, PBRT sqrt) ----
         m = m_acc.astype(DTYPE)

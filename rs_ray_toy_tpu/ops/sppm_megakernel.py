@@ -862,3 +862,241 @@ def deposit_mega(
     ).astype(DTYPE)
     m = m_cnt.reshape(-1)[:n].astype(jnp.int32)
     return phi, m
+
+
+# ---------------------------------------------------------------------------
+# Fused photon walk (sppm.rs:346-506 minus emission): the per-depth
+# intersect / frame / bsdf_sample / RR chain runs in one Pallas kernel.
+# Light sampling (sample_le, power pick) and the Halton radical-inverse
+# values stay on the host — closed-form jnp over n_photons rows — and
+# the bounce/RR uniforms ride in as an input matrix, so photon paths are
+# bit-identical to the jnp loop by construction.  The kernel emits the
+# deposit events (p, wi, beta, live per depth >= 1) that deposit_mega
+# consumes.
+# ---------------------------------------------------------------------------
+
+
+def _photon_loop(
+    tri_ref, ox, oy, oz, dx, dy, dz, br, bg, bb, act, u_ref,
+    n_tris, max_depth, kinds_present, max_lobes,
+):
+    has_full = _has_full(kinds_present)
+    mixed = len(kinds_present) > 1
+    attr_cols = _attr_cols(kinds_present, max_lobes)
+    zero = jnp.zeros(ox.shape, jnp.float32)
+    active = act > 0.0
+    outs = []
+    for depth in range(max_depth):
+        out = _closest_hit(tri_ref, n_tris, ox, oy, oz, dx, dy, dz, attr_cols)
+        t = out[0]
+        ngx, ngy, ngz = out[1], out[2], out[3]
+        dux, duy, duz = out[4], out[5], out[6]
+        n_lob = out[7].astype(jnp.int32)
+        cur = 8
+        if _has_spec_trans(kinds_present):
+            cur += 1
+        lobs = []
+        for l in range(max_lobes):
+            lob = {}
+            if mixed:
+                lob["kind"] = out[cur].astype(jnp.int32)
+                cur += 1
+            else:
+                lob["kind"] = kinds_present[0]
+            lob["s0"] = (out[cur], out[cur + 1], out[cur + 2])
+            cur += 3
+            if has_full:
+                lob["s1"] = (out[cur], out[cur + 1], out[cur + 2])
+                lob["s2"] = (out[cur + 3], out[cur + 4], out[cur + 5])
+                lob["au"] = out[cur + 6]
+                lob["av"] = out[cur + 7]
+                lob["fres"] = out[cur + 8].astype(jnp.int32)
+                lob["eta_a"] = out[cur + 9]
+                lob["eta_b"] = out[cur + 10]
+                cur += 11
+            else:
+                lob["s1"] = lob["s2"] = (zero,) * 3
+                lob["au"] = lob["av"] = zero
+                lob["fres"] = 0
+                lob["eta_a"] = lob["eta_b"] = zero
+            lobs.append(lob)
+        found = t < 3.0e38
+        active = active & found
+        px = ox + dx * t
+        py = oy + dy * t
+        pz = oz + dz * t
+
+        if depth > 0:
+            # deposit event: position, wi = -d, CURRENT beta, liveness
+            outs.extend([
+                px, py, pz, -dx, -dy, -dz, br, bg, bb,
+                jnp.where(active, 1.0, 0.0),
+            ])
+        if depth >= max_depth - 1:
+            break
+
+        # shading frame (flat subset)
+        du2 = dux * dux + duy * duy + duz * duz
+        ssx, ssy, ssz = _normalize3(dux, duy, duz)
+        big_x = jnp.abs(ngx) > jnp.abs(ngy)
+        inv_a = lax.rsqrt(
+            jnp.maximum(
+                jnp.where(big_x, ngx * ngx + ngz * ngz, ngy * ngy + ngz * ngz),
+                1e-30,
+            )
+        )
+        fbx = jnp.where(big_x, -ngz, 0.0) * inv_a
+        fby = jnp.where(big_x, 0.0, ngz) * inv_a
+        fbz = jnp.where(big_x, ngx, -ngy) * inv_a
+        bad = du2 < 1e-20
+        ssx = jnp.where(bad, fbx, ssx)
+        ssy = jnp.where(bad, fby, ssy)
+        ssz = jnp.where(bad, fbz, ssz)
+        tsx = ngy * ssz - ngz * ssy
+        tsy = ngz * ssx - ngx * ssz
+        tsz = ngx * ssy - ngy * ssx
+        wox, woy, woz = -dx, -dy, -dz
+        wol_x = _dot3(wox, woy, woz, ssx, ssy, ssz)
+        wol_y = _dot3(wox, woy, woz, tsx, tsy, tsz)
+        wo_z = _dot3(wox, woy, woz, ngx, ngy, ngz)
+
+        ub0 = u_ref[3 * depth]
+        ub1 = u_ref[3 * depth + 1]
+        u_rr = u_ref[3 * depth + 2]
+        smp = _bsdf_sample_k(
+            lobs, n_lob, wol_x, wol_y, wo_z, ub0, ub1,
+            kinds_present, max_lobes,
+        )
+        wsx, wsy, wsz = smp["wsx"], smp["wsy"], smp["wsz"]
+        fs, pdf = smp["f"], smp["pdf"]
+        nwx = ssx * wsx + tsx * wsy + ngx * wsz
+        nwy = ssy * wsx + tsy * wsy + ngy * wsz
+        nwz = ssz * wsx + tsz * wsy + ngz * wsz
+        cosw = jnp.abs(_dot3(nwx, nwy, nwz, ngx, ngy, ngz))
+        any_f = (fs[0] != 0.0) | (fs[1] != 0.0) | (fs[2] != 0.0)
+        ok = active & (n_lob > 0) & (wo_z != 0.0) & (pdf > 0.0) & any_f
+        inv_pdf = cosw / jnp.maximum(pdf, 1e-20)
+        bnr = br * fs[0] * inv_pdf
+        bng = bg * fs[1] * inv_pdf
+        bnb = bb * fs[2] * inv_pdf
+        # photon RR (sppm.rs:497-505): q = max(0, 1 - lum(new)/lum(old))
+        lum_new = LUM_R * bnr + LUM_G * bng + LUM_B * bnb
+        lum_old = LUM_R * br + LUM_G * bg + LUM_B * bb
+        q = jnp.maximum(0.0, 1.0 - lum_new / jnp.maximum(lum_old, 1e-20))
+        killed = u_rr < q
+        active = ok & ~killed
+        inv_cont = 1.0 / jnp.maximum(1.0 - q, 1e-9)
+        br = jnp.where(active, bnr * inv_cont, br)
+        bg = jnp.where(active, bng * inv_cont, bg)
+        bb = jnp.where(active, bnb * inv_cont, bb)
+        mag = jnp.abs(px) + jnp.abs(py) + jnp.abs(pz)
+        eps = 1e-4 + 1e-5 * mag
+        wi_ng2 = _dot3(nwx, nwy, nwz, ngx, ngy, ngz)
+        off2 = jnp.where(wi_ng2 < 0.0, -eps, eps)
+        ox = jnp.where(active, px + ngx * off2, ox)
+        oy = jnp.where(active, py + ngy * off2, oy)
+        oz = jnp.where(active, pz + ngz * off2, oz)
+        dx = jnp.where(active, nwx, dx)
+        dy = jnp.where(active, nwy, dy)
+        dz = jnp.where(active, nwz, dz)
+    return outs
+
+
+def _photon_kernel(
+    tri_ref, ox_r, oy_r, oz_r, dx_r, dy_r, dz_r, br_r, bg_r, bb_r, a_r,
+    u_r, *outs,
+    n_tris, max_depth, kinds_present, max_lobes,
+):
+    vals = _photon_loop(
+        tri_ref,
+        ox_r[:], oy_r[:], oz_r[:], dx_r[:], dy_r[:], dz_r[:],
+        br_r[:], bg_r[:], bb_r[:], a_r[:], u_r,
+        n_tris, max_depth, kinds_present, max_lobes,
+    )
+    for o_ref, v in zip(outs, vals):
+        o_ref[:] = v
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_tris", "max_depth", "kinds_present", "max_lobes",
+                     "interpret"),
+)
+def _photon_run(
+    table, ox, oy, oz, dx, dy, dz, br, bg, bb, act, u,
+    n_tris, max_depth, kinds_present, max_lobes, interpret=False,
+):
+    m = ox.shape[0]
+    rows = TILE_ROWS
+    grid = (m // rows,)
+    ray_spec = pl.BlockSpec(
+        (rows, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    nu = u.shape[0]
+    u_spec = pl.BlockSpec(
+        (nu, rows, LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+    )
+    n_out = 10 * (max_depth - 1)
+    kernel = functools.partial(
+        _photon_kernel,
+        n_tris=n_tris, max_depth=max_depth,
+        kinds_present=kinds_present, max_lobes=max_lobes,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[vmem] + [ray_spec] * 10 + [u_spec],
+        out_specs=[ray_spec] * n_out,
+        out_shape=[jax.ShapeDtypeStruct((m, LANES), jnp.float32)] * n_out,
+        interpret=interpret,
+    )(table, ox, oy, oz, dx, dy, dz, br, bg, bb, act, u)
+
+
+def sppm_photon_mega(
+    packed, ro, rd, beta, ph_active, u_bounce, max_depth, interpret=False,
+):
+    """Photon walk for one SPPM iteration.  ro/rd/beta/ph_active from
+    the host's sample_le; u_bounce: (3*(max_depth-1), n_photons) bounce
+    + RR uniforms (host radical-inverse — exact Halton parity).  Returns
+    (ev_p (E,3), ev_wi (E,3), ev_beta (E,3), ev_live (E,)) with
+    E = (max_depth-1) * n_photons."""
+    table = packed[0]
+    kinds_present, max_lobes = packed[3], packed[4]
+    n = ro.shape[0]
+    tile = TILE_ROWS * LANES
+    n_pad = -(-n // tile) * tile
+    pad = n_pad - n
+
+    def prep(x):
+        if pad:
+            x = jnp.concatenate([x, jnp.zeros((pad,), x.dtype)])
+        return x.reshape(n_pad // LANES, LANES)
+
+    u = jnp.stack([prep(u_bounce[c]) for c in range(u_bounce.shape[0])], 0)
+    outs = _photon_run(
+        table,
+        prep(ro[:, 0]), prep(ro[:, 1]), prep(ro[:, 2]),
+        prep(rd[:, 0]), prep(rd[:, 1]), prep(rd[:, 2]),
+        prep(beta[:, 0]), prep(beta[:, 1]), prep(beta[:, 2]),
+        prep(jnp.where(ph_active, 1.0, 0.0)),
+        u,
+        n_tris=int(table.shape[0]), max_depth=int(max_depth),
+        kinds_present=kinds_present, max_lobes=max_lobes,
+        interpret=interpret,
+    )
+    flat = [x.reshape(-1)[:n] for x in outs]
+    evs = []
+    for d in range(max_depth - 1):
+        b = 10 * d
+        evs.append((
+            jnp.stack(flat[b:b + 3], -1),
+            jnp.stack(flat[b + 3:b + 6], -1),
+            jnp.stack(flat[b + 6:b + 9], -1),
+            flat[b + 9] > 0.0,
+        ))
+    ev_p = jnp.concatenate([e[0] for e in evs])
+    ev_wi = jnp.concatenate([e[1] for e in evs])
+    ev_beta = jnp.concatenate([e[2] for e in evs])
+    ev_live = jnp.concatenate([e[3] for e in evs])
+    return ev_p, ev_wi, ev_beta, ev_live
