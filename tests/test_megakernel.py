@@ -800,3 +800,31 @@ def test_sppm_render_equal_with_and_without_megakernel(monkeypatch):
         assert rmse < 1e-5, f"sppm {tag} path deviates: rmse {rmse}"
     # the deposit actually fires in this scene (photons land on VPs)
     assert float(np.abs(imgs["fused"]).sum()) > 0
+
+
+def test_halton_render_job_equal_with_and_without_megakernel(monkeypatch):
+    """BASELINE config 2 at the render_job level: a Halton scene must
+    produce the same image on the megakernel (slot values via the input
+    matrix, s_idx traced through the pass fori-loop) as on the jnp
+    wavefront path."""
+    from rs_ray_toy_tpu.render import render_job
+    from rs_ray_toy_tpu.scene.loader import load_scene
+
+    cfg = json.load(open(os.path.join(SAMPLES, "scene.json")))
+    cfg["Film"]["xres"], cfg["Film"]["yres"] = 64, 36
+    cfg["Integrator"] = {"integrator_type": "Path", "max_depth": 4}
+    cfg["Sampler"] = {"sampler_type": "HaltonSampler", "nsamp": 4}
+    td = tempfile.mkdtemp()
+    shutil.copy(os.path.join(SAMPLES, "cube.obj"), td)
+    path = os.path.join(td, "s.json")
+    json.dump(cfg, open(path, "w"))
+
+    outs = {}
+    for flag in ("1", "0"):
+        monkeypatch.setenv("RS_MEGAKERNEL", flag)
+        job = load_scene(path)
+        res = render_job(job, pupil_samples=1 << 10, seed=0)
+        outs[flag] = np.asarray(res["rgb_srgb_input"])
+    assert outs["0"].max() > 0
+    rmse = float(np.sqrt(np.mean((outs["1"] - outs["0"]) ** 2)))
+    assert rmse < 1e-4, f"halton megakernel render deviates: rmse {rmse}"
