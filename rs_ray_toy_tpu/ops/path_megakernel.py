@@ -556,9 +556,12 @@ def _pack_lights_static(ctx):
     return tuple(lights), esc
 
 
-def pack_scene(ctx, allow_bvh=True):
+def pack_scene(ctx, allow_bvh=True, with_mat_col=False):
     """Per-triangle (T, 48) table: geometry + the material's lobe stack
     pre-resolved (material indirection collapsed at pack time).
+    with_mat_col: carry the material id in lobe-1's pad column (col 47,
+    sppm_megakernel.MAT_COL) through any BVH leaf reorder — the SPPM
+    kernels emit it so the deposit can resolve VP BSDFs.
 
     cols 0:15  p0, e1, e2, ng, dpdu
     col  15    n_lobes
@@ -604,6 +607,7 @@ def pack_scene(ctx, allow_bvh=True):
         table[:t_count, base + 13] = r["ea"][:, l]
         table[:t_count, base + 14] = r["eb"][:, l]
     table[:t_count, 31] = r["mat_eta"]  # lobe-0 pad col carries the Bsdf eta
+    table[:t_count, 47] = mat.astype(np.float32)  # lobe-1 pad: material id
 
     lights_p = tuple(
         tuple(float(v) for v in row) for row in np.asarray(ctx.lights.p)
@@ -676,6 +680,8 @@ def pack_scene(ctx, allow_bvh=True):
         tbl = pack_bvh_tables(bvh_t, ctx.tri)
         order = np.asarray(bvh_t.prim_index, np.int64)
         cols = list(range(9)) + list(_attr_cols(kinds_present, max_lobes))
+        if with_mat_col:
+            cols.append(47)  # material id rides as the LAST attr
         table = table[order][:, cols]
         if table.shape[0] < 8:  # Mosaic wants a real (>=8-row) VMEM block
             table = np.concatenate(
@@ -2903,9 +2909,12 @@ def _kernel_bvh(
     lb_o[:] = Lb
 
 
-def _bvh_call_extras(rows, kinds_present, max_lobes, interpret):
-    """(scratch_shapes, compiler kwargs) shared by both BVH-mode runs."""
-    n_attr = len(_attr_cols(kinds_present, max_lobes))
+def _bvh_call_extras(rows, kinds_present, max_lobes, interpret,
+                     extra_attrs=0):
+    """(scratch_shapes, compiler kwargs) shared by both BVH-mode runs.
+    extra_attrs: additional trailing attr columns (the SPPM kernels add
+    the material id)."""
+    n_attr = len(_attr_cols(kinds_present, max_lobes)) + extra_attrs
     scratch = [
         pltpu.SMEM((STACK_DEPTH,), jnp.int32),
         pltpu.VMEM((rows, LANES), jnp.float32),

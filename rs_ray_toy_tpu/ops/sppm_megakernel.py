@@ -8,12 +8,13 @@ full SoA state through HBM at every depth; this kernel runs the whole
 walk for a ray tile in VMEM — the same fusion the path megakernel
 applies to path.rs — and returns the VP record plus the ld delta.
 
-Scope (supports_sppm_camera): the brute-force small-scene subset of the
-path megakernel (VMEM-resident triangle table, flat shading normals,
-RGB, stratified pow2 sampler) with DELTA lights only (scene.json's
-three point lights; sppm.rs's uniform_sample_one_light over delta
-lights has no MIS counter branch) and no media/env/spheres/BSSRDF.
-Anything else falls back to the jnp wavefront pass.
+Scope (supports_sppm_camera): the path megakernel's scene subset (flat
+shading normals, RGB, stratified pow2 sampler; brute-force VMEM table
+below TRI_MAX, the in-kernel packet BVH above it up to
+MEGA_BVH_TRI_MAX) with DELTA lights only (scene.json's three point
+lights; sppm.rs's uniform_sample_one_light over delta lights has no
+MIS counter branch) and no media/env/spheres/BSSRDF.  Anything else
+falls back to the jnp wavefront pass.
 
 Estimator-identical to _camera_pass: same sampler slots
 (sampler/dims.py SPPM block: +0..+2 NEE, +5 BSDF, +6 RR), same
@@ -53,10 +54,13 @@ from ..bsdf.lobes import (
 )
 from .path_megakernel import (
     LANES,
+    MEGA_BVH_TRI_MAX,
     TILE_ROWS,
     TRI_MAX,
     _attr_cols,
     _bsdf_sample_k,
+    _bvh_closest_hit,
+    _bvh_occluded,
     _closest_hit,
     _dot3,
     _has_full,
@@ -102,7 +106,12 @@ def supports_sppm_camera(ctx, spec, sampler) -> bool:
 
     if os.environ.get("RS_MEGAKERNEL", "1") == "0":
         return False
-    common = common_scene_checks(ctx, sampler, tri_max=TRI_MAX)
+    tri_max = (
+        TRI_MAX
+        if os.environ.get("RS_MEGA_BVH", "1") == "0"
+        else MEGA_BVH_TRI_MAX
+    )
+    common = common_scene_checks(ctx, sampler, tri_max=tri_max)
     if common is None:
         return False
     kinds, n_lobes, live, used = common
@@ -131,19 +140,17 @@ def supports_sppm_camera(ctx, spec, sampler) -> bool:
 
 
 def pack_sppm(ctx):
-    """pack_scene + the per-triangle material id in pad col 47 (the
-    deposit evaluates VP BSDFs through gather_lobes and needs the id)."""
-    packed = pack_scene(ctx)
-    table = np.array(packed[0])
-    t_count = int(np.asarray(ctx.tri.mat).shape[0])
-    table[:t_count, MAT_COL] = np.asarray(ctx.tri.mat).astype(np.float32)
-    return (jnp.asarray(table),) + packed[1:]
+    """pack_scene with the per-triangle material id carried in pad col
+    47 (through any BVH leaf reorder) — the deposit evaluates VP BSDFs
+    through the resolved per-material tables and needs the id."""
+    return pack_scene(ctx, with_mat_col=True)
 
 
 def _camera_loop(
     tri_ref, ox, oy, oz, dx, dy, dz, weight, pid, sid,
     n_tris, lights_p, lights_emit, max_depth,
     spp, xs, ys, jitter, seed, kinds_present, max_lobes,
+    bvh_refs=None, max_leaf=None,
 ):
     """The sppm.rs:140-260 walk on a ray tile.  Returns (ld (3), vp_*)."""
     n_lights = len(lights_p)
@@ -167,7 +174,15 @@ def _camera_loop(
 
     for depth in range(max_depth):
         dim0 = sppm_dim0(depth)
-        out = _closest_hit(tri_ref, n_tris, ox, oy, oz, dx, dy, dz, attr_cols)
+        if bvh_refs is None:
+            out = _closest_hit(
+                tri_ref, n_tris, ox, oy, oz, dx, dy, dz, attr_cols
+            )
+        else:
+            out = _bvh_closest_hit(
+                bvh_refs, tri_ref, ox, oy, oz, dx, dy, dz, active,
+                max_leaf, len(attr_cols),
+            )
         t = out[0]
         ngx, ngy, ngz = out[1], out[2], out[3]
         dux, duy, duz = out[4], out[5], out[6]
@@ -280,11 +295,18 @@ def _camera_loop(
         sox = px + ngx * off
         soy = py + ngy * off
         soz = pz + ngz * off
-        occ = _occluded_all(
-            tri_ref, n_tris, (), sox, soy, soz,
-            lpx - sox, lpy - soy, lpz - soz,
-            jnp.full(px.shape, 1.0 - SHADOW_EPSILON, jnp.float32),
-        )
+        t_sh = jnp.full(px.shape, 1.0 - SHADOW_EPSILON, jnp.float32)
+        if bvh_refs is None:
+            occ = _occluded_all(
+                tri_ref, n_tris, (), sox, soy, soz,
+                lpx - sox, lpy - soy, lpz - soz, t_sh,
+            )
+        else:
+            occ = _bvh_occluded(
+                bvh_refs, tri_ref, sox, soy, soz,
+                lpx - sox, lpy - soy, lpz - soz,
+                jnp.where(active, t_sh, 0.0), max_leaf,
+            )
         li_scale = jnp.where(active & ~occ, cos_ns * n_lights / dist2, 0.0)
         ldr = ldr + br * fnr * ler * li_scale
         ldg = ldg + bg * fng * leg * li_scale
@@ -409,27 +431,74 @@ def _kernel(
         o_ref[:] = v
 
 
+def _kernel_bvh(
+    nodes_f_ref, nodes_i_ref, tri_ref,
+    ox_r, oy_r, oz_r, dx_r, dy_r, dz_r, w_r, pid_r, sid_r,
+    *rest,
+    n_tris, lights_p, lights_emit, max_depth,
+    spp, xs, ys, jitter, seed, kinds_present, max_lobes, max_leaf,
+):
+    outs = rest[:N_OUT]
+    bvh_refs = (nodes_f_ref, nodes_i_ref) + tuple(rest[N_OUT:])
+    vals = _camera_loop(
+        tri_ref,
+        ox_r[:], oy_r[:], oz_r[:], dx_r[:], dy_r[:], dz_r[:],
+        w_r[:], pid_r[:], sid_r[:],
+        n_tris, lights_p, lights_emit, max_depth,
+        spp, xs, ys, jitter, seed, kinds_present, max_lobes,
+        bvh_refs=bvh_refs, max_leaf=max_leaf,
+    )
+    for o_ref, v in zip(outs, vals):
+        o_ref[:] = v
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "n_tris", "lights_p", "lights_emit", "max_depth",
         "spp", "xs", "ys", "jitter", "seed", "kinds_present", "max_lobes",
-        "interpret",
+        "max_leaf", "interpret",
     ),
 )
 def _run(
-    table, ox, oy, oz, dx, dy, dz, w, pid, sid,
+    table, nodes_f, nodes_i, ox, oy, oz, dx, dy, dz, w, pid, sid,
     n_tris, lights_p, lights_emit, max_depth,
     spp, xs, ys, jitter, seed, kinds_present, max_lobes,
-    interpret=False,
+    max_leaf=None, interpret=False,
 ):
+    from .path_megakernel import BVH_TILE_ROWS, _bvh_call_extras
+
     m = ox.shape[0]
-    rows = TILE_ROWS
+    use_bvh = nodes_f is not None
+    rows = BVH_TILE_ROWS if use_bvh else TILE_ROWS
     grid = (m // rows,)
     ray_spec = pl.BlockSpec(
         (rows, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    if use_bvh:
+        kernel = functools.partial(
+            _kernel_bvh,
+            n_tris=n_tris, lights_p=lights_p, lights_emit=lights_emit,
+            max_depth=max_depth,
+            spp=spp, xs=xs, ys=ys, jitter=jitter, seed=seed,
+            kinds_present=kinds_present, max_lobes=max_lobes,
+            max_leaf=max_leaf,
+        )
+        scratch, kwargs = _bvh_call_extras(
+            rows, kinds_present, max_lobes, interpret, extra_attrs=1
+        )
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[vmem, vmem, vmem] + [ray_spec] * 9,
+            out_specs=[ray_spec] * N_OUT,
+            out_shape=[jax.ShapeDtypeStruct((m, LANES), jnp.float32)]
+            * N_OUT,
+            scratch_shapes=scratch,
+            interpret=interpret,
+            **kwargs,
+        )(nodes_f, nodes_i, table, ox, oy, oz, dx, dy, dz, w, pid, sid)
     kernel = functools.partial(
         _kernel,
         n_tris=n_tris, lights_p=lights_p, lights_emit=lights_emit,
@@ -455,11 +524,14 @@ def sppm_camera_mega(
     the supported subset.  packed = pack_sppm(ctx).  Returns
     (ld (N,3), VisiblePoints)."""
     from ..integrators.sppm import VisiblePoints
+    from .path_megakernel import BVH_TILE_ROWS
 
     table = packed[0]
     lights_p, lights_emit, kinds_present, max_lobes = packed[1:5]
+    bvh = packed[6]
+    nodes_f, nodes_i, max_leaf = bvh if bvh is not None else (None,) * 3
     n = o.shape[0]
-    tile = TILE_ROWS * LANES
+    tile = (BVH_TILE_ROWS if bvh is not None else TILE_ROWS) * LANES
     n_pad = -(-n // tile) * tile
     pad = n_pad - n
 
@@ -470,7 +542,7 @@ def sppm_camera_mega(
 
     s_arr = jnp.broadcast_to(jnp.asarray(s_idx, jnp.uint32), (n,))
     outs = _run(
-        table,
+        table, nodes_f, nodes_i,
         prep(o[:, 0]), prep(o[:, 1]), prep(o[:, 2]),
         prep(d[:, 0]), prep(d[:, 1]), prep(d[:, 2]),
         prep(cam_weight.astype(jnp.float32)),
@@ -481,6 +553,7 @@ def sppm_camera_mega(
         spp=int(sampler.spp), xs=int(sampler.xs), ys=int(sampler.ys),
         jitter=bool(sampler.jitter), seed=int(sampler.seed),
         kinds_present=kinds_present, max_lobes=max_lobes,
+        max_leaf=max_leaf,
         interpret=interpret,
     )
     flat = [x.reshape(-1)[:n] for x in outs]
@@ -879,15 +952,28 @@ def deposit_mega(
 def _photon_loop(
     tri_ref, ox, oy, oz, dx, dy, dz, br, bg, bb, act, u_ref,
     n_tris, max_depth, kinds_present, max_lobes,
+    bvh_refs=None, max_leaf=None,
 ):
     has_full = _has_full(kinds_present)
     mixed = len(kinds_present) > 1
     attr_cols = _attr_cols(kinds_present, max_lobes)
+    if bvh_refs is not None:
+        # the BVH narrow table carries the mat id as its LAST attr
+        # (pack_scene with_mat_col) — fetched positionally, unused here
+        attr_cols = attr_cols + (MAT_COL,)
     zero = jnp.zeros(ox.shape, jnp.float32)
     active = act > 0.0
     outs = []
     for depth in range(max_depth):
-        out = _closest_hit(tri_ref, n_tris, ox, oy, oz, dx, dy, dz, attr_cols)
+        if bvh_refs is None:
+            out = _closest_hit(
+                tri_ref, n_tris, ox, oy, oz, dx, dy, dz, attr_cols
+            )
+        else:
+            out = _bvh_closest_hit(
+                bvh_refs, tri_ref, ox, oy, oz, dx, dy, dz, active,
+                max_leaf, len(attr_cols),
+            )
         t = out[0]
         ngx, ngy, ngz = out[1], out[2], out[3]
         dux, duy, duz = out[4], out[5], out[6]
@@ -1017,17 +1103,41 @@ def _photon_kernel(
         o_ref[:] = v
 
 
+def _photon_kernel_bvh(
+    nodes_f_ref, nodes_i_ref, tri_ref,
+    ox_r, oy_r, oz_r, dx_r, dy_r, dz_r, br_r, bg_r, bb_r, a_r,
+    u_r, *rest,
+    n_tris, max_depth, kinds_present, max_lobes, max_leaf,
+):
+    n_out = 10 * (max_depth - 1)
+    outs = rest[:n_out]
+    bvh_refs = (nodes_f_ref, nodes_i_ref) + tuple(rest[n_out:])
+    vals = _photon_loop(
+        tri_ref,
+        ox_r[:], oy_r[:], oz_r[:], dx_r[:], dy_r[:], dz_r[:],
+        br_r[:], bg_r[:], bb_r[:], a_r[:], u_r,
+        n_tris, max_depth, kinds_present, max_lobes,
+        bvh_refs=bvh_refs, max_leaf=max_leaf,
+    )
+    for o_ref, v in zip(outs, vals):
+        o_ref[:] = v
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("n_tris", "max_depth", "kinds_present", "max_lobes",
-                     "interpret"),
+                     "max_leaf", "interpret"),
 )
 def _photon_run(
-    table, ox, oy, oz, dx, dy, dz, br, bg, bb, act, u,
-    n_tris, max_depth, kinds_present, max_lobes, interpret=False,
+    table, nodes_f, nodes_i, ox, oy, oz, dx, dy, dz, br, bg, bb, act, u,
+    n_tris, max_depth, kinds_present, max_lobes, max_leaf=None,
+    interpret=False,
 ):
+    from .path_megakernel import BVH_TILE_ROWS, _bvh_call_extras
+
     m = ox.shape[0]
-    rows = TILE_ROWS
+    use_bvh = nodes_f is not None
+    rows = BVH_TILE_ROWS if use_bvh else TILE_ROWS
     grid = (m // rows,)
     ray_spec = pl.BlockSpec(
         (rows, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
@@ -1038,6 +1148,28 @@ def _photon_run(
         (nu, rows, LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM
     )
     n_out = 10 * (max_depth - 1)
+    if use_bvh:
+        kernel = functools.partial(
+            _photon_kernel_bvh,
+            n_tris=n_tris, max_depth=max_depth,
+            kinds_present=kinds_present, max_lobes=max_lobes,
+            max_leaf=max_leaf,
+        )
+        scratch, kwargs = _bvh_call_extras(
+            rows, kinds_present, max_lobes, interpret, extra_attrs=1
+        )
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[vmem, vmem, vmem] + [ray_spec] * 10 + [u_spec],
+            out_specs=[ray_spec] * n_out,
+            out_shape=[jax.ShapeDtypeStruct((m, LANES), jnp.float32)]
+            * n_out,
+            scratch_shapes=scratch,
+            interpret=interpret,
+            **kwargs,
+        )(nodes_f, nodes_i, table, ox, oy, oz, dx, dy, dz, br, bg, bb,
+          act, u)
     kernel = functools.partial(
         _photon_kernel,
         n_tris=n_tris, max_depth=max_depth,
@@ -1061,10 +1193,14 @@ def sppm_photon_mega(
     + RR uniforms (host radical-inverse — exact Halton parity).  Returns
     (ev_p (E,3), ev_wi (E,3), ev_beta (E,3), ev_live (E,)) with
     E = (max_depth-1) * n_photons."""
+    from .path_megakernel import BVH_TILE_ROWS
+
     table = packed[0]
     kinds_present, max_lobes = packed[3], packed[4]
+    bvh = packed[6]
+    nodes_f, nodes_i, max_leaf = bvh if bvh is not None else (None,) * 3
     n = ro.shape[0]
-    tile = TILE_ROWS * LANES
+    tile = (BVH_TILE_ROWS if bvh is not None else TILE_ROWS) * LANES
     n_pad = -(-n // tile) * tile
     pad = n_pad - n
 
@@ -1075,7 +1211,7 @@ def sppm_photon_mega(
 
     u = jnp.stack([prep(u_bounce[c]) for c in range(u_bounce.shape[0])], 0)
     outs = _photon_run(
-        table,
+        table, nodes_f, nodes_i,
         prep(ro[:, 0]), prep(ro[:, 1]), prep(ro[:, 2]),
         prep(rd[:, 0]), prep(rd[:, 1]), prep(rd[:, 2]),
         prep(beta[:, 0]), prep(beta[:, 1]), prep(beta[:, 2]),
@@ -1083,6 +1219,7 @@ def sppm_photon_mega(
         u,
         n_tris=int(table.shape[0]), max_depth=int(max_depth),
         kinds_present=kinds_present, max_lobes=max_lobes,
+        max_leaf=max_leaf,
         interpret=interpret,
     )
     flat = [x.reshape(-1)[:n] for x in outs]

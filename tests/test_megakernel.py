@@ -756,10 +756,15 @@ def test_sppm_camera_mega_matches_jnp():
     assert (np.asarray(vp_m.mat)[live] == np.asarray(vp_ref.mat)[live]).all()
 
 
-def test_sppm_render_equal_with_and_without_megakernel(monkeypatch):
-    """render_sppm through the fused camera pass must produce the same
-    image as the jnp wavefront pass (same RNG chain end-to-end,
-    including the photon pass and grid deposit that stay in jnp)."""
+@pytest.mark.parametrize("force_bvh", [False, True])
+def test_sppm_render_equal_with_and_without_megakernel(monkeypatch,
+                                                       force_bvh):
+    """render_sppm through the fused passes must produce the same image
+    as the jnp wavefront paths (same RNG chain end-to-end).  force_bvh
+    routes the camera/photon kernels through the in-kernel packet BVH
+    (mesh-scene mode) on the same scene."""
+    if force_bvh:
+        monkeypatch.setenv("RS_MEGA_BVH", "force")
     from rs_ray_toy_tpu.integrators.sppm import render_sppm
     from rs_ray_toy_tpu.camera.realistic import RealisticCamera
     from rs_ray_toy_tpu.sampler.stratified import StratifiedSampler
