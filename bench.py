@@ -45,7 +45,8 @@ EXTRA_MATERIALS = {
 }
 
 
-def _build_scene(scene_kind, material, integrator_kind, fog, sppm_cfg=None):
+def _build_scene(scene_kind, material, integrator_kind, fog, spp,
+                 sppm_cfg=None):
     """Materialize one benchmark scene; returns (path, tag)."""
     import tempfile
     import shutil as _sh
@@ -127,7 +128,7 @@ def _run_one(scene_kind, material, integrator_kind, fog, spp, sppm_cfg=None):
     from rs_ray_toy_tpu.render import render_job
 
     scene_path, tag = _build_scene(
-        scene_kind, material, integrator_kind, fog, sppm_cfg
+        scene_kind, material, integrator_kind, fog, spp, sppm_cfg
     )
     pupil = 1 << int(os.environ.get("BENCH_PUPIL_LOG2", "18"))
     job = load_scene(scene_path)
