@@ -143,11 +143,21 @@ def _run_one(scene_kind, material, integrator_kind, fog, spp, sppm_cfg=None):
         # the benchmark without a number: retry on the jnp wavefront path
         if os.environ.get("RS_MEGAKERNEL", "1") == "0":
             raise
-        print(f"megakernel path failed ({type(e).__name__}); jnp fallback",
+        print(f"megakernel path failed ({type(e).__name__}): {e}",
               file=sys.stderr)
+        print("retrying on the jnp fallback path", file=sys.stderr)
+        prev = os.environ.get("RS_MEGAKERNEL")
         os.environ["RS_MEGAKERNEL"] = "0"
-        job = load_scene(scene_path)
-        res = render_job(job, spp_override=spp, pupil_samples=pupil)
+        try:
+            job = load_scene(scene_path)
+            res = render_job(job, spp_override=spp, pupil_samples=pupil)
+        finally:
+            # scope the fallback to THIS config: a leaked =0 would silently
+            # benchmark every later matrix row on the jnp path
+            if prev is None:
+                del os.environ["RS_MEGAKERNEL"]
+            else:
+                os.environ["RS_MEGAKERNEL"] = prev
     value = (
         res["camera_mrays_per_s"]
         if integrator_kind == "sppm"

@@ -12,10 +12,14 @@ megakernel's material/geometry subset (common_scene_checks):
     medium interfaces: every ray stays in the fog forever, so sigma_a/
     sigma_s/sigma_t/g are compile-time constants and the medium-
     transition machinery (volpath.rs:198-236) is statically dead;
-  - point lights only: NEE is the delta-light branch of
-    estimate_direct(handle_media=true) (integrator/mod.rs:403-481), and
-    the scattering-sampling counter-branch (mod.rs:483-558) is
-    statically skipped exactly as in integrators/volpath.py:92.
+  - point and sphere-area lights: NEE is estimate_direct
+    (handle_media=true) (integrator/mod.rs:403-558) with the MIS power
+    heuristic for area lights (phase pdf at medium vertices, mean
+    non-specular BSDF pdf at surfaces).  The scattering-sampling
+    counter-branch is statically ZERO for this subset — the aggregate
+    carries no emissive prims and env lights are excluded — and
+    homogeneous medium_tr draws no RNG, so skipping it is chain-exact
+    (mirrors integrators/volpath.py:_estimate_direct_volumetric).
 
 The estimator is IDENTICAL to li_volpath: same sampler dim blocks
 (sampler/dims.volpath_dim0), same hashed RNG chain for the medium's
@@ -37,7 +41,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..config import DTYPE, PI
 from ..core import rng as rngmod
-from ..scene.types import LIGHT_POINT
+from ..scene.types import LIGHT_DIFFUSE_AREA, LIGHT_POINT
 from ..scene.medium import MEDIUM_HOMOGENEOUS
 from .bvh_pallas import STACK_DEPTH
 from .path_megakernel import (
@@ -57,8 +61,11 @@ from .path_megakernel import (
     _dot3,
     _has_spec_trans,
     _lobe_f_k,
+    _lobe_pdf_k,
+    _nee_light_k,
     _normalize3,
     _occluded,
+    _power_heuristic_k,
     _sampler_dims,
     _spec_mask,
     common_scene_checks,
@@ -113,7 +120,7 @@ def supports_volpath(ctx, spec, sampler, diff) -> bool:
         ctx,
         sampler,
         allow_spheres=False,
-        light_kinds=(LIGHT_POINT,),
+        light_kinds=(LIGHT_POINT, LIGHT_DIFFUSE_AREA),
         allow_env=False,
         tri_max=tri_max,
         allow_media=True,
@@ -231,7 +238,7 @@ def _hg_sample_k(wox, woy, woz, g, u0):
 
 def _vol_bounce_loop(
     tri_ref, ox, oy, oz, dx, dy, dz, active, pid, sid,
-    n_tris, vol, lights_p, lights_emit, max_depth, rr_threshold,
+    n_tris, vol, wide, lights_p, lights_emit, max_depth, rr_threshold,
     spp, xs, ys, jitter, seed, kinds_present, max_lobes,
     bvh_refs=None, max_leaf=None,
 ):
@@ -374,8 +381,8 @@ def _vol_bounce_loop(
         wol_y = _dot3(wox, woy, woz, tsx, tsy, tsz)
         wo_z = _dot3(wox, woy, woz, ngx, ngy, ngz)
 
-        # ---- NEE: power-weighted pick + delta-light estimate_direct
-        # (volpath.rs:101-127; integrator/mod.rs:403-481) ----
+        # ---- NEE: power-weighted pick + estimate_direct(handle_media)
+        # (volpath.rs:101-127; integrator/mod.rs:403-558) ----
         u_pick = _sampler_dims(
             pid, sid, dim0, spp, xs, ys, jitter, seed, False
         )
@@ -383,33 +390,55 @@ def _vol_bounce_loop(
         for i in range(1, n_lights):
             # searchsorted(cdf, u, 'right') - 1 on the static CDF
             li_idx = jnp.where(u_pick >= vol.cdf[i], i, li_idx)
-        lpx = jnp.zeros_like(px)
-        lpy = jnp.zeros_like(px)
-        lpz = jnp.zeros_like(px)
-        ler = jnp.zeros_like(px)
-        leg = jnp.zeros_like(px)
-        leb = jnp.zeros_like(px)
         ppdf = jnp.zeros_like(px)
         for k in range(n_lights):
-            sel = li_idx == k
-            lpx = jnp.where(sel, lights_p[k][0], lpx)
-            lpy = jnp.where(sel, lights_p[k][1], lpy)
-            lpz = jnp.where(sel, lights_p[k][2], lpz)
-            ler = jnp.where(sel, lights_emit[k][0], ler)
-            leg = jnp.where(sel, lights_emit[k][1], leg)
-            leb = jnp.where(sel, lights_emit[k][2], leb)
-            ppdf = jnp.where(sel, vol.pick_pdf[k], ppdf)
+            ppdf = jnp.where(li_idx == k, vol.pick_pdf[k], ppdf)
 
-        tlx, tly, tlz = lpx - px, lpy - py, lpz - pz
-        dist2 = jnp.maximum(tlx * tlx + tly * tly + tlz * tlz, 1e-20)
-        inv_d = lax.rsqrt(dist2)
-        wix, wiy, wiz = tlx * inv_d, tly * inv_d, tlz * inv_d
-        lir = ler / dist2
-        lig = leg / dist2
-        lib = leb / dist2
+        all_point = all(l.kind == LIGHT_POINT for l in wide.lights)
+        if all_point:
+            # delta-light fast path (round-3 code kept verbatim): no
+            # u_light draw, weight == 1, pdf_li == 1
+            lpx = jnp.zeros_like(px)
+            lpy = jnp.zeros_like(px)
+            lpz = jnp.zeros_like(px)
+            ler = jnp.zeros_like(px)
+            leg = jnp.zeros_like(px)
+            leb = jnp.zeros_like(px)
+            for k in range(n_lights):
+                sel = li_idx == k
+                lpx = jnp.where(sel, lights_p[k][0], lpx)
+                lpy = jnp.where(sel, lights_p[k][1], lpy)
+                lpz = jnp.where(sel, lights_p[k][2], lpz)
+                ler = jnp.where(sel, lights_emit[k][0], ler)
+                leg = jnp.where(sel, lights_emit[k][1], leg)
+                leb = jnp.where(sel, lights_emit[k][2], leb)
+            tlx, tly, tlz = lpx - px, lpy - py, lpz - pz
+            dist2 = jnp.maximum(tlx * tlx + tly * tly + tlz * tlz, 1e-20)
+            inv_d = lax.rsqrt(dist2)
+            wix, wiy, wiz = tlx * inv_d, tly * inv_d, tlz * inv_d
+            lir = ler / dist2
+            lig = leg / dist2
+            lib = leb / dist2
+            ls_pdf = jnp.ones_like(px)
+            delta_m = True
+        else:
+            # generic branch: point / sphere-area mix via the path
+            # kernel's sample_li (lights/diffuse.rs sample_li incl. the
+            # AREA_PDF_QUIRK; u draws = li_volpath's get_2d(dim0 + 1))
+            u_l0, u_l1 = _sampler_dims(
+                pid, sid, dim0 + 1, spp, xs, ys, jitter, seed, True
+            )
+            ls = _nee_light_k(wide, li_idx, px, py, pz, u_l0, u_l1)
+            wix, wiy, wiz = ls["wi"]
+            lir, lig, lib = ls["li"]
+            lpx, lpy, lpz = ls["p_light"]
+            ls_pdf = ls["pdf"]
+            delta_m = ls["delta"]
 
         # scattering value toward the light: phase at medium vertices,
-        # bsdf_f * |cos| at surfaces (ALL & ~SPECULAR)
+        # bsdf_f * |cos| at surfaces; MIS pdf = phase value (HG pdf ==
+        # phase) at medium vertices, mean non-specular lobe pdf at
+        # surfaces (bsdf_pdf with ALL & ~SPECULAR flags)
         wil_x = _dot3(wix, wiy, wiz, ssx, ssy, ssz)
         wil_y = _dot3(wix, wiy, wiz, tsx, tsy, tsz)
         wi_ng = _dot3(wix, wiy, wiz, ngx, ngy, ngz)
@@ -418,6 +447,7 @@ def _vol_bounce_loop(
         fnr = jnp.zeros_like(px)
         fng = jnp.zeros_like(px)
         fnb = jnp.zeros_like(px)
+        pdf_scat_s = jnp.zeros_like(px)
         n_nonspec = jnp.zeros(px.shape, jnp.int32)
         for l in range(max_lobes):
             lob = lobs[l]
@@ -434,6 +464,12 @@ def _vol_bounce_loop(
             fnr = fnr + jnp.where(use, lf[0], 0.0)
             fng = fng + jnp.where(use, lf[1], 0.0)
             fnb = fnb + jnp.where(use, lf[2], 0.0)
+            if delta_m is not True:
+                lp = _lobe_pdf_k(
+                    lob, wol_x, wol_y, wo_z, wil_x, wil_y, wi_ng,
+                    kinds_present,
+                )
+                pdf_scat_s = pdf_scat_s + jnp.where(m_l, lp, 0.0)
             n_nonspec = n_nonspec + m_l.astype(jnp.int32)
         cos_ns = jnp.abs(wi_ng)
         p_phase = _phase_hg_k(
@@ -442,11 +478,23 @@ def _vol_bounce_loop(
         fr = jnp.where(in_medium, p_phase, fnr * cos_ns)
         fg = jnp.where(in_medium, p_phase, fng * cos_ns)
         fb = jnp.where(in_medium, p_phase, fnb * cos_ns)
+        if delta_m is True:
+            weight = 1.0
+        else:
+            pdf_scat_s = jnp.where(
+                (wo_z != 0.0) & (n_nonspec > 0),
+                pdf_scat_s / jnp.maximum(n_nonspec, 1).astype(jnp.float32),
+                0.0,
+            )
+            scattering_pdf = jnp.where(in_medium, p_phase, pdf_scat_s)
+            weight = jnp.where(
+                delta_m, 1.0, _power_heuristic_k(ls_pdf, scattering_pdf)
+            )
 
         nee_valid = active & (in_medium | (surf_valid & (n_nonspec > 0)))
         any_li = (lir > 0.0) | (lig > 0.0) | (lib > 0.0)
         any_f = (fr > 0.0) | (fg > 0.0) | (fb > 0.0)
-        live = nee_valid & any_li & any_f
+        live = nee_valid & (ls_pdf > 0.0) & any_li & any_f
 
         # visibility origin: surfaces offset along ng toward the light
         # (geom.offset_ray_origin), medium vertices spawn in place
@@ -467,15 +515,22 @@ def _vol_bounce_loop(
         # (VisibilityTester::tr, homogeneous closed form)
         vis = live & ~occ
         inv_pp = 1.0 / jnp.maximum(ppdf, 1e-20)  # li_volpath:222 floor
+        scale = weight * inv_pp / jnp.maximum(ls_pdf, 1e-20)
         Lr = Lr + jnp.where(
-            vis, br * fr * lir * jnp.exp(-med.sigma_t[0] * seg) * inv_pp, 0.0
+            vis, br * fr * lir * jnp.exp(-med.sigma_t[0] * seg) * scale, 0.0
         )
         Lg = Lg + jnp.where(
-            vis, bg * fg * lig * jnp.exp(-med.sigma_t[1] * seg) * inv_pp, 0.0
+            vis, bg * fg * lig * jnp.exp(-med.sigma_t[1] * seg) * scale, 0.0
         )
         Lb = Lb + jnp.where(
-            vis, bb * fb * lib * jnp.exp(-med.sigma_t[2] * seg) * inv_pp, 0.0
+            vis, bb * fb * lib * jnp.exp(-med.sigma_t[2] * seg) * scale, 0.0
         )
+        # scattering-sampling counter branch (integrator/mod.rs:483-558):
+        # statically zero here — the aggregate carries no emissive prims
+        # and env lights are outside the volpath-kernel subset, so the
+        # sampled ray can never see the chosen light (li2 == 0 in
+        # _estimate_direct_volumetric); homogeneous medium_tr draws no
+        # RNG, so skipping it keeps the hash chain identical.
 
         # ---- next direction (volpath.rs:137-196) ----
         ub0, ub1 = _sampler_dims(
@@ -566,14 +621,14 @@ def _kernel_vol(
     tri_ref,
     ox_r, oy_r, oz_r, dx_r, dy_r, dz_r, w_r, pid_r, sid_r,
     lr_o, lg_o, lb_o,
-    *, n_tris, vol, lights_p, lights_emit, max_depth, rr_threshold,
+    *, n_tris, vol, wide, lights_p, lights_emit, max_depth, rr_threshold,
     spp, xs, ys, jitter, seed, kinds_present, max_lobes,
 ):
     Lr, Lg, Lb = _vol_bounce_loop(
         tri_ref,
         ox_r[:], oy_r[:], oz_r[:], dx_r[:], dy_r[:], dz_r[:],
         w_r[:] > 0.0, pid_r[:], sid_r[:],
-        n_tris, vol, lights_p, lights_emit, max_depth, rr_threshold,
+        n_tris, vol, wide, lights_p, lights_emit, max_depth, rr_threshold,
         spp, xs, ys, jitter, seed, kinds_present, max_lobes,
     )
     lr_o[:] = Lr
@@ -586,14 +641,14 @@ def _kernel_vol_bvh(
     ox_r, oy_r, oz_r, dx_r, dy_r, dz_r, w_r, pid_r, sid_r,
     lr_o, lg_o, lb_o,
     stack_ref, t_ref, best_ref, attr_ref,
-    *, n_tris, vol, lights_p, lights_emit, max_depth, rr_threshold,
+    *, n_tris, vol, wide, lights_p, lights_emit, max_depth, rr_threshold,
     spp, xs, ys, jitter, seed, kinds_present, max_lobes, max_leaf,
 ):
     Lr, Lg, Lb = _vol_bounce_loop(
         tri_ref,
         ox_r[:], oy_r[:], oz_r[:], dx_r[:], dy_r[:], dz_r[:],
         w_r[:] > 0.0, pid_r[:], sid_r[:],
-        n_tris, vol, lights_p, lights_emit, max_depth, rr_threshold,
+        n_tris, vol, wide, lights_p, lights_emit, max_depth, rr_threshold,
         spp, xs, ys, jitter, seed, kinds_present, max_lobes,
         bvh_refs=(nodes_f_ref, nodes_i_ref, stack_ref, t_ref, best_ref,
                   attr_ref),
@@ -607,14 +662,14 @@ def _kernel_vol_bvh(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "n_tris", "vol", "lights_p", "lights_emit", "max_depth",
+        "n_tris", "vol", "wide", "lights_p", "lights_emit", "max_depth",
         "rr_threshold", "spp", "xs", "ys", "jitter", "seed",
         "kinds_present", "max_lobes", "max_leaf", "interpret",
     ),
 )
 def _run_vol(
     table, nodes_f, nodes_i, ox, oy, oz, dx, dy, dz, w, pid, sid,
-    n_tris, vol, lights_p, lights_emit, max_depth, rr_threshold,
+    n_tris, vol, wide, lights_p, lights_emit, max_depth, rr_threshold,
     spp, xs, ys, jitter, seed, kinds_present, max_lobes, max_leaf=None,
     interpret=False,
 ):
@@ -627,7 +682,8 @@ def _run_vol(
     )
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     kw = dict(
-        n_tris=n_tris, vol=vol, lights_p=lights_p, lights_emit=lights_emit,
+        n_tris=n_tris, vol=vol, wide=wide,
+        lights_p=lights_p, lights_emit=lights_emit,
         max_depth=max_depth, rr_threshold=rr_threshold,
         spp=spp, xs=xs, ys=ys, jitter=jitter, seed=seed,
         kinds_present=kinds_present, max_lobes=max_lobes,
@@ -686,7 +742,7 @@ def li_volpath_mega(
         prep(d[:, 0]), prep(d[:, 1]), prep(d[:, 2]),
         prep(cam_weight.astype(jnp.float32)),
         prep(jnp.asarray(pixel_id, jnp.uint32)), prep(s_arr),
-        n_tris=int(table.shape[0]), vol=vol,
+        n_tris=int(table.shape[0]), vol=vol, wide=wide,
         lights_p=lights_p, lights_emit=lights_emit,
         max_depth=int(spec.max_depth), rr_threshold=float(spec.rr_threshold),
         spp=int(sampler.spp), xs=int(sampler.xs), ys=int(sampler.ys),

@@ -113,6 +113,82 @@ def test_volpath_radiance_matches_jnp_loop(force_bvh, monkeypatch):
     assert abs(l_mega.mean() - l_ref.mean()) < 1e-6 + 3e-3 * abs(l_ref.mean())
 
 
+AREA_LIGHT = {
+    "light_type": "diffuse",
+    "spectrum": {"values": [60.0, 50.0, 40.0]},
+    "light_shape": {"shape_type": "sphere", "radius": 0.6,
+                    "world_pos": [33.0, 3.0, 1.0]},
+}
+
+
+def _area_fog_job(max_depth=5):
+    from rs_ray_toy_tpu.scene.loader import load_scene
+    from rs_ray_toy_tpu.integrators.common import SceneCtx
+
+    cfg = json.load(open(os.path.join(SAMPLES, "scene.json")))
+    cfg["Film"]["xres"], cfg["Film"]["yres"] = 64, 36
+    cfg["Integrator"] = {"integrator_type": "Volpath", "max_depth": max_depth}
+    cfg.setdefault("Camera", {})["medium"] = FOG
+    cfg["lights"].append(AREA_LIGHT)
+    td = tempfile.mkdtemp()
+    shutil.copy(os.path.join(SAMPLES, "cube.obj"), td)
+    path = os.path.join(td, "s.json")
+    json.dump(cfg, open(path, "w"))
+    job = load_scene(path)
+    return job, SceneCtx(job.scene), path
+
+
+def test_volpath_area_light_matches_jnp_loop():
+    """Sphere-area light in fog: the kernel's generic MIS NEE branch
+    (power pick + sample_li + PH weight vs phase/BSDF pdf + fog tr) must
+    match _estimate_direct_volumetric per ray.  The counter branch is
+    statically zero for this subset (no emissive prims, no envs) so the
+    two estimators are identical, not just equal in mean."""
+    from rs_ray_toy_tpu.ops.volpath_megakernel import (
+        pack_volpath,
+        li_volpath_mega,
+        supports_volpath,
+    )
+    from rs_ray_toy_tpu.integrators.volpath import li_volpath
+    from rs_ray_toy_tpu.camera.realistic import RealisticCamera
+    from rs_ray_toy_tpu.sampler.stratified import StratifiedSampler
+    from rs_ray_toy_tpu.scene.types import LIGHT_DIFFUSE_AREA
+
+    job, ctx, _ = _area_fog_job()
+    assert np.any(np.asarray(ctx.lights.kind) == LIGHT_DIFFUSE_AREA)
+    sampler = StratifiedSampler(job.sampler, seed=0)
+    assert supports_volpath(ctx, job.integrator, sampler, None)
+    cam = RealisticCamera(job.camera, job.film, pupil_samples=1 << 10)
+
+    n = 64 * 36
+    pid = jnp.arange(n, dtype=jnp.uint32)
+    px = jnp.stack([(pid % 64) + 0.5, (pid // 64) + 0.5], -1).astype(jnp.float32)
+    s_idx = jnp.zeros((n,), jnp.uint32)
+    u_lens = sampler.get_2d(pid, s_idx, 1)
+    o, d, w = cam.generate_rays(px, u_lens)
+
+    l_ref = np.asarray(
+        li_volpath(
+            ctx, o, d, w, sampler, pid, s_idx, job.integrator,
+            camera_medium=ctx.camera_medium,
+        )
+    )
+    packed = pack_volpath(ctx)
+    l_mega = np.asarray(
+        li_volpath_mega(
+            ctx, packed, o, d, w, sampler, pid, s_idx, job.integrator,
+            interpret=True,
+        )
+    )
+    assert np.isfinite(l_mega).all()
+    assert l_ref.sum() > 10
+    denom = np.maximum(np.abs(l_ref), 1e-3)
+    rel = np.abs(l_mega - l_ref) / denom
+    frac_diverged = float((rel.max(-1) > 1e-3).mean())
+    assert frac_diverged < 5e-3, f"{frac_diverged:.2%} of rays diverged"
+    assert abs(l_mega.mean() - l_ref.mean()) < 1e-6 + 3e-3 * abs(l_ref.mean())
+
+
 def test_render_job_uses_volpath_megakernel(monkeypatch):
     """End-to-end fog render: megakernel on vs off must agree, and the
     render metadata must show the fused path engaged."""
