@@ -76,6 +76,15 @@ def _build_scene(scene_kind, material, integrator_kind, fog, spp,
             "light_shape": {"shape_type": "sphere", "radius": 0.5,
                             "world_pos": [33.0, 3.0, 1.0]}})
         tag += "_spharea"
+    elif scene_kind == "fog_area":
+        # round-3 widened volpath kernel: sphere-area light MIS NEE in fog
+        # (no sphere prims: the volpath kernel subset is triangles-only)
+        cfg["lights"].append({
+            "light_type": "diffuse",
+            "spectrum": {"values": [60.0, 50.0, 40.0]},
+            "light_shape": {"shape_type": "sphere", "radius": 0.6,
+                            "world_pos": [33.0, 3.0, 1.0]}})
+        tag += "_spharea"
     elif scene_kind == "env":
         # constant environment light: CDF NEE + BSDF counter branch +
         # escape-le, all in-kernel
@@ -195,6 +204,7 @@ MATRIX = [
      {"radius": 1.0, "n_iters": 4, "max_depth": 3,
       "photons_per_iter": 1 << 17}),
     ("sphere_area", "sphere_area", "", "path", False, 64, None),
+    ("fog_area", "fog_area", "", "volpath", True, 16, None),
     ("env", "env", "", "path", False, 64, None),
     # BASELINE config 2 proper: low-discrepancy (Halton) sampler, 256 spp
     ("halton", "halton", "", "path", False, 256, None),
@@ -202,13 +212,41 @@ MATRIX = [
 ]
 
 
+# Configs whose kernels have ever faulted the TPU at RUNTIME run in a child
+# process: a device fault wedges the whole process's TPU client, so isolation
+# keeps the rest of the matrix alive (the fault itself is a bug to fix, but
+# the bench artifact must not lose every later row to it).
+ISOLATE = {"sppm"}
+
+
+def _run_isolated(key):
+    import subprocess
+
+    env = dict(os.environ, BENCH_CONFIGS=key, BENCH_CHILD="1")
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)],
+        capture_output=True, text=True, env=env, timeout=3600,
+    )
+    sys.stderr.write(proc.stderr)
+    for raw in proc.stdout.splitlines():
+        raw = raw.strip()
+        if raw.startswith("{"):
+            print(raw, flush=True)
+    if proc.returncode != 0:
+        print(f"config {key} child exited {proc.returncode}", file=sys.stderr)
+
+
 def main():
     if os.environ.get("BENCH_MATRIX", "1") != "0":
         only = [
             s for s in os.environ.get("BENCH_CONFIGS", "").split(",") if s
         ]
+        in_child = os.environ.get("BENCH_CHILD") == "1"
         for key, sk, mat, integ, fog, spp, scfg in MATRIX:
             if only and key not in only:
+                continue
+            if key in ISOLATE and not in_child:
+                _run_isolated(key)
                 continue
             try:
                 line = _run_one(sk, mat, integ, fog, spp, scfg)
