@@ -2754,7 +2754,10 @@ def _bounce_loop(
             br = jnp.where(got, br * sp3[0] * inv_pb, br)
             bg = jnp.where(got, bg * sp3[1] * inv_pb, bg)
             bb = jnp.where(got, bb * sp3[2] * inv_pb, bb)
-            active = jnp.where(is_trans, got, active)
+            # boolean algebra, not jnp.where: Mosaic lowers an i1-vector
+            # select through an unsupported i8->i1 trunci (got already
+            # includes is_trans, so the select collapses to this form)
+            active = (active & ~is_trans) | got
 
             # exit NEE: uniform one-light pick, Sw adapter (path.py:160-176)
             if n_lights > 0:
