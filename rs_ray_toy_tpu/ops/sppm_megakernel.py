@@ -9,7 +9,9 @@ walk for a ray tile in VMEM — the same fusion the path megakernel
 applies to path.rs — and returns the VP record plus the ld delta.
 
 Scope (supports_sppm_camera): the path megakernel's scene subset (flat
-shading normals, RGB, stratified pow2 sampler; brute-force VMEM table
+shading normals, RGB, stratified pow2 sampler in-kernel OR the
+production Halton sampler with its slot values shipped in as an input
+matrix — exact parity, sppm.rs:130; brute-force VMEM table
 below TRI_MAX, the in-kernel packet BVH above it up to
 MEGA_BVH_TRI_MAX) with DELTA lights only (scene.json's three point
 lights; sppm.rs's uniform_sample_one_light over delta lights has no
@@ -63,10 +65,12 @@ from .path_megakernel import (
     _bvh_occluded,
     _closest_hit,
     _dot3,
+    _halton_u,
     _has_full,
     _has_spec,
     _has_spec_trans,
     _lobe_f_k,
+    _mk_sdim,
     _normalize3,
     _occluded_all,
     _sampler_dims,
@@ -111,7 +115,9 @@ def supports_sppm_camera(ctx, spec, sampler) -> bool:
         if os.environ.get("RS_MEGA_BVH", "1") == "0"
         else MEGA_BVH_TRI_MAX
     )
-    common = common_scene_checks(ctx, sampler, tri_max=tri_max)
+    common = common_scene_checks(
+        ctx, sampler, tri_max=tri_max, allow_halton=True
+    )
     if common is None:
         return False
     kinds, n_lobes, live, used = common
@@ -146,13 +152,28 @@ def pack_sppm(ctx):
     return pack_scene(ctx, with_mat_col=True)
 
 
+def _sppm_slots(max_depth):
+    """Static (slot, n) enumeration of the sampler dims the camera walk
+    consumes, mirroring _camera_loop's sdim call sites (the Halton mode
+    ships these values in as an input matrix, _used_slots-style)."""
+    slots = []
+    for depth in range(max_depth):
+        d0 = sppm_dim0(depth)
+        slots.append((d0, 1))  # NEE light pick
+        if depth < max_depth - 1:
+            slots.append((d0 + SPPM_BSDF, 2))
+            slots.append((d0 + SPPM_RR, 1))
+    return tuple(slots)
+
+
 def _camera_loop(
     tri_ref, ox, oy, oz, dx, dy, dz, weight, pid, sid,
     n_tris, lights_p, lights_emit, max_depth,
     spp, xs, ys, jitter, seed, kinds_present, max_lobes,
-    bvh_refs=None, max_leaf=None,
+    bvh_refs=None, max_leaf=None, u_ref=None, hal_slots=None,
 ):
     """The sppm.rs:140-260 walk on a ray tile.  Returns (ld (3), vp_*)."""
+    sdim = _mk_sdim(pid, sid, spp, xs, ys, jitter, seed, u_ref, hal_slots)
     n_lights = len(lights_p)
     has_full = _has_full(kinds_present)
     mixed = len(kinds_present) > 1
@@ -255,9 +276,7 @@ def _camera_loop(
 
         # ---- NEE: uniform one light, delta fast path (sppm.rs:205 via
         # uniform_sample_one_light; common.py:336-356 semantics) ----
-        u_pick = _sampler_dims(
-            pid, sid, dim0, spp, xs, ys, jitter, seed, False
-        )
+        u_pick = sdim(dim0, False)
         li_idx = jnp.minimum(
             (u_pick * n_lights).astype(jnp.int32), n_lights - 1
         )
@@ -357,9 +376,7 @@ def _camera_loop(
             break
 
         # ---- bounce: sample_f over ALL (sppm.rs:236-245) ----
-        ub0, ub1 = _sampler_dims(
-            pid, sid, dim0 + SPPM_BSDF, spp, xs, ys, jitter, seed, True
-        )
+        ub0, ub1 = sdim(dim0 + SPPM_BSDF, True)
         smp = _bsdf_sample_k(
             lobs, n_lob, wol_x, wol_y, wo_z, ub0, ub1,
             kinds_present, max_lobes,
@@ -378,9 +395,7 @@ def _camera_loop(
         bnb = bb * fs[2] * inv_pdf
         # camera-path RR on the NEW beta's luminance (sppm.rs:247-253)
         y = LUM_R * bnr + LUM_G * bng + LUM_B * bnb
-        u_rr = _sampler_dims(
-            pid, sid, dim0 + SPPM_RR, spp, xs, ys, jitter, seed, False
-        )
+        u_rr = sdim(dim0 + SPPM_RR, False)
         rr = ok & (y < 0.25)
         cont_p = jnp.minimum(y, 1.0)
         killed = rr & (u_rr > cont_p)
@@ -416,16 +431,21 @@ N_OUT = 20
 def _kernel(
     tri_ref,
     ox_r, oy_r, oz_r, dx_r, dy_r, dz_r, w_r, pid_r, sid_r,
-    *outs,
+    *rest,
     n_tris, lights_p, lights_emit, max_depth,
-    spp, xs, ys, jitter, seed, kinds_present, max_lobes,
+    spp, xs, ys, jitter, seed, kinds_present, max_lobes, hal_slots=None,
 ):
+    if hal_slots is not None:
+        u_ref, outs = rest[0], rest[1:]
+    else:
+        u_ref, outs = None, rest
     vals = _camera_loop(
         tri_ref,
         ox_r[:], oy_r[:], oz_r[:], dx_r[:], dy_r[:], dz_r[:],
         w_r[:], pid_r[:], sid_r[:],
         n_tris, lights_p, lights_emit, max_depth,
         spp, xs, ys, jitter, seed, kinds_present, max_lobes,
+        u_ref=u_ref, hal_slots=hal_slots,
     )
     for o_ref, v in zip(outs, vals):
         o_ref[:] = v
@@ -437,7 +457,12 @@ def _kernel_bvh(
     *rest,
     n_tris, lights_p, lights_emit, max_depth,
     spp, xs, ys, jitter, seed, kinds_present, max_lobes, max_leaf,
+    hal_slots=None,
 ):
+    if hal_slots is not None:
+        u_ref, rest = rest[0], rest[1:]
+    else:
+        u_ref = None
     outs = rest[:N_OUT]
     bvh_refs = (nodes_f_ref, nodes_i_ref) + tuple(rest[N_OUT:])
     vals = _camera_loop(
@@ -447,6 +472,7 @@ def _kernel_bvh(
         n_tris, lights_p, lights_emit, max_depth,
         spp, xs, ys, jitter, seed, kinds_present, max_lobes,
         bvh_refs=bvh_refs, max_leaf=max_leaf,
+        u_ref=u_ref, hal_slots=hal_slots,
     )
     for o_ref, v in zip(outs, vals):
         o_ref[:] = v
@@ -457,14 +483,14 @@ def _kernel_bvh(
     static_argnames=(
         "n_tris", "lights_p", "lights_emit", "max_depth",
         "spp", "xs", "ys", "jitter", "seed", "kinds_present", "max_lobes",
-        "max_leaf", "interpret",
+        "max_leaf", "hal_slots", "interpret",
     ),
 )
 def _run(
     table, nodes_f, nodes_i, ox, oy, oz, dx, dy, dz, w, pid, sid,
     n_tris, lights_p, lights_emit, max_depth,
     spp, xs, ys, jitter, seed, kinds_present, max_lobes,
-    max_leaf=None, interpret=False,
+    max_leaf=None, u=None, hal_slots=None, interpret=False,
 ):
     from .path_megakernel import BVH_TILE_ROWS, _bvh_call_extras
 
@@ -476,6 +502,14 @@ def _run(
         (rows, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    u_in, u_specs = (), ()
+    if hal_slots is not None:
+        nu = u.shape[0]
+        u_specs = (pl.BlockSpec(
+            (nu, rows, LANES), lambda i: (0, i, 0),
+            memory_space=pltpu.VMEM,
+        ),)
+        u_in = (u,)
     if use_bvh:
         kernel = functools.partial(
             _kernel_bvh,
@@ -483,7 +517,7 @@ def _run(
             max_depth=max_depth,
             spp=spp, xs=xs, ys=ys, jitter=jitter, seed=seed,
             kinds_present=kinds_present, max_lobes=max_lobes,
-            max_leaf=max_leaf,
+            max_leaf=max_leaf, hal_slots=hal_slots,
         )
         scratch, kwargs = _bvh_call_extras(
             rows, kinds_present, max_lobes, interpret, extra_attrs=1
@@ -491,29 +525,31 @@ def _run(
         return pl.pallas_call(
             kernel,
             grid=grid,
-            in_specs=[vmem, vmem, vmem] + [ray_spec] * 9,
+            in_specs=[vmem, vmem, vmem] + [ray_spec] * 9 + list(u_specs),
             out_specs=[ray_spec] * N_OUT,
             out_shape=[jax.ShapeDtypeStruct((m, LANES), jnp.float32)]
             * N_OUT,
             scratch_shapes=scratch,
             interpret=interpret,
             **kwargs,
-        )(nodes_f, nodes_i, table, ox, oy, oz, dx, dy, dz, w, pid, sid)
+        )(nodes_f, nodes_i, table, ox, oy, oz, dx, dy, dz, w, pid, sid,
+          *u_in)
     kernel = functools.partial(
         _kernel,
         n_tris=n_tris, lights_p=lights_p, lights_emit=lights_emit,
         max_depth=max_depth,
         spp=spp, xs=xs, ys=ys, jitter=jitter, seed=seed,
         kinds_present=kinds_present, max_lobes=max_lobes,
+        hal_slots=hal_slots,
     )
     return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[vmem] + [ray_spec] * 9,
+        in_specs=[vmem] + [ray_spec] * 9 + list(u_specs),
         out_specs=[ray_spec] * N_OUT,
         out_shape=[jax.ShapeDtypeStruct((m, LANES), jnp.float32)] * N_OUT,
         interpret=interpret,
-    )(table, ox, oy, oz, dx, dy, dz, w, pid, sid)
+    )(table, ox, oy, oz, dx, dy, dz, w, pid, sid, *u_in)
 
 
 def sppm_camera_mega(
@@ -541,19 +577,34 @@ def sppm_camera_mega(
         return x.reshape(n_pad // LANES, LANES)
 
     s_arr = jnp.broadcast_to(jnp.asarray(s_idx, jnp.uint32), (n,))
+    pid_arr = jnp.asarray(pixel_id, jnp.uint32)
+    # Halton (the production SPPM sampler, sppm.rs:130): slot values
+    # computed by the host sampler ride in as an input matrix — exact
+    # parity with _camera_pass's get_1d/get_2d calls by construction
+    from ..sampler.halton import HaltonSampler
+
+    hal_slots, u = None, None
+    if isinstance(sampler, HaltonSampler):
+        hal_slots = _sppm_slots(int(max_depth))
+        umat = _halton_u(sampler, pid_arr, s_arr, hal_slots)
+        u = jnp.stack([prep(umat[c]) for c in range(umat.shape[0])], 0)
     outs = _run(
         table, nodes_f, nodes_i,
         prep(o[:, 0]), prep(o[:, 1]), prep(o[:, 2]),
         prep(d[:, 0]), prep(d[:, 1]), prep(d[:, 2]),
         prep(cam_weight.astype(jnp.float32)),
-        prep(jnp.asarray(pixel_id, jnp.uint32)), prep(s_arr),
+        prep(pid_arr), prep(s_arr),
         n_tris=int(table.shape[0]),
         lights_p=lights_p, lights_emit=lights_emit,
         max_depth=int(max_depth),
-        spp=int(sampler.spp), xs=int(sampler.xs), ys=int(sampler.ys),
-        jitter=bool(sampler.jitter), seed=int(sampler.seed),
+        spp=int(sampler.spp),
+        xs=int(getattr(sampler, "xs", 1)),
+        ys=int(getattr(sampler, "ys", 1)),
+        jitter=bool(getattr(sampler, "jitter", False)),
+        seed=int(sampler.seed),
         kinds_present=kinds_present, max_lobes=max_lobes,
         max_leaf=max_leaf,
+        u=u, hal_slots=hal_slots,
         interpret=interpret,
     )
     flat = [x.reshape(-1)[:n] for x in outs]

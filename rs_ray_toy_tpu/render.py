@@ -59,10 +59,14 @@ def _render_sppm_job(job, cam, ctx, seed, write_to=None):
         def write_image_fn(img, it):
             f = fmod.set_image(fmod.make_film(job.film), _to_rgb_img(img))
             fmod.write_png(fmod.to_rgb(f, job.film, splat_scale=1.0), write_to)
+    stats = {}
     t0 = _time.time()
-    img = render_sppm(ctx, cam, sampler, job.film, spec, write_image_fn=write_image_fn)
+    img = render_sppm(ctx, cam, sampler, job.film, spec,
+                      write_image_fn=write_image_fn, time_stats=stats)
     jax.block_until_ready(img)
-    elapsed = _time.time() - t0
+    # steady-state wall-clock (post-compile warm-up) — the remote-queue
+    # compile is minutes and must not fold into the Mrays/s rates
+    elapsed = stats.get("steady_s", _time.time() - t0)
     film = fmod.set_image(fmod.make_film(job.film), _to_rgb_img(img))
     rgb = fmod.to_rgb(film, job.film, splat_scale=1.0)
     # camera and photon ray counts reported separately: a combined

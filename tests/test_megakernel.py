@@ -833,3 +833,51 @@ def test_halton_render_job_equal_with_and_without_megakernel(monkeypatch):
     assert outs["0"].max() > 0
     rmse = float(np.sqrt(np.mean((outs["1"] - outs["0"]) ** 2)))
     assert rmse < 1e-4, f"halton megakernel render deviates: rmse {rmse}"
+
+
+def test_sppm_halton_render_job_fused_matches_jnp(monkeypatch):
+    """The PRODUCTION SPPM sampler is Halton (sppm.rs:130, built by
+    render._render_sppm_job) — the fused camera pass must engage with it
+    (slot values ride in as an input matrix, _sppm_slots) and the fully
+    fused pipeline (camera kernel + Morton-blocked deposit, incl. the
+    blocked pixel order) must match the jnp wavefront path through the
+    whole render_job surface.  Round-3 regression: the Halton gate
+    previously rejected the production sampler, so deploy_render always
+    fell back to the serialized jnp deposit."""
+    from rs_ray_toy_tpu.render import render_job
+    from rs_ray_toy_tpu.scene.loader import load_scene
+    from rs_ray_toy_tpu.ops.sppm_megakernel import supports_sppm_camera
+    from rs_ray_toy_tpu.sampler.halton import HaltonSampler
+    from rs_ray_toy_tpu.scene.loader import SamplerSpec
+    from rs_ray_toy_tpu.integrators.common import SceneCtx
+
+    cfg = json.load(open(os.path.join(SAMPLES, "scene.json")))
+    cfg["Film"]["xres"], cfg["Film"]["yres"] = 64, 36
+    cfg["Integrator"] = {
+        "integrator_type": "SPPM", "max_depth": 3, "radius": 1.0,
+        "n_iters": 2, "photons_per_iter": 1 << 10,
+    }
+    td = tempfile.mkdtemp()
+    shutil.copy(os.path.join(SAMPLES, "cube.obj"), td)
+    path = os.path.join(td, "s.json")
+    json.dump(cfg, open(path, "w"))
+
+    # the production sampler passes the fused gate
+    job = load_scene(path)
+    ctx = SceneCtx(job.scene)
+    sampler = HaltonSampler(
+        SamplerSpec(kind="halton", nsamp=2, sample_at_center=True),
+        64, 36, seed=0,
+    )
+    assert supports_sppm_camera(ctx, job.integrator, sampler)
+
+    outs = {}
+    monkeypatch.setenv("RS_SPPM_MEGA_CPU", "1")
+    for tag, flag in {"fused": "1", "jnp": "0"}.items():
+        monkeypatch.setenv("RS_MEGAKERNEL", flag)
+        job = load_scene(path)
+        res = render_job(job, spp_override=0, pupil_samples=1 << 10, seed=0)
+        outs[tag] = np.asarray(res["rgb_srgb_input"])
+    assert outs["jnp"].max() > 0
+    rmse = float(np.sqrt(np.mean((outs["fused"] - outs["jnp"]) ** 2)))
+    assert rmse < 1e-5, f"sppm halton fused path deviates: rmse {rmse}"
