@@ -700,8 +700,11 @@ def _deposit_kernel(
     base, per_lobe, mixed, has_full = _dep_att_layout(
         kinds_present, max_lobes
     )
-    s = rng_ref[0, 0]
-    e = rng_ref[0, 1]
+    # ranges ride whole-array in SMEM (a (T,2) i32 block spec violates
+    # Mosaic's (8,128) tiling rule); each instance reads its own row
+    i = pl.program_id(0)
+    s = rng_ref[i, 0]
+    e = rng_ref[i, 1]
     a = att_ref
     px, py, pz, r2 = a[0], a[1], a[2], a[3]
     ssx, ssy, ssz = a[4], a[5], a[6]
@@ -798,9 +801,7 @@ def _deposit_run(att, events, ranges, kinds_present, max_lobes,
     out_spec = pl.BlockSpec(
         (DEP_ROWS, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
-    rng_spec = pl.BlockSpec(
-        (1, 2), lambda i: (i, 0), memory_space=pltpu.SMEM
-    )
+    rng_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
     kernel = functools.partial(
         _deposit_kernel, kinds_present=kinds_present, max_lobes=max_lobes
     )
