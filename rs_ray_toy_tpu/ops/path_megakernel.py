@@ -15,6 +15,10 @@ headline uses, which is also the most common interior-scene configuration —
   - triangle geometry only (<= MEGA_BVH_TRI_MAX; brute-force fori up to
     TRI_MAX, in-kernel packet BVH traversal above — leaf-ordered narrow
     table + fused-children nodes + SMEM stack, ops/bvh_pallas semantics),
+  - flat OR smooth (interpolated vertex-normal) shading: smooth meshes
+    carry n0/n1/n2 in the triangle table and the kernel rebuilds the
+    winner's barycentrics to interpolate ns exactly as
+    accel/geometry.surface_interaction (triangle.rs:301+),
   - untextured materials over the supported lobe set: lambert, TR
     microfacet, specular reflection/transmission/fresnel, and the
     Disney scatter_distance stack (SPEC_TRANS + DISNEY_RETRO +
@@ -102,6 +106,7 @@ MEGA_BVH_TRI_MAX = 65536
 BVH_TILE_ROWS = int(os.environ.get("RS_MEGA_TILE_ROWS", "32"))
 SPH_MAX = 8
 LOBES_MAX = 5
+NRM_COL = 16 + 16 * LOBES_MAX  # vertex-normal block (smooth shading)
 LIGHT_MAX = 8
 DEPTH_MAX = 15
 
@@ -129,8 +134,8 @@ EnvC = collections.namedtuple(
 )
 LightC = collections.namedtuple("LightC", "kind p emit o2w w2o radius env")
 SceneStatic = collections.namedtuple(
-    "SceneStatic", "spheres lights esc_rgb world_radius bssrdf",
-    defaults=(None,),
+    "SceneStatic", "spheres lights esc_rgb world_radius bssrdf smooth",
+    defaults=(None, False),
 )
 # single-material Burley BSSRDF constants (bssrdf.rs / disney.rs):
 # R/d 3-tuples, eta, and the host-precomputed Sw normalization
@@ -156,6 +161,27 @@ def _full_spheres(sph):
     )
 
 
+def _mesh_smooth(tri):
+    """Host predicate: does any triangle carry vertex normals that differ
+    in DIRECTION from its face normal (smooth shading)?  The jnp path
+    interpolates ns per hit and renormalizes (accel/geometry.py:255-262);
+    parallel-but-unnormalized or antiparallel vn count as smooth too —
+    interpolation reproduces them exactly either way."""
+    if int(tri.count) == 0:
+        return False
+    has_n = np.asarray(tri.has_n).astype(bool)
+    if not has_n.any():
+        return False
+    ng = np.asarray(tri.ng)[has_n]
+    for vn in (tri.n0, tri.n1, tri.n2):
+        v = np.asarray(vn)[has_n]
+        nrm = np.linalg.norm(v, axis=-1, keepdims=True)
+        unit = v / np.maximum(nrm, 1e-20)
+        if np.any((nrm[..., 0] > 0) & (np.abs(unit - ng).max(-1) > 1e-5)):
+            return True
+    return False
+
+
 def _env_constant_rgb(env):
     """The env map's constant texel, or None if it varies spatially."""
     data = np.asarray(env["mipmap"]["data"])
@@ -176,12 +202,14 @@ def common_scene_checks(
     allow_media=False,
     allow_bssrdf=False,
     allow_halton=False,
+    allow_smooth=False,
 ):
     """Host gates shared by BOTH megakernels (path + direct): RGB only,
-    in-VMEM stratified sampler, VMEM-resident scene with flat shading
-    normals, no media, untextured/unbumped/unscaled materials on the
-    quirk-exact estimator.  The path kernel opts into full spheres,
-    sphere-area lights, and constant-environment lights; the direct
+    in-VMEM stratified sampler, VMEM-resident scene with flat (or, for
+    opted-in kernels, smooth interpolated) shading normals, no media,
+    untextured/unbumped/unscaled materials on the quirk-exact estimator.
+    The path kernel opts into full spheres, sphere-area lights,
+    constant-environment lights, and smooth vertex normals; the direct
     kernel keeps the round-2 point-lit triangle subset.
 
     Returns (kinds, n_lobes, live, used) or None when unsupported."""
@@ -214,23 +242,13 @@ def common_scene_checks(
     n_tri = int(ctx.tri.count)
     if n_tri > tri_max or n_tri + n_sph == 0:
         return None
-    # the kernels shade with ns == ng; reject meshes whose baked vertex
-    # normals differ in DIRECTION from the face normal (smooth shading —
-    # the jnp path interpolates ns per hit and renormalizes,
-    # accel/geometry.py:230-236, so magnitude never matters: instance
-    # inverse-transpose baking leaves parallel-but-unnormalized vn on
-    # uniformly scaled meshes, and those shade flat).  Zero-length vn
-    # fall back to ng in the jnp path — also flat.
-    if n_tri > 0:
-        has_n = np.asarray(ctx.tri.has_n).astype(bool)
-        if has_n.any():
-            ng = np.asarray(ctx.tri.ng)[has_n]
-            for vn in (ctx.tri.n0, ctx.tri.n1, ctx.tri.n2):
-                v = np.asarray(vn)[has_n]
-                nrm = np.linalg.norm(v, axis=-1, keepdims=True)
-                unit = v / np.maximum(nrm, 1e-20)
-                if np.any((nrm[..., 0] > 0) & (np.abs(unit - ng).max(-1) > 1e-5)):
-                    return None
+    # smooth shading (vertex normals differing in DIRECTION from the face
+    # normal) is an opt-in: the path kernel interpolates ns in-kernel;
+    # the direct/volpath/SPPM kernels still shade ns == ng and reject.
+    # Flat-but-unnormalized or zero-length vn shade flat in the jnp path
+    # (accel/geometry.py:255-262) and stay in the flat subset here.
+    if n_tri > 0 and not allow_smooth and _mesh_smooth(ctx.tri):
+        return None
     if ctx.mediums is not None and not allow_media:
         # media handled only by the volpath kernel (its supports gate
         # pins the single-homogeneous-camera-medium subset)
@@ -333,6 +351,7 @@ def supports(ctx, spec, sampler, diff) -> bool:
         tri_max=tri_max,
         allow_bssrdf=True,
         allow_halton=True,
+        allow_smooth=True,
     )
     if common is None:
         return False
@@ -349,6 +368,11 @@ def supports(ctx, spec, sampler, diff) -> bool:
         if lk.size == 0 or np.any(lk != LIGHT_POINT):
             return False
         if ctx.infinite_envs or int(ctx.sph.count) != 0:
+            return False
+        if _mesh_smooth(ctx.tri):
+            # the in-kernel probe chain builds its projection frame from
+            # the flat geometric normal; keep the jnp path for smooth
+            # subsurface meshes
             return False
     ok_kinds = (kinds == LOBE_LAMBERT_REFL) | (kinds == LOBE_MF_REFL)
     for dk in (
@@ -567,6 +591,8 @@ def pack_scene(ctx, allow_bvh=True, with_mat_col=False):
     col  15    n_lobes
     cols 16+16*l  per lobe l: kind, s0(3), s1(3), s2(3), alpha_u, alpha_v,
                   fresnel, eta_a, eta_b, pad
+    cols NRM_COL:NRM_COL+9  raw (unnormalized, baked) vertex normals
+                  n0, n1, n2 — read only by smooth-shading kernels
     alpha is post-remap (roughness_to_alpha applied host-side when the
     lobe's remap flag is set — exact for untextured roughness).
 
@@ -587,7 +613,7 @@ def pack_scene(ctx, allow_bvh=True, with_mat_col=False):
     # pad to >=8 rows so sphere-only scenes still feed Pallas a real VMEM
     # block; zero rows have det == 0 and never intersect
     t_rows = max(t_count, 8)
-    table = np.zeros((t_rows, 16 + 16 * LOBES_MAX), np.float32)
+    table = np.zeros((t_rows, NRM_COL + 9), np.float32)
     table[:t_count, 0:3] = p0
     table[:t_count, 3:6] = e1
     table[:t_count, 6:9] = e2
@@ -608,6 +634,10 @@ def pack_scene(ctx, allow_bvh=True, with_mat_col=False):
         table[:t_count, base + 14] = r["eb"][:, l]
     table[:t_count, 31] = r["mat_eta"]  # lobe-0 pad col carries the Bsdf eta
     table[:t_count, 47] = mat.astype(np.float32)  # lobe-1 pad: material id
+    table[:t_count, NRM_COL + 0 : NRM_COL + 3] = np.asarray(tri.n0, np.float32)
+    table[:t_count, NRM_COL + 3 : NRM_COL + 6] = np.asarray(tri.n1, np.float32)
+    table[:t_count, NRM_COL + 6 : NRM_COL + 9] = np.asarray(tri.n2, np.float32)
+    smooth = _mesh_smooth(tri)
 
     lights_p = tuple(
         tuple(float(v) for v in row) for row in np.asarray(ctx.lights.p)
@@ -645,6 +675,7 @@ def pack_scene(ctx, allow_bvh=True, with_mat_col=False):
         esc_rgb=esc_rgb,
         world_radius=float(np.asarray(ctx.lights.world_radius)),
         bssrdf=bss,
+        smooth=smooth,
     )
     # static specialization facts: which lobe kinds exist on used materials
     # (triangles AND spheres) and the deepest live lobe stack — the kernel
@@ -679,7 +710,9 @@ def pack_scene(ctx, allow_bvh=True, with_mat_col=False):
         bvh_t = build_bvh(ctx.tri, empty_spheres(), leaf)
         tbl = pack_bvh_tables(bvh_t, ctx.tri)
         order = np.asarray(bvh_t.prim_index, np.int64)
-        cols = list(range(9)) + list(_attr_cols(kinds_present, max_lobes))
+        cols = list(range(9)) + list(
+            _attr_cols(kinds_present, max_lobes, smooth)
+        )
         if with_mat_col:
             cols.append(47)  # material id rides as the LAST attr
         table = table[order][:, cols]
@@ -716,8 +749,12 @@ def _has_full(kinds_present):
     )
 
 
-def _attr_cols(kinds_present, max_lobes):
-    """Table columns the specialized kernel actually needs."""
+def _attr_cols(kinds_present, max_lobes, smooth=False):
+    """Table columns the specialized kernel actually needs.  smooth
+    appends the winner's intersect row (p0,e1,e2 — barycentric recompute)
+    and the raw vertex normals, always as the LAST 18 attrs (the bounce
+    loop unpacks them from the tail; with_mat_col rides after, but the
+    SPPM kernels are flat-only so the orders never mix)."""
     has_full = _has_full(kinds_present)
     mixed = len(kinds_present) > 1
     cols = [9, 10, 11, 12, 13, 14, 15]  # ng, dpdu, n_lobes
@@ -730,6 +767,9 @@ def _attr_cols(kinds_present, max_lobes):
         cols.extend([base + 1, base + 2, base + 3])  # s0
         if has_full:
             cols.extend(range(base + 4, base + 15))  # s1,s2,au,av,fres,etas
+    if smooth:
+        cols.extend(range(0, 9))  # p0, e1, e2
+        cols.extend(range(NRM_COL, NRM_COL + 9))  # n0, n1, n2
     return tuple(cols)
 
 
@@ -2160,7 +2200,8 @@ def _bounce_loop(
     has_st = _has_spec_trans(kinds_present)
     has_full = _has_full(kinds_present)
     mixed = len(kinds_present) > 1
-    attr_cols = _attr_cols(kinds_present, max_lobes)
+    smooth = bool(getattr(wide, "smooth", False))
+    attr_cols = _attr_cols(kinds_present, max_lobes, smooth)
     one = jnp.ones(ox.shape, jnp.float32)
     zero = jnp.zeros(ox.shape, jnp.float32)
     br, bg, bb = one, one, one
@@ -2235,6 +2276,35 @@ def _bounce_loop(
                 lob["eta_a"] = lob["eta_b"] = zero_k
             lobs.append(lob)
 
+        if smooth:
+            # smooth shading normal: rebuild the winner's barycentrics
+            # from its intersect row (the last 18 attrs: p0,e1,e2 then
+            # raw n0,n1,n2) with surface_interaction's exact guards
+            # (accel/geometry.py:239-262, triangle.rs:301+)
+            (p0x, p0y, p0z, e1x, e1y, e1z, e2x, e2y, e2z,
+             n0x, n0y, n0z, n1x, n1y, n1z, n2x, n2y, n2z) = out[-18:]
+            pvx = dy * e2z - dz * e2y
+            pvy = dz * e2x - dx * e2z
+            pvz = dx * e2y - dy * e2x
+            det_b = e1x * pvx + e1y * pvy + e1z * pvz
+            inv_b = 1.0 / jnp.where(jnp.abs(det_b) < TRI_EPS, 1.0, det_b)
+            tvx, tvy, tvz = ox - p0x, oy - p0y, oz - p0z
+            b1 = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_b
+            qvx = tvy * e1z - tvz * e1y
+            qvy = tvz * e1x - tvx * e1z
+            qvz = tvx * e1y - tvy * e1x
+            b2 = (dx * qvx + dy * qvy + dz * qvz) * inv_b
+            b0 = 1.0 - b1 - b2
+            nsxr = b0 * n0x + b1 * n1x + b2 * n2x
+            nsyr = b0 * n0y + b1 * n1y + b2 * n2y
+            nszr = b0 * n0z + b1 * n1z + b2 * n2z
+            nlen2 = nsxr * nsxr + nsyr * nsyr + nszr * nszr
+            has_vn = nlen2 > 0.0
+            invl = lax.rsqrt(jnp.maximum(nlen2, 1e-30))
+            nsx = jnp.where(has_vn, nsxr * invl, ngx)
+            nsy = jnp.where(has_vn, nsyr * invl, ngy)
+            nsz = jnp.where(has_vn, nszr * invl, ngz)
+
         # sphere primitives: static-unrolled candidates min-combined with
         # the triangle winner (SceneCtx._combine_spheres semantics)
         if spheres:
@@ -2247,6 +2317,11 @@ def _bounce_loop(
             ngx = jnp.where(use_s, sngx, ngx)
             ngy = jnp.where(use_s, sngy, ngy)
             ngz = jnp.where(use_s, sngz, ngz)
+            if smooth:
+                # spheres shade ns == ng (accel/geometry.py:336)
+                nsx = jnp.where(use_s, sngx, nsx)
+                nsy = jnp.where(use_s, sngy, nsy)
+                nsz = jnp.where(use_s, sngz, nsz)
             dux = jnp.where(use_s, sdux, dux)
             duy = jnp.where(use_s, sduy, duy)
             duz = jnp.where(use_s, sduz, duz)
@@ -2276,6 +2351,18 @@ def _bounce_loop(
                     lob["eta_a"] = jnp.where(use_s, sl["eta_a"], lob["eta_a"])
                     lob["eta_b"] = jnp.where(use_s, sl["eta_b"], lob["eta_b"])
 
+        if smooth:
+            # align ng with ns (surface_interaction's
+            # vec.faceforward(ng, ns), accel/geometry.py:263-265)
+            sgn_ff = jnp.where(
+                (ngx * nsx + ngy * nsy + ngz * nsz) < 0.0, -1.0, 1.0
+            )
+            ngx, ngy, ngz = ngx * sgn_ff, ngy * sgn_ff, ngz * sgn_ff
+        else:
+            # flat subset: shading normal IS the geometric normal (same
+            # arrays — the emitted program is unchanged)
+            nsx, nsy, nsz = ngx, ngy, ngz
+
         found = t < 3.0e38
 
         # escaped rays collect infinite-light le (path.rs:84-87): bounce 0
@@ -2300,31 +2387,34 @@ def _bounce_loop(
         pz = oz + dz * t
 
         # shading frame (bsdf/eval.make_frame): ss = normalize(dpdu),
-        # degenerate -> coordinate_system(ns); ts = cross(ns, ss); ns = ng
-        # (no vertex normals in this subset).
+        # degenerate -> coordinate_system(ns); ts = cross(ns, ss).  The
+        # frame's z axis is the SHADING normal ns (== ng on flat meshes).
         du2 = dux * dux + duy * duy + duz * duz
         ssx, ssy, ssz = _normalize3(dux, duy, duz)
         # coordinate_system(ns) first axis (core/vec.py convention)
-        big_x = jnp.abs(ngx) > jnp.abs(ngy)
+        big_x = jnp.abs(nsx) > jnp.abs(nsy)
         inv_a = lax.rsqrt(
-            jnp.maximum(jnp.where(big_x, ngx * ngx + ngz * ngz, ngy * ngy + ngz * ngz), 1e-30)
+            jnp.maximum(jnp.where(big_x, nsx * nsx + nsz * nsz, nsy * nsy + nsz * nsz), 1e-30)
         )
-        fbx = jnp.where(big_x, -ngz, 0.0) * inv_a
-        fby = jnp.where(big_x, 0.0, ngz) * inv_a
-        fbz = jnp.where(big_x, ngx, -ngy) * inv_a
+        fbx = jnp.where(big_x, -nsz, 0.0) * inv_a
+        fby = jnp.where(big_x, 0.0, nsz) * inv_a
+        fbz = jnp.where(big_x, nsx, -nsy) * inv_a
         bad = du2 < 1e-20
         ssx = jnp.where(bad, fbx, ssx)
         ssy = jnp.where(bad, fby, ssy)
         ssz = jnp.where(bad, fbz, ssz)
-        tsx = ngy * ssz - ngz * ssy
-        tsy = ngz * ssx - ngx * ssz
-        tsz = ngx * ssy - ngy * ssx
+        tsx = nsy * ssz - nsz * ssy
+        tsy = nsz * ssx - nsx * ssz
+        tsz = nsx * ssy - nsy * ssx
 
-        # wo = -d (world) in the local frame
+        # wo = -d (world) in the local frame; wo_z is LOCAL (ns), wo_ng
+        # is the geometric-side projection (reflect checks + etaScale
+        # entering test use ng: eval.py:779, path.py:100)
         wox, woy, woz = -dx, -dy, -dz
         wol_x = _dot3(wox, woy, woz, ssx, ssy, ssz)
         wol_y = _dot3(wox, woy, woz, tsx, tsy, tsz)
-        wo_z = _dot3(wox, woy, woz, ngx, ngy, ngz)
+        wo_z = _dot3(wox, woy, woz, nsx, nsy, nsz)
+        wo_ng = wo_z if not smooth else _dot3(wox, woy, woz, ngx, ngy, ngz)
 
         # ---- NEE (uniform_sample_one_light, integrator/mod.rs:359-401) --
         # slot layout must match integrators/path.py (sampler/dims.py)
@@ -2361,24 +2451,26 @@ def _bounce_loop(
             wix, wiy, wiz = tlx * inv_d, tly * inv_d, tlz * inv_d
             wil_x = _dot3(wix, wiy, wiz, ssx, ssy, ssz)
             wil_y = _dot3(wix, wiy, wiz, tsx, tsy, tsz)
-            wi_ng = _dot3(wix, wiy, wiz, ngx, ngy, ngz)
+            wil_z = _dot3(wix, wiy, wiz, nsx, nsy, nsz)
+            wi_ng = wil_z if not smooth else _dot3(wix, wiy, wiz, ngx, ngy, ngz)
             # f = sum of lobe_f over live lobes, reflection-side gated
-            # (bsdf_f_pdf: use_f = reflect & is_refl; subset lobes reflect)
-            reflect_side = (wi_ng * wo_z) > 0.0
+            # (bsdf_f_pdf: use_f = reflect & is_refl on GEOMETRIC ng,
+            # eval.py:779; subset lobes reflect)
+            reflect_side = (wi_ng * wo_ng) > 0.0
             f_gate = reflect_side & (wo_z != 0.0)
             fnr = jnp.zeros_like(px)
             fng = jnp.zeros_like(px)
             fnb = jnp.zeros_like(px)
             for l in range(max_lobes):
                 lf = _lobe_f_k(
-                    lobs[l], wol_x, wol_y, wo_z, wil_x, wil_y, wi_ng,
+                    lobs[l], wol_x, wol_y, wo_z, wil_x, wil_y, wil_z,
                     kinds_present,
                 )
                 use = f_gate & (l < n_lob)
                 fnr = fnr + jnp.where(use, lf[0], 0.0)
                 fng = fng + jnp.where(use, lf[1], 0.0)
                 fnb = fnb + jnp.where(use, lf[2], 0.0)
-            cos_ns = jnp.abs(wi_ng)  # ns == ng here
+            cos_ns = jnp.abs(wil_z)  # absdot(wi, ns)
             # shadow ray: offset origin toward light, t_max = 1 - eps
             off = jnp.where(wi_ng < 0.0, -eps, eps)
             sox = px + ngx * off
@@ -2407,8 +2499,9 @@ def _bounce_loop(
             plx, ply, plz = ls["p_light"]
             wil_x = _dot3(wix, wiy, wiz, ssx, ssy, ssz)
             wil_y = _dot3(wix, wiy, wiz, tsx, tsy, tsz)
-            wi_ng = _dot3(wix, wiy, wiz, ngx, ngy, ngz)
-            reflect_side = (wi_ng * wo_z) > 0.0
+            wil_z = _dot3(wix, wiy, wiz, nsx, nsy, nsz)
+            wi_ng = wil_z if not smooth else _dot3(wix, wiy, wiz, ngx, ngy, ngz)
+            reflect_side = (wi_ng * wo_ng) > 0.0
             f_gate = reflect_side & (wo_z != 0.0)
             fnr = jnp.zeros_like(px)
             fng = jnp.zeros_like(px)
@@ -2426,7 +2519,7 @@ def _bounce_loop(
                 elif sm_l is not None:
                     m_l = m_l & ~sm_l
                 lf = _lobe_f_k(
-                    lobs[l], wol_x, wol_y, wo_z, wil_x, wil_y, wi_ng,
+                    lobs[l], wol_x, wol_y, wo_z, wil_x, wil_y, wil_z,
                     kinds_present,
                 )
                 use = f_gate & m_l
@@ -2434,7 +2527,7 @@ def _bounce_loop(
                 fng = fng + jnp.where(use, lf[1], 0.0)
                 fnb = fnb + jnp.where(use, lf[2], 0.0)
                 lp = _lobe_pdf_k(
-                    lobs[l], wol_x, wol_y, wo_z, wil_x, wil_y, wi_ng,
+                    lobs[l], wol_x, wol_y, wo_z, wil_x, wil_y, wil_z,
                     kinds_present,
                 )
                 pdf_scat = pdf_scat + jnp.where(m_l, lp, 0.0)
@@ -2444,7 +2537,7 @@ def _bounce_loop(
                 pdf_scat / jnp.maximum(cnt, 1).astype(jnp.float32),
                 0.0,
             )
-            cos_ns = jnp.abs(wi_ng)
+            cos_ns = jnp.abs(wil_z)
             fnr_c = fnr * cos_ns
             fng_c = fng * cos_ns
             fnb_c = fnb * cos_ns
@@ -2481,10 +2574,10 @@ def _bounce_loop(
                     lobs, n_lob, wol_x, wol_y, wo_z, us0, us1,
                     kinds_present, max_lobes,
                 )
-                w2x = ssx * smp2["wsx"] + tsx * smp2["wsy"] + ngx * smp2["wsz"]
-                w2y = ssy * smp2["wsx"] + tsy * smp2["wsy"] + ngy * smp2["wsz"]
-                w2z = ssz * smp2["wsx"] + tsz * smp2["wsy"] + ngz * smp2["wsz"]
-                cos2 = jnp.abs(_dot3(w2x, w2y, w2z, ngx, ngy, ngz))
+                w2x = ssx * smp2["wsx"] + tsx * smp2["wsy"] + nsx * smp2["wsz"]
+                w2y = ssy * smp2["wsx"] + tsy * smp2["wsy"] + nsy * smp2["wsz"]
+                w2z = ssz * smp2["wsx"] + tsz * smp2["wsy"] + nsz * smp2["wsz"]
+                cos2 = jnp.abs(_dot3(w2x, w2y, w2z, nsx, nsy, nsz))
                 f2 = tuple(fc * cos2 for fc in smp2["f"])
                 env = ls["env"]
                 lpdf2 = _env_pdf_dir_k(env, w2x, w2y, w2z)
@@ -2522,10 +2615,10 @@ def _bounce_loop(
         fs_reflect = smp["fs_reflect"]
 
         # wi world = ss*x + ts*y + ns*z
-        nwx = ssx * wsx + tsx * wsy + ngx * wsz
-        nwy = ssy * wsx + tsy * wsy + ngy * wsz
-        nwz = ssz * wsx + tsz * wsy + ngz * wsz
-        cosw = jnp.abs(_dot3(nwx, nwy, nwz, ngx, ngy, ngz))
+        nwx = ssx * wsx + tsx * wsy + nsx * wsz
+        nwy = ssy * wsx + tsy * wsy + nsy * wsz
+        nwz = ssz * wsx + tsz * wsy + nsz * wsz
+        cosw = jnp.abs(_dot3(nwx, nwy, nwz, nsx, nsy, nsz))
         any_f = (fs[0] != 0.0) | (fs[1] != 0.0) | (fs[2] != 0.0)
         ok = (
             active & (n_lob > 0) & (wo_z != 0.0) & (pdf > 0.0) & any_f
@@ -2559,7 +2652,8 @@ def _bounce_loop(
                     else spec_trans_sampled | fs_trans
                 )
             e2 = mat_eta * mat_eta
-            eta_fac = jnp.where(wo_z > 0.0, e2, 1.0 / jnp.maximum(e2, 1e-20))
+            # entering test on the GEOMETRIC normal (path.py:100)
+            eta_fac = jnp.where(wo_ng > 0.0, e2, 1.0 / jnp.maximum(e2, 1e-20))
             if spec_trans_sampled is not False:
                 upd = active & (
                     spec_trans_sampled
@@ -2913,11 +3007,11 @@ def _kernel_bvh(
 
 
 def _bvh_call_extras(rows, kinds_present, max_lobes, interpret,
-                     extra_attrs=0):
+                     extra_attrs=0, smooth=False):
     """(scratch_shapes, compiler kwargs) shared by both BVH-mode runs.
     extra_attrs: additional trailing attr columns (the SPPM kernels add
     the material id)."""
-    n_attr = len(_attr_cols(kinds_present, max_lobes)) + extra_attrs
+    n_attr = len(_attr_cols(kinds_present, max_lobes, smooth)) + extra_attrs
     scratch = [
         pltpu.SMEM((STACK_DEPTH,), jnp.int32),
         pltpu.VMEM((rows, LANES), jnp.float32),
@@ -2972,7 +3066,8 @@ def _run(
             max_leaf=max_leaf, hal_slots=hal_slots,
         )
         scratch, kwargs = _bvh_call_extras(
-            rows, kinds_present, max_lobes, interpret
+            rows, kinds_present, max_lobes, interpret,
+            smooth=bool(getattr(wide, "smooth", False)),
         )
         return pl.pallas_call(
             kernel,
@@ -3367,7 +3462,8 @@ def _run_cam(
             max_leaf=max_leaf, hal_slots=hal_slots,
         )
         scratch, kwargs = _bvh_call_extras(
-            rows, kinds_present, max_lobes, interpret
+            rows, kinds_present, max_lobes, interpret,
+            smooth=bool(getattr(wide, "smooth", False)),
         )
         return pl.pallas_call(
             kernel,
