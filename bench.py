@@ -1,8 +1,12 @@
 """Benchmark: render the BASELINE configs and report Mrays/s on this chip.
 
 Default (BENCH_MATRIX=1): runs every BASELINE config (1-5 + SPPM) in one
-process and prints ONE JSON line PER config as it completes, with the
-flagship Path line LAST (a last-line parser still records the headline).
+process.  The flagship Path config runs FIRST, and after every completed
+row the flagship HEADLINE line is re-printed (with a cumulative `rows`
+dict) so a last-line parser always records the headline — even if the
+run is killed mid-matrix (round 3 lost 5 rows and its headline to a
+driver timeout, rc 124).  A wall-clock deadline (BENCH_DEADLINE_S,
+default 3000s) skips remaining rows rather than timing out.
 BENCH_MATRIX=0 restores the single-config env-driven mode
 (BENCH_SCENE/BENCH_MATERIAL/BENCH_INTEGRATOR/BENCH_FOG/BENCH_SPP).
 
@@ -183,6 +187,9 @@ def _run_one(scene_kind, material, integrator_kind, fog, spp, sppm_cfg=None):
     if integrator_kind == "sppm":
         line["photon_mrays_per_s"] = round(float(res["photon_mrays_per_s"]), 3)
         line["spp"] = res.get("camera_rays", 0) // (job.film.xres * job.film.yres)
+        for k in ("sppm_fused_camera", "sppm_fused_photon",
+                  "sppm_fused_deposit"):
+            line[k] = bool(res.get(k, False))
     out_png = os.environ.get("BENCH_OUT", "")
     if out_png:
         from rs_ray_toy_tpu.film.film import write_png
@@ -191,24 +198,25 @@ def _run_one(scene_kind, material, integrator_kind, fog, spp, sppm_cfg=None):
     return line
 
 
-# BASELINE config matrix (configs 1-5 + SPPM); the flagship Path row runs
-# LAST so single-line parsers record the headline number.
+# BASELINE config matrix (configs 1-5 + SPPM).  The flagship Path row runs
+# FIRST (it is the headline; round 3 ran it last and a driver timeout ate
+# it), followed by rows in descending evidence value.
 MATRIX = [
     # (key, scene_kind, material, integrator, fog, spp, sppm_cfg)
+    ("path", "ref", "", "path", False, 64, None),
+    # BASELINE config 2 proper: low-discrepancy (Halton) sampler, 256 spp
+    ("halton", "halton", "", "path", False, 256, None),
     ("debug", "ref", "", "debug", False, 16, None),
-    ("glass", "ref", "mat_glass", "path", False, 64, None),
-    ("grid", "grid", "", "path", False, 8, None),
-    ("fog", "ref", "", "volpath", True, 16, None),
-    ("sss", "ref", "mat_sss", "path", False, 16, None),
     ("sppm", "ref", "", "sppm", False, 0,
      {"radius": 1.0, "n_iters": 4, "max_depth": 3,
       "photons_per_iter": 1 << 17}),
+    ("grid", "grid", "", "path", False, 8, None),
+    ("fog", "ref", "", "volpath", True, 16, None),
+    ("glass", "ref", "mat_glass", "path", False, 64, None),
+    ("sss", "ref", "mat_sss", "path", False, 16, None),
     ("sphere_area", "sphere_area", "", "path", False, 64, None),
     ("fog_area", "fog_area", "", "volpath", True, 16, None),
     ("env", "env", "", "path", False, 64, None),
-    # BASELINE config 2 proper: low-discrepancy (Halton) sampler, 256 spp
-    ("halton", "halton", "", "path", False, 256, None),
-    ("path", "ref", "", "path", False, 64, None),
 ]
 
 
@@ -219,21 +227,37 @@ MATRIX = [
 ISOLATE = {"sppm"}
 
 
-def _run_isolated(key):
+def _run_isolated(key, timeout_s=3300):
+    """Run one config in a child process; returns its JSON line (or None).
+
+    Device faults wedge the whole process's TPU client, so faulting
+    configs are isolated to keep the rest of the matrix alive."""
     import subprocess
 
     env = dict(os.environ, BENCH_CONFIGS=key, BENCH_CHILD="1")
-    proc = subprocess.run(
-        [sys.executable, os.path.abspath(__file__)],
-        capture_output=True, text=True, env=env, timeout=3600,
-    )
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            capture_output=True, text=True, env=env,
+            timeout=max(60, timeout_s),
+        )
+    except subprocess.TimeoutExpired:
+        print(f"config {key} child timed out", file=sys.stderr)
+        return None
     sys.stderr.write(proc.stderr)
+    line = None
     for raw in proc.stdout.splitlines():
         raw = raw.strip()
         if raw.startswith("{"):
-            print(raw, flush=True)
+            try:
+                cand = json.loads(raw)
+            except json.JSONDecodeError:
+                continue
+            if "rows" not in cand:  # skip the child's own headline lines
+                line = cand
     if proc.returncode != 0:
         print(f"config {key} child exited {proc.returncode}", file=sys.stderr)
+    return line
 
 
 def main():
@@ -242,20 +266,49 @@ def main():
             s for s in os.environ.get("BENCH_CONFIGS", "").split(",") if s
         ]
         in_child = os.environ.get("BENCH_CHILD") == "1"
+        deadline = time.time() + float(
+            os.environ.get("BENCH_DEADLINE_S", "3000")
+        )
+        rows = {}  # key -> Mrays/s of every completed row
+        headline = None  # the flagship (or best) row line
+
+        def print_headline():
+            """Re-emit the headline with the cumulative rows dict LAST, so
+            a last-line parser records the flagship no matter where a
+            timeout lands."""
+            if headline is None:
+                return
+            out = dict(headline)
+            out["rows"] = {k: v for k, v in rows.items()}
+            print(json.dumps(out), flush=True)
+
         for key, sk, mat, integ, fog, spp, scfg in MATRIX:
             if only and key not in only:
                 continue
-            if key in ISOLATE and not in_child:
-                _run_isolated(key)
-                continue
-            try:
-                line = _run_one(sk, mat, integ, fog, spp, scfg)
-            except Exception as e:  # keep the matrix alive per-config
-                print(f"config {key} failed: {type(e).__name__}: {e}",
+            remaining = deadline - time.time()
+            if not in_child and remaining < 60 and rows:
+                print(f"deadline: skipping configs from {key} on",
                       file=sys.stderr)
-                continue
-            line["config"] = key
-            print(json.dumps(line), flush=True)
+                break
+            if key in ISOLATE and not in_child:
+                line = _run_isolated(key, timeout_s=remaining)
+                if line is None:
+                    continue
+                print(json.dumps(line), flush=True)
+            else:
+                try:
+                    line = _run_one(sk, mat, integ, fog, spp, scfg)
+                except Exception as e:  # keep the matrix alive per-config
+                    print(f"config {key} failed: {type(e).__name__}: {e}",
+                          file=sys.stderr)
+                    continue
+                line["config"] = key
+                print(json.dumps(line), flush=True)
+            rows[key] = line["value"]
+            if key == "path" or headline is None:
+                headline = line
+            if not in_child:
+                print_headline()
         return
     # single-config env-driven mode
     spp = int(os.environ.get("BENCH_SPP", "64"))

@@ -308,13 +308,17 @@ def _sample_le(ctx, light_idx, u0, u1):
 
 
 def render_sppm(ctx: SceneCtx, cam, sampler, film_spec, spec, write_image_fn=None,
-                time_stats=None):
+                time_stats=None, engage=None):
     """Run SPPM; returns final (H,W,C) radiance image (C = 3 or\n    60 in sampled-spectral mode; the driver converts at the film).
 
     time_stats: optional dict; when given, one warm-up iteration runs
     first (compiling the jitted iteration) and `time_stats["steady_s"]`
     records the wall-clock of the n_iters timed iterations only — the
-    bench must not fold the multi-minute remote compile into Mrays/s."""
+    bench must not fold the multi-minute remote compile into Mrays/s.
+
+    engage: optional dict; filled with `fused_camera` / `fused_photon` /
+    `fused_deposit` booleans recording which Pallas kernels actually ran
+    (the silent jnp fallback cost round 3 weeks — docs/NEXT.md:4-12)."""
     h, w = film_spec.yres, film_spec.xres
     C = getattr(ctx, "n_channels", 3)
     n_pixels = h * w
@@ -348,6 +352,10 @@ def render_sppm(ctx: SceneCtx, cam, sampler, film_spec, spec, write_image_fn=Non
         and _os.environ.get("RS_SPPM_DEPOSIT", "1") != "0"
         else None
     )
+    if engage is not None:
+        engage["fused_camera"] = _mega_packed is not None
+        engage["fused_photon"] = _dep_resolved is not None
+        engage["fused_deposit"] = _dep_resolved is not None
 
     ys, xs = np.mgrid[0:h, 0:w]
     xs, ys = xs.ravel(), ys.ravel()

@@ -75,12 +75,16 @@ def sharded_sample_pass(mesh, cam, ctx, sampler, film_spec, li_fn, pixel_xy, pix
             weight,
         )
         # film merge = psum over the mesh (replaces merge_film_tile).
-        # splat_xyz passes through un-psum'd: this HELPER only drives
-        # non-splatting integrators in tests — the production sharded
-        # pass (render.py render_job) psums all three film components
+        # All three components ride the psum — splat_xyz too, so this
+        # helper keeps the production pass's semantics (render.py
+        # render_job) and a splatting integrator wired through it
+        # cannot silently lose light
         xyz = jax.lax.psum(local_film.xyz, "dp")
         wt = jax.lax.psum(local_film.weight, "dp")
-        return fmod.FilmState(film.xyz + xyz, film.weight + wt, film.splat_xyz)
+        splat = jax.lax.psum(local_film.splat_xyz, "dp")
+        return fmod.FilmState(
+            film.xyz + xyz, film.weight + wt, film.splat_xyz + splat
+        )
 
     try:
         smapped = shard_map(

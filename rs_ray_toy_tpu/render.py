@@ -60,10 +60,21 @@ def _render_sppm_job(job, cam, ctx, seed, write_to=None):
             f = fmod.set_image(fmod.make_film(job.film), _to_rgb_img(img))
             fmod.write_png(fmod.to_rgb(f, job.film, splat_scale=1.0), write_to)
     stats = {}
+    engage = {}
     t0 = _time.time()
     img = render_sppm(ctx, cam, sampler, job.film, spec,
-                      write_image_fn=write_image_fn, time_stats=stats)
+                      write_image_fn=write_image_fn, time_stats=stats,
+                      engage=engage)
     jax.block_until_ready(img)
+    if not all(engage.values()):
+        # loud fallback (VERDICT r3 weak #4): the silent-jnp failure class
+        # cost round 3 weeks — make disengaged SPPM kernels visible
+        print(
+            "rs_ray_toy_tpu: SPPM fused-kernel engagement "
+            + ", ".join(f"{k}={v}" for k, v in sorted(engage.items()))
+            + " — disengaged stages run the (slow) jnp wavefront path",
+            file=sys.stderr,
+        )
     # steady-state wall-clock (post-compile warm-up) — the remote-queue
     # compile is minutes and must not fold into the Mrays/s rates
     elapsed = stats.get("steady_s", _time.time() - t0)
@@ -84,7 +95,12 @@ def _render_sppm_job(job, cam, ctx, seed, write_to=None):
         "mrays_per_s": n_rays / max(elapsed, 1e-9) / 1e6,
         "camera_mrays_per_s": cam_rays / max(elapsed, 1e-9) / 1e6,
         "photon_mrays_per_s": photon_rays / max(elapsed, 1e-9) / 1e6,
-        "render_path": "sppm",
+        "render_path": (
+            "sppm-fused" if all(engage.values()) and engage else "sppm-jnp"
+        ),
+        "sppm_fused_camera": bool(engage.get("fused_camera", False)),
+        "sppm_fused_photon": bool(engage.get("fused_photon", False)),
+        "sppm_fused_deposit": bool(engage.get("fused_deposit", False)),
     }
 
 
@@ -320,8 +336,9 @@ def render_job(
             # depend on the fused path — never drop to jnp silently
             print(
                 "rs_ray_toy_tpu: scene outside the path-megakernel subset"
-                " (e.g. smooth normals, textures, media without the"
-                " volpath subset) — using the jnp wavefront loop",
+                " (e.g. textured material params, image-map environment"
+                " lights, >65536 triangles, unsupported lobe kinds) —"
+                " using the jnp wavefront loop",
                 file=sys.stderr,
             )
     if (
