@@ -113,15 +113,24 @@ def scrambled_radical_inverse_base(base, a, perm, dtype=jnp.float32):
     (inv * base^trips + perm[0]/(base-1)-ish).  We replicate PBRT v3:
         (rev + perm[0] * inv_base_n / (1 - inv_base)) * inv_base_n...
     evaluated with the same finite-trip structure.
+
+    The per-digit permutation lookup rides tableops (one-hot MXU for
+    small bases) — the serialized `perm[digit]` gather cost ~8 ms per
+    dim per 230K rows on the bench chip (tools/profile_halton.py), which
+    made the Halton slot payload dominate the fused SPPM camera pass.
     """
+    from .tableops import take_rows
+
     trips = _digit_trips(base)
     inv_base = 1.0 / base
+    # f32 rows select exactly on the MXU; permutation values < 2^24
+    perm_f = perm.astype(jnp.float32)
 
     def body(_, carry):
         val, acc, inv = carry
         nxt = val // base
         digit = val - nxt * base
-        pd = perm[digit].astype(jnp.float32)
+        pd = take_rows(perm_f, digit)
         return nxt, acc + pd * inv * inv_base, inv * inv_base
 
     a32 = a.astype(jnp.int32)

@@ -307,8 +307,73 @@ def _sample_le(ctx, light_idx, u0, u1):
     return o, d, n_l, le, pdf_pos, pdf_dir
 
 
+def _emit_photons(ctx, light_distr, halton_index, max_depth):
+    """Host-side photon emission for the fused pipeline: light pick by
+    power distribution + sample_le + the bounce/RR uniforms, all from
+    pure radical_inverse over the GLOBAL halton index (sppm.rs:355-366)
+    — row-wise, so a photon shard computes exactly the single-device
+    rows.  Returns (ro, rd, beta, active, u_rows)."""
+    n = halton_index.shape[0]
+
+    def ri(dim):
+        return ld.radical_inverse(dim, halton_index)
+
+    u_light_sample = ri(0)
+    light_idx, light_pdf = (
+        sample_discrete_1d(light_distr, u_light_sample)
+        if light_distr is not None
+        else (jnp.zeros((n,), jnp.int32), jnp.ones((n,), DTYPE))
+    )
+    u0 = jnp.stack([ri(1), ri(2)], axis=-1)
+    u1 = jnp.stack([ri(3), ri(4)], axis=-1)
+    ro, rd, n_l, le, pdf_pos, pdf_dir = _sample_le(ctx, light_idx, u0, u1)
+    beta = (
+        le
+        * vec.absdot(n_l, rd)[:, None]
+        / jnp.maximum(light_pdf * pdf_pos * pdf_dir, 1e-20)[:, None]
+    )
+    ph_active = (
+        (pdf_pos > 0.0) & (pdf_dir > 0.0) & jnp.any(le > 0.0, axis=-1)
+        & jnp.any(beta > 0.0, axis=-1)
+    )
+    u_rows = []
+    for depth in range(max_depth - 1):
+        d_b = 5 + 2 * depth
+        u_rows.append(ri(d_b))
+        u_rows.append(ri(d_b + 1))
+        u_rows.append(ri(d_b + 2 + max_depth * 2))
+    u = (
+        jnp.stack(u_rows, 0)
+        if u_rows
+        else jnp.zeros((0, n), DTYPE)
+    )
+    return ro, rd, beta, ph_active, u
+
+
+def _radius_tau_update(state, vp, phi_acc, m_acc):
+    """(sppm.rs:508-532, PBRT sqrt) — elementwise per pixel."""
+    m = m_acc.astype(DTYPE)
+    has_m = m_acc > 0
+    gamma = 2.0 / 3.0
+    n_new = state.n + gamma * m
+    r_new = state.radius * jnp.sqrt(
+        n_new / jnp.maximum(state.n + m, 1e-20)
+    )
+    tau_new = (
+        (state.tau + vp.beta * phi_acc)
+        * (r_new * r_new)[:, None]
+        / jnp.maximum(state.radius * state.radius, 1e-20)[:, None]
+    )
+    return SPPMState(
+        radius=jnp.where(has_m, r_new, state.radius),
+        ld=state.ld,
+        n=jnp.where(has_m, n_new, state.n),
+        tau=jnp.where(has_m[:, None], tau_new, state.tau),
+    )
+
+
 def render_sppm(ctx: SceneCtx, cam, sampler, film_spec, spec, write_image_fn=None,
-                time_stats=None, engage=None):
+                time_stats=None, engage=None, mesh=None):
     """Run SPPM; returns final (H,W,C) radiance image (C = 3 or\n    60 in sampled-spectral mode; the driver converts at the film).
 
     time_stats: optional dict; when given, one warm-up iteration runs
@@ -318,7 +383,20 @@ def render_sppm(ctx: SceneCtx, cam, sampler, film_spec, spec, write_image_fn=Non
 
     engage: optional dict; filled with `fused_camera` / `fused_photon` /
     `fused_deposit` booleans recording which Pallas kernels actually ran
-    (the silent jnp fallback cost round 3 weeks — docs/NEXT.md:4-12)."""
+    (the silent jnp fallback cost round 3 weeks — docs/NEXT.md:4-12).
+
+    mesh: a jax.sharding.Mesh with a 'dp' axis.  The camera pass is
+    sharded by pixels and the photon pass by photon index — the TPU
+    equivalent of the reference's rayon fan-out over tiles AND photons
+    (sppm.rs:140-141, 347-349).  Deposit events are all_gathered and
+    restored to the single-device row order before the (replicated)
+    Morton sort, and each device walks only its own pixel tiles'
+    ranges, so per-pixel phi/M sums add in the single-device order.
+    The sharded render matches single-device to fma-contraction ulps
+    (the jnp raygen/sample_le stages see per-shard shapes; measured
+    <=2e-5 relative — tests/test_multichip.py).  Requires the fused
+    pipeline subset; outside it the render falls back to a single
+    device (loudly)."""
     h, w = film_spec.yres, film_spec.xres
     C = getattr(ctx, "n_channels", 3)
     n_pixels = h * w
@@ -352,10 +430,23 @@ def render_sppm(ctx: SceneCtx, cam, sampler, film_spec, spec, write_image_fn=Non
         and _os.environ.get("RS_SPPM_DEPOSIT", "1") != "0"
         else None
     )
+    use_mesh = mesh is not None and int(mesh.devices.size) > 1
+    if use_mesh and _dep_resolved is None:
+        import sys as _sys
+
+        print(
+            "rs_ray_toy_tpu: SPPM multi-device requires the fused pipeline"
+            " subset (supports_sppm_camera + max_depth > 1) — rendering on"
+            " a single device",
+            file=_sys.stderr,
+        )
+        use_mesh = False
+    n_dev = int(mesh.devices.size) if use_mesh else 1
     if engage is not None:
         engage["fused_camera"] = _mega_packed is not None
         engage["fused_photon"] = _dep_resolved is not None
         engage["fused_deposit"] = _dep_resolved is not None
+        engage["n_devices"] = n_dev
 
     ys, xs = np.mgrid[0:h, 0:w]
     xs, ys = xs.ravel(), ys.ravel()
@@ -375,15 +466,29 @@ def render_sppm(ctx: SceneCtx, cam, sampler, film_spec, spec, write_image_fn=Non
         perm = np.argsort(key, kind="stable")
         xs, ys = xs[perm], ys[perm]
         inv_perm = np.argsort(perm, kind="stable")
+    # multi-device: pad the (blocked) pixel array so each 'dp' shard is a
+    # whole number of deposit tiles; padded lanes carry zero camera
+    # weight and never make VPs (their state rows stay 0 and are sliced
+    # off at image assembly)
+    n_slots = n_pixels
+    if use_mesh:
+        tile = _smk.DEP_ROWS * 128
+        shard_sz = -(-(-(-n_pixels // n_dev)) // tile) * tile
+        n_slots = shard_sz * n_dev
+        padn = n_slots - n_pixels
+        if padn:
+            xs = np.concatenate([xs, np.zeros(padn, xs.dtype)])
+            ys = np.concatenate([ys, np.zeros(padn, ys.dtype)])
+    pixel_valid = jnp.asarray(np.arange(n_slots) < n_pixels)
     pixel_xy = jnp.asarray(np.stack([xs, ys], -1), DTYPE)
     pixel_id = jnp.asarray(ys * w + xs, jnp.uint32)
     hash_size = n_pixels
 
     state = SPPMState(
-        radius=jnp.full((n_pixels,), spec.radius, DTYPE),
-        ld=jnp.zeros((n_pixels, C), DTYPE),
-        n=jnp.zeros((n_pixels,), DTYPE),
-        tau=jnp.zeros((n_pixels, C), DTYPE),
+        radius=jnp.full((n_slots,), spec.radius, DTYPE),
+        ld=jnp.zeros((n_slots, C), DTYPE),
+        n=jnp.zeros((n_slots,), DTYPE),
+        tau=jnp.zeros((n_slots, C), DTYPE),
     )
     light_distr = ctx._power_distribution
     n_photons = spec.photons_per_iter
@@ -475,41 +580,20 @@ def render_sppm(ctx: SceneCtx, cam, sampler, film_spec, spec, write_image_fn=Non
         def ri(dim):
             return ld.radical_inverse(dim, halton_index)
 
-        u_light_sample = ri(0)
-        light_idx, light_pdf = (
-            sample_discrete_1d(light_distr, u_light_sample)
-            if light_distr is not None
-            else (jnp.zeros((n_photons,), jnp.int32), jnp.ones((n_photons,), DTYPE))
-        )
-        u0 = jnp.stack([ri(1), ri(2)], axis=-1)
-        u1 = jnp.stack([ri(3), ri(4)], axis=-1)
-        ro, rd, n_l, le, pdf_pos, pdf_dir = _sample_le(ctx, light_idx, u0, u1)
-        beta = (
-            le
-            * vec.absdot(n_l, rd)[:, None]
-            / jnp.maximum(light_pdf * pdf_pos * pdf_dir, 1e-20)[:, None]
-        )
-        ph_active = (
-            (pdf_pos > 0.0) & (pdf_dir > 0.0) & jnp.any(le > 0.0, axis=-1)
-            & jnp.any(beta > 0.0, axis=-1)
+        ro, rd, beta, ph_active, u_rows = _emit_photons(
+            ctx, light_distr, halton_index, spec.max_depth
         )
 
         phi_acc = jnp.zeros((n_pixels, C), DTYPE)
         m_acc = jnp.zeros((n_pixels,), jnp.int32)
 
         if _dep_resolved is not None:
-            # fused photon walk: bounce/RR uniforms computed HERE with
-            # the production radical inverse (exact Halton parity) and
-            # shipped into the kernel; deposit events come back out
-            u_rows = []
-            for depth in range(spec.max_depth - 1):
-                d_b = 5 + 2 * depth
-                u_rows.append(ri(d_b))
-                u_rows.append(ri(d_b + 1))
-                u_rows.append(ri(d_b + 2 + spec.max_depth * 2))
+            # fused photon walk: bounce/RR uniforms computed on the host
+            # with the production radical inverse (exact Halton parity)
+            # and shipped into the kernel; deposit events come back out
             evs = _smk.sppm_photon_mega(
                 _mega_packed, ro, rd, beta, ph_active,
-                jnp.stack(u_rows, 0), spec.max_depth,
+                u_rows, spec.max_depth,
                 interpret=jax.default_backend() == "cpu",
             )
             phi_acc, m_acc = _smk.deposit_mega(
@@ -608,13 +692,121 @@ def render_sppm(ctx: SceneCtx, cam, sampler, film_spec, spec, write_image_fn=Non
         )
         return state
 
+    if use_mesh:
+        # ---- sharded iteration: pixels over 'dp' (camera pass, deposit
+        # walk, state update), photons over 'dp' (photon walk); events
+        # all_gathered + restored to single-device row order so the
+        # replicated Morton sort — and with it every per-pixel add
+        # order — is bit-identical to the single-device render ----
+        from jax.sharding import PartitionSpec as P
+
+        try:  # jax >= 0.6 moved shard_map out of experimental
+            from jax import shard_map
+        except ImportError:  # pragma: no cover
+            from jax.experimental.shard_map import shard_map
+
+        p_shard = -(-n_photons // n_dev)
+        D1 = spec.max_depth - 1
+
+        def one_iter_local(st, it, pxy, pid, pvalid):
+            interp = jax.default_backend() == "cpu"
+            n_loc = pid.shape[0]
+            s_i = jnp.full((n_loc,), it, jnp.uint32)
+            u_film = sampler.get_2d(pid, s_i, 0)
+            u_lens = sampler.get_2d(pid, s_i, 1)
+            ro, rd, wgt = cam.generate_rays(pxy + u_film, u_lens)
+            wgt = jnp.where(pvalid, wgt, 0.0)
+            ld_delta, vp = _smk.sppm_camera_mega(
+                ctx, _mega_packed, ro, rd, wgt, sampler, pid, it,
+                spec.max_depth, interpret=interp,
+            )
+            st = st._replace(ld=st.ld + ld_delta)
+
+            # grid bounds / resolution inputs are GLOBAL (pmin/pmax over
+            # the mesh replaces the single-device whole-array reduce)
+            valid = vp.valid & jnp.any(vp.beta > 0.0, axis=-1)
+            big = jnp.float32(3e38)
+            lo = lax.pmin(
+                jnp.min(
+                    jnp.where(
+                        valid[:, None], vp.p - st.radius[:, None], big
+                    ),
+                    axis=0,
+                ),
+                "dp",
+            )
+            hi = lax.pmax(
+                jnp.max(
+                    jnp.where(
+                        valid[:, None], vp.p + st.radius[:, None], -big
+                    ),
+                    axis=0,
+                ),
+                "dp",
+            )
+            any_vp = lax.pmax(jnp.any(valid).astype(jnp.int32), "dp") > 0
+            lo = jnp.where(any_vp, lo, 0.0)
+            hi = jnp.where(any_vp, hi, 1.0)
+            diag = hi - lo
+            rmax = lax.pmax(
+                jnp.max(jnp.where(valid, st.radius, 0.0)), "dp"
+            )
+
+            # photon shard: global halton index keeps rows identical to
+            # the single-device pass (sppm.rs:347-349 rayon over photons)
+            di = lax.axis_index("dp")
+            pidx = di * p_shard + jnp.arange(p_shard)
+            halton_index = (it * n_photons + pidx).astype(jnp.int32)
+            ro_p, rd_p, beta, ph_active, u_rows = _emit_photons(
+                ctx, light_distr, halton_index, spec.max_depth
+            )
+            ph_active = ph_active & (pidx < n_photons)
+            evs = _smk.sppm_photon_mega(
+                _mega_packed, ro_p, rd_p, beta, ph_active, u_rows,
+                spec.max_depth, interpret=interp,
+            )
+
+            def gather_ev(x):
+                g = lax.all_gather(x, "dp", axis=0)
+                g = g.reshape((n_dev, D1, p_shard) + x.shape[1:])
+                g = jnp.swapaxes(g, 0, 1)  # depth-major, photon-minor
+                return g.reshape((D1 * n_dev * p_shard,) + x.shape[1:])
+
+            evs = tuple(gather_ev(e) for e in evs)
+            phi_acc, m_acc = _smk.deposit_mega(
+                vp, st.radius, _dep_resolved, *evs, lo, diag,
+                _mega_packed[3], _mega_packed[4],
+                interpret=interp, max_radius=rmax,
+            )
+            return _radius_tau_update(st, vp, phi_acc, m_acc)
+
+        st_spec = SPPMState(P("dp"), P("dp"), P("dp"), P("dp"))
+        in_specs = (st_spec, P(), P("dp"), P("dp"), P("dp"))
+        try:
+            smapped = shard_map(
+                one_iter_local, mesh=mesh, in_specs=in_specs,
+                out_specs=st_spec, check_vma=False,
+            )
+        except TypeError:  # older jax: check_rep
+            smapped = shard_map(
+                one_iter_local, mesh=mesh, in_specs=in_specs,
+                out_specs=st_spec, check_rep=False,
+            )
+        mesh_step = jax.jit(smapped)
+
+        def run_iteration(st, it):
+            return mesh_step(st, it, pixel_xy, pixel_id, pixel_valid)
+    else:
+        def run_iteration(st, it):
+            return one_iteration(st, it)
+
     if time_stats is not None:
         import time as _time
 
-        jax.block_until_ready(one_iteration(state, jnp.uint32(0)))
+        jax.block_until_ready(run_iteration(state, jnp.uint32(0)))
         time_stats["t0"] = _time.time()
     for it in range(spec.n_iters):
-        state = one_iteration(state, jnp.uint32(it))
+        state = run_iteration(state, jnp.uint32(it))
         if write_image_fn is not None and (
             (it + 1) == spec.n_iters or (it + 1) % spec.write_freq == 0
         ):
@@ -633,6 +825,7 @@ def _sppm_image(state, iters_done, n_photons, h, w, inv_perm=None):
     l = state.ld / iters_done + state.tau / jnp.maximum(
         np_total * PI * state.radius[:, None] ** 2, 1e-20
     )
+    l = l[: h * w]  # drop multi-device tile-alignment padding rows
     if inv_perm is not None:
         # blocked slot order -> raster, once, on the host (no device gather)
         l = jnp.asarray(np.asarray(l)[inv_perm])

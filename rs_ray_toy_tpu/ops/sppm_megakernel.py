@@ -831,21 +831,25 @@ def resolve_mat_tables(ctx):
 
 def deposit_mega(
     vp, radius, resolved, ev_p, ev_wi, ev_beta, ev_live,
-    lo, diag, kinds_present, max_lobes, interpret=False,
+    lo, diag, kinds_present, max_lobes, interpret=False, max_radius=None,
 ):
     """phi (N,3), m (N,) for one SPPM iteration.  vp: VisiblePoints;
     ev_*: (E,·) photon deposit events (all depths stacked); lo/diag:
     grid bbox (the kernel derives its own clamped <=1024^3 resolution —
-    pure acceleration, the distance test keeps reference semantics)."""
+    pure acceleration, the distance test keeps reference semantics).
+
+    max_radius: the max VP radius used for the grid resolution.  The
+    multi-device path passes the GLOBAL pmax (this shard's vp set is
+    only a pixel slice); None derives it from this call's vp/radius."""
     n = vp.p.shape[0]
     valid = vp.valid & jnp.any(vp.beta > 0.0, axis=-1)
 
     # clamped grid for Morton keys (shared by events and VP boxes)
     safe_diag = jnp.where(diag == 0.0, 1.0, diag)
     max_diag = jnp.maximum(jnp.max(diag), 1e-20)
-    max_radius = jnp.maximum(
-        jnp.max(jnp.where(valid, radius, 0.0)), 1e-20
-    )
+    if max_radius is None:
+        max_radius = jnp.max(jnp.where(valid, radius, 0.0))
+    max_radius = jnp.maximum(max_radius, 1e-20)
     base_res = max_diag / max_radius
     res = jnp.clip(
         (base_res * diag / max_diag).astype(jnp.int32), 1, 1024
@@ -963,20 +967,33 @@ def deposit_mega(
             rows.append(resolved["eb"][safe_mat, la])
     att = jnp.stack([prep(r.astype(jnp.float32)) for r in rows], 0)
 
-    # ---- chunked launches (event table must fit VMEM) ----
+    # ---- chunked launches (event table must fit VMEM).  The sort puts
+    # every live event in a PREFIX (dead rows carry the Morton sentinel),
+    # so chunks past the live count skip their launch entirely — each
+    # skipped launch saves a full re-stream of the VP attribute matrix
+    # (the dominant deposit cost when photon survival is sparse) ----
     phi_r = jnp.zeros((n_pad // LANES, LANES), jnp.float32)
     phi_g = jnp.zeros_like(phi_r)
     phi_b = jnp.zeros_like(phi_r)
     m_cnt = jnp.zeros_like(phi_r)
+    n_live = jnp.sum((skey != _MORTON_SENTINEL).astype(jnp.int32))
     for c0 in range(0, int(ev_tab.shape[0]), DEP_EV_CHUNK):
         c1 = min(c0 + DEP_EV_CHUNK, int(ev_tab.shape[0]))
         sc = jnp.clip(s_t, c0, c1) - c0
         ec = jnp.clip(e_t, c0, c1) - c0
         ranges = jnp.stack([sc, ec], -1).astype(jnp.int32)
-        pr, pg, pb, mc = _deposit_run(
-            att, ev_tab[c0:c1], ranges, kinds_present, max_lobes,
-            interpret=interpret,
-        )
+
+        def run_chunk(att=att, ev=ev_tab[c0:c1], ranges=ranges):
+            return _deposit_run(
+                att, ev, ranges, kinds_present, max_lobes,
+                interpret=interpret,
+            )
+
+        def skip_chunk():
+            z = jnp.zeros_like(phi_r)
+            return z, z, z, z
+
+        pr, pg, pb, mc = lax.cond(c0 < n_live, run_chunk, skip_chunk)
         phi_r = phi_r + pr
         phi_g = phi_g + pg
         phi_b = phi_b + pb

@@ -25,12 +25,14 @@ from .sampler.stratified import StratifiedSampler
 from .scene.loader import RenderJob, load_scene
 
 
-def _render_sppm_job(job, cam, ctx, seed, write_to=None):
+def _render_sppm_job(job, cam, ctx, seed, write_to=None, mesh=None):
     """SPPM driver (integrator/sppm.rs render): bypasses the sampler-
     integrator film machinery, writing radiance directly (set_image).
     write_to: output path for the periodic write_freq image writes
     (sppm.rs:534-555 writes the in-progress image to the output file
-    every write_freq iterations)."""
+    every write_freq iterations).
+    mesh: 'dp' device mesh — pixels AND photons shard over it
+    (render_sppm docstring; bit-equal to single-device)."""
     import time as _time
 
     from .integrators.sppm import render_sppm
@@ -64,7 +66,7 @@ def _render_sppm_job(job, cam, ctx, seed, write_to=None):
     t0 = _time.time()
     img = render_sppm(ctx, cam, sampler, job.film, spec,
                       write_image_fn=write_image_fn, time_stats=stats,
-                      engage=engage)
+                      engage=engage, mesh=mesh)
     jax.block_until_ready(img)
     if not all(engage.values()):
         # loud fallback (VERDICT r3 weak #4): the silent-jnp failure class
@@ -174,7 +176,8 @@ def render_job(
             spp = sampler.spp
 
     if job.integrator.kind == "sppm":
-        return _render_sppm_job(job, cam, ctx, seed, write_to=write_to)
+        return _render_sppm_job(job, cam, ctx, seed, write_to=write_to,
+                                mesh=mesh)
 
     h, w = film_spec.yres, film_spec.xres
     ys, xs = np.mgrid[0:h, 0:w]

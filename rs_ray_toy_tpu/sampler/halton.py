@@ -63,8 +63,13 @@ class HaltonSampler:
             _multiplicative_inverse(scales[0], scales[1]),
         ]
 
-        # host-precomputed per-(px%128, py%128) sample offsets
-        offs = np.zeros((K_MAX_RESOLUTION, K_MAX_RESOLUTION), np.int64)
+        # host-precomputed per-(px%128) / per-(py%128) sample offsets.
+        # Stored as two 1-D tables (off = (ox[px] + oy[py]) % stride) so
+        # the device lookup is two small-table tableops selections — the
+        # (128,128) 2-D form gathers ~13 ms per 230K rays on the bench
+        # chip (tools/profile_halton.py)
+        ox_m = np.zeros(K_MAX_RESOLUTION, np.int64)
+        oy_m = np.zeros(K_MAX_RESOLUTION, np.int64)
         if self.sample_stride > 1:
             px = np.arange(K_MAX_RESOLUTION)
             dim_x = np.array(
@@ -75,8 +80,10 @@ class HaltonSampler:
             )
             ox = dim_x * (self.sample_stride // scales[0]) * inv[0]
             oy = dim_y * (self.sample_stride // scales[1]) * inv[1]
-            offs = (ox[None, :] + oy[:, None]) % self.sample_stride  # [py, px]
-        self.pixel_offsets = jnp.asarray(offs, jnp.int32)
+            ox_m = ox % self.sample_stride
+            oy_m = oy % self.sample_stride
+        self.offs_x = jnp.asarray(ox_m, jnp.int32)
+        self.offs_y = jnp.asarray(oy_m, jnp.int32)
         self.xres = xres
 
         # global digit permutations (u16 in the reference; i32 here)
@@ -84,10 +91,24 @@ class HaltonSampler:
 
         self._fallback = None
 
+    @property
+    def pixel_offsets(self):
+        """(128,128) [py,px] offset table — derived view of the 1-D
+        factors (kept for oracle tests; the device path never builds it)."""
+        ox = np.asarray(self.offs_x, np.int64)
+        oy = np.asarray(self.offs_y, np.int64)
+        return jnp.asarray(
+            (ox[None, :] + oy[:, None]) % self.sample_stride, jnp.int32
+        )
+
     def _index(self, pixel_id, sample_index):
+        from ..core.tableops import take_rows
+
         px = (pixel_id % jnp.uint32(self.xres)).astype(jnp.int32) % K_MAX_RESOLUTION
         py = (pixel_id // jnp.uint32(self.xres)).astype(jnp.int32) % K_MAX_RESOLUTION
-        off = self.pixel_offsets[py, px]
+        off = (
+            take_rows(self.offs_x, px) + take_rows(self.offs_y, py)
+        ) % jnp.int32(self.sample_stride)
         return off + sample_index.astype(jnp.int32) * self.sample_stride
 
     def _dim_value(self, pixel_id, sample_index, dim):
