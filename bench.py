@@ -46,6 +46,14 @@ EXTRA_MATERIALS = {
         "scatter_distance": {"values": [1.0, 0.8, 0.6]},
         "roughness": 0.3,
     },
+    # textured matte: kd from the reference scene's s_01.png imagemap —
+    # measures the textured-scene path (VERDICT r3 missing #3: textured
+    # materials ride the jnp wavefront loop with ray differentials)
+    "mat_textured": {
+        "material_type": "MatteMaterial",
+        "material_name": "mat_textured",
+        "kd": "s_01",
+    },
 }
 
 
@@ -217,6 +225,10 @@ MATRIX = [
     ("sphere_area", "sphere_area", "", "path", False, 64, None),
     ("fog_area", "fog_area", "", "volpath", True, 16, None),
     ("env", "env", "", "path", False, 64, None),
+    # textured-matte: imagemap kd -> the jnp wavefront + differentials
+    # path (the megakernel's named remaining gap; measured so the cost
+    # of the gap is externally visible)
+    ("textured", "ref", "mat_textured", "path", False, 16, None),
 ]
 
 

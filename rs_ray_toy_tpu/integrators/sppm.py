@@ -430,6 +430,15 @@ def render_sppm(ctx: SceneCtx, cam, sampler, film_spec, spec, write_image_fn=Non
         and _os.environ.get("RS_SPPM_DEPOSIT", "1") != "0"
         else None
     )
+    # in-kernel lens raygen (path_megakernel._raygen) — the host raygen
+    # + its HBM ray round trip cost ~5 ms per bench iteration; stub
+    # cameras without a lens stack (tests) keep the host path
+    _cam_packed = None
+    if _mega_packed is not None and hasattr(cam, "lens"):
+        from ..ops import path_megakernel as _pmk
+
+        _cam_packed = _pmk.pack_camera(cam)
+
     use_mesh = mesh is not None and int(mesh.devices.size) > 1
     if use_mesh and _dep_resolved is None:
         import sys as _sys
@@ -493,9 +502,14 @@ def render_sppm(ctx: SceneCtx, cam, sampler, film_spec, spec, write_image_fn=Non
     light_distr = ctx._power_distribution
     n_photons = spec.photons_per_iter
 
-    @jax.jit
     def one_iteration(state, it):
-        if _mega_packed is not None:
+        if _mega_packed is not None and _cam_packed is not None:
+            ld_delta, vp = _smk.sppm_camera_mega_cam(
+                ctx, _mega_packed, _cam_packed, pixel_xy, pixel_id,
+                pixel_valid, it, sampler, spec.max_depth,
+                interpret=jax.default_backend() == "cpu",
+            )
+        elif _mega_packed is not None:
             n = pixel_id.shape[0]
             s_i = jnp.full((n,), it, jnp.uint32)
             u_film = sampler.get_2d(pixel_id, s_i, 0)
@@ -710,16 +724,22 @@ def render_sppm(ctx: SceneCtx, cam, sampler, film_spec, spec, write_image_fn=Non
 
         def one_iter_local(st, it, pxy, pid, pvalid):
             interp = jax.default_backend() == "cpu"
-            n_loc = pid.shape[0]
-            s_i = jnp.full((n_loc,), it, jnp.uint32)
-            u_film = sampler.get_2d(pid, s_i, 0)
-            u_lens = sampler.get_2d(pid, s_i, 1)
-            ro, rd, wgt = cam.generate_rays(pxy + u_film, u_lens)
-            wgt = jnp.where(pvalid, wgt, 0.0)
-            ld_delta, vp = _smk.sppm_camera_mega(
-                ctx, _mega_packed, ro, rd, wgt, sampler, pid, it,
-                spec.max_depth, interpret=interp,
-            )
+            if _cam_packed is not None:
+                ld_delta, vp = _smk.sppm_camera_mega_cam(
+                    ctx, _mega_packed, _cam_packed, pxy, pid, pvalid,
+                    it, sampler, spec.max_depth, interpret=interp,
+                )
+            else:
+                n_loc = pid.shape[0]
+                s_i = jnp.full((n_loc,), it, jnp.uint32)
+                u_film = sampler.get_2d(pid, s_i, 0)
+                u_lens = sampler.get_2d(pid, s_i, 1)
+                ro, rd, wgt = cam.generate_rays(pxy + u_film, u_lens)
+                wgt = jnp.where(pvalid, wgt, 0.0)
+                ld_delta, vp = _smk.sppm_camera_mega(
+                    ctx, _mega_packed, ro, rd, wgt, sampler, pid, it,
+                    spec.max_depth, interpret=interp,
+                )
             st = st._replace(ld=st.ld + ld_delta)
 
             # grid bounds / resolution inputs are GLOBAL (pmin/pmax over
@@ -792,26 +812,41 @@ def render_sppm(ctx: SceneCtx, cam, sampler, film_spec, spec, write_image_fn=Non
                 one_iter_local, mesh=mesh, in_specs=in_specs,
                 out_specs=st_spec, check_rep=False,
             )
-        mesh_step = jax.jit(smapped)
 
-        def run_iteration(st, it):
-            return mesh_step(st, it, pixel_xy, pixel_id, pixel_valid)
+        def body_fn(st, it):
+            return smapped(st, it, pixel_xy, pixel_id, pixel_valid)
     else:
-        def run_iteration(st, it):
-            return one_iteration(st, it)
+        body_fn = one_iteration
 
+    # ONE dispatch for all iterations between image writes: a fori_loop
+    # over the iteration body.  The per-dispatch host<->device round trip
+    # through the tunnel is ~25 ms — at 4 bench iterations it was HALF
+    # the SPPM wall-clock (tools/profile_sppm_stages.py)
+    @jax.jit
+    def run_range(st, it0, it1):
+        return lax.fori_loop(
+            it0, it1,
+            lambda i, s: body_fn(s, i.astype(jnp.uint32)),
+            st,
+        )
+
+    # AOT-compile + zero-iteration warm-up (program upload only), so the
+    # timed region measures iteration throughput, not compilation
+    compiled = run_range.lower(state, jnp.int32(0), jnp.int32(0)).compile()
+    jax.block_until_ready(compiled(state, jnp.int32(0), jnp.int32(0)))
     if time_stats is not None:
         import time as _time
 
-        jax.block_until_ready(run_iteration(state, jnp.uint32(0)))
         time_stats["t0"] = _time.time()
-    for it in range(spec.n_iters):
-        state = run_iteration(state, jnp.uint32(it))
-        if write_image_fn is not None and (
-            (it + 1) == spec.n_iters or (it + 1) % spec.write_freq == 0
-        ):
-            img = _sppm_image(state, it + 1, n_photons, h, w, inv_perm)
-            write_image_fn(img, it + 1)
+    wf = spec.write_freq if write_image_fn is not None else spec.n_iters
+    done = 0
+    while done < spec.n_iters:
+        nxt = min(done + max(1, wf), spec.n_iters)
+        state = compiled(state, jnp.int32(done), jnp.int32(nxt))
+        done = nxt
+        if write_image_fn is not None:
+            img = _sppm_image(state, done, n_photons, h, w, inv_perm)
+            write_image_fn(img, done)
     if time_stats is not None:
         import time as _time
 

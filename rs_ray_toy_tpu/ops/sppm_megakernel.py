@@ -152,11 +152,15 @@ def pack_sppm(ctx):
     return pack_scene(ctx, with_mat_col=True)
 
 
-def _sppm_slots(max_depth):
+def _sppm_slots(max_depth, with_cam=False):
     """Static (slot, n) enumeration of the sampler dims the camera walk
     consumes, mirroring _camera_loop's sdim call sites (the Halton mode
-    ships these values in as an input matrix, _used_slots-style)."""
+    ships these values in as an input matrix, _used_slots-style).
+    with_cam prepends the film-jitter and lens slots consumed by the
+    in-kernel _raygen."""
     slots = []
+    if with_cam:
+        slots += [(0, 2), (1, 2)]
     for depth in range(max_depth):
         d0 = sppm_dim0(depth)
         slots.append((d0, 1))  # NEE light pick
@@ -625,6 +629,212 @@ def sppm_camera_mega(
     return ld, vp
 
 
+def _kernel_cam(
+    tri_ref,
+    px_r, py_r, pv_r, pid_r, sid_r,
+    *rest,
+    n_tris, lights_p, lights_emit, max_depth,
+    spp, xs, ys, jitter, seed, cam, kinds_present, max_lobes,
+    hal_slots=None,
+):
+    """Camera-fused variant: in-kernel lens raygen (_raygen) feeds the
+    walk — the host raygen + its HBM ray round trip cost ~5 ms per
+    230K-ray iteration (tools/profile_sppm_stages.py)."""
+    from .path_megakernel import _raygen
+
+    if hal_slots is not None:
+        u_ref, outs = rest[0], rest[1:]
+    else:
+        u_ref, outs = None, rest
+    pid, sid = pid_r[:], sid_r[:]
+    sdim = _mk_sdim(pid, sid, spp, xs, ys, jitter, seed, u_ref, hal_slots)
+    ox, oy, oz, dx, dy, dz, weight = _raygen(px_r[:], py_r[:], sdim, cam)
+    weight = weight * pv_r[:]  # multi-device tile-padding mask
+    vals = _camera_loop(
+        tri_ref, ox, oy, oz, dx, dy, dz, weight, pid, sid,
+        n_tris, lights_p, lights_emit, max_depth,
+        spp, xs, ys, jitter, seed, kinds_present, max_lobes,
+        u_ref=u_ref, hal_slots=hal_slots,
+    )
+    for o_ref, v in zip(outs, vals):
+        o_ref[:] = v
+
+
+def _kernel_bvh_cam(
+    nodes_f_ref, nodes_i_ref, tri_ref,
+    px_r, py_r, pv_r, pid_r, sid_r,
+    *rest,
+    n_tris, lights_p, lights_emit, max_depth,
+    spp, xs, ys, jitter, seed, cam, kinds_present, max_lobes, max_leaf,
+    hal_slots=None,
+):
+    from .path_megakernel import _raygen
+
+    if hal_slots is not None:
+        u_ref, rest = rest[0], rest[1:]
+    else:
+        u_ref = None
+    outs = rest[:N_OUT]
+    bvh_refs = (nodes_f_ref, nodes_i_ref) + tuple(rest[N_OUT:])
+    pid, sid = pid_r[:], sid_r[:]
+    sdim = _mk_sdim(pid, sid, spp, xs, ys, jitter, seed, u_ref, hal_slots)
+    ox, oy, oz, dx, dy, dz, weight = _raygen(px_r[:], py_r[:], sdim, cam)
+    weight = weight * pv_r[:]
+    vals = _camera_loop(
+        tri_ref, ox, oy, oz, dx, dy, dz, weight, pid, sid,
+        n_tris, lights_p, lights_emit, max_depth,
+        spp, xs, ys, jitter, seed, kinds_present, max_lobes,
+        bvh_refs=bvh_refs, max_leaf=max_leaf,
+        u_ref=u_ref, hal_slots=hal_slots,
+    )
+    for o_ref, v in zip(outs, vals):
+        o_ref[:] = v
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_tris", "lights_p", "lights_emit", "max_depth",
+        "spp", "xs", "ys", "jitter", "seed", "cam", "kinds_present",
+        "max_lobes", "max_leaf", "hal_slots", "interpret",
+    ),
+)
+def _run_cam(
+    table, nodes_f, nodes_i, px, py, pv, pid, sid,
+    n_tris, lights_p, lights_emit, max_depth,
+    spp, xs, ys, jitter, seed, cam, kinds_present, max_lobes,
+    max_leaf=None, u=None, hal_slots=None, interpret=False,
+):
+    from .path_megakernel import BVH_TILE_ROWS, _bvh_call_extras
+
+    m = px.shape[0]
+    use_bvh = nodes_f is not None
+    rows = BVH_TILE_ROWS if use_bvh else TILE_ROWS
+    grid = (m // rows,)
+    ray_spec = pl.BlockSpec(
+        (rows, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    u_in, u_specs = (), ()
+    if hal_slots is not None:
+        nu = u.shape[0]
+        u_specs = (pl.BlockSpec(
+            (nu, rows, LANES), lambda i: (0, i, 0),
+            memory_space=pltpu.VMEM,
+        ),)
+        u_in = (u,)
+    if use_bvh:
+        kernel = functools.partial(
+            _kernel_bvh_cam,
+            n_tris=n_tris, lights_p=lights_p, lights_emit=lights_emit,
+            max_depth=max_depth,
+            spp=spp, xs=xs, ys=ys, jitter=jitter, seed=seed, cam=cam,
+            kinds_present=kinds_present, max_lobes=max_lobes,
+            max_leaf=max_leaf, hal_slots=hal_slots,
+        )
+        scratch, kwargs = _bvh_call_extras(
+            rows, kinds_present, max_lobes, interpret, extra_attrs=1
+        )
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[vmem, vmem, vmem] + [ray_spec] * 5 + list(u_specs),
+            out_specs=[ray_spec] * N_OUT,
+            out_shape=[jax.ShapeDtypeStruct((m, LANES), jnp.float32)]
+            * N_OUT,
+            scratch_shapes=scratch,
+            interpret=interpret,
+            **kwargs,
+        )(nodes_f, nodes_i, table, px, py, pv, pid, sid, *u_in)
+    kernel = functools.partial(
+        _kernel_cam,
+        n_tris=n_tris, lights_p=lights_p, lights_emit=lights_emit,
+        max_depth=max_depth,
+        spp=spp, xs=xs, ys=ys, jitter=jitter, seed=seed, cam=cam,
+        kinds_present=kinds_present, max_lobes=max_lobes,
+        hal_slots=hal_slots,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[vmem] + [ray_spec] * 5 + list(u_specs),
+        out_specs=[ray_spec] * N_OUT,
+        out_shape=[jax.ShapeDtypeStruct((m, LANES), jnp.float32)] * N_OUT,
+        interpret=interpret,
+    )(table, px, py, pv, pid, sid, *u_in)
+
+
+def sppm_camera_mega_cam(
+    ctx, packed, cam_packed, pixel_xy, pixel_id, pvalid, s_idx, sampler,
+    max_depth, interpret=False,
+):
+    """Fully fused SPPM camera pass: in-kernel lens raygen + walk.
+    pvalid: per-slot bool mask (multi-device tile padding carries
+    weight 0 through it).  Returns (ld (N,3), VisiblePoints)."""
+    from ..integrators.sppm import VisiblePoints
+    from .path_megakernel import BVH_TILE_ROWS, _Hashable
+
+    table = packed[0]
+    lights_p, lights_emit, kinds_present, max_lobes = packed[1:5]
+    bvh = packed[6]
+    nodes_f, nodes_i, max_leaf = bvh if bvh is not None else (None,) * 3
+    n = pixel_xy.shape[0]
+    tile = (BVH_TILE_ROWS if bvh is not None else TILE_ROWS) * LANES
+    n_pad = -(-n // tile) * tile
+    pad = n_pad - n
+
+    def prep(x):
+        if pad:
+            x = jnp.concatenate([x, jnp.zeros((pad,), x.dtype)])
+        return x.reshape(n_pad // LANES, LANES)
+
+    s_arr = jnp.broadcast_to(jnp.asarray(s_idx, jnp.uint32), (n,))
+    pid_arr = jnp.asarray(pixel_id, jnp.uint32)
+    from ..sampler.halton import HaltonSampler
+
+    hal_slots, u = None, None
+    if isinstance(sampler, HaltonSampler):
+        hal_slots = _sppm_slots(int(max_depth), with_cam=True)
+        umat = _halton_u(sampler, pid_arr, s_arr, hal_slots)
+        u = jnp.stack([prep(umat[c]) for c in range(umat.shape[0])], 0)
+    outs = _run_cam(
+        table, nodes_f, nodes_i,
+        prep(pixel_xy[:, 0].astype(jnp.float32)),
+        prep(pixel_xy[:, 1].astype(jnp.float32)),
+        prep(pvalid.astype(jnp.float32)),
+        prep(pid_arr), prep(s_arr),
+        n_tris=int(table.shape[0]),
+        lights_p=lights_p, lights_emit=lights_emit,
+        max_depth=int(max_depth),
+        spp=int(sampler.spp),
+        xs=int(getattr(sampler, "xs", 1)),
+        ys=int(getattr(sampler, "ys", 1)),
+        jitter=bool(getattr(sampler, "jitter", False)),
+        seed=int(sampler.seed),
+        cam=_Hashable(cam_packed),
+        kinds_present=kinds_present, max_lobes=max_lobes,
+        max_leaf=max_leaf,
+        u=u, hal_slots=hal_slots,
+        interpret=interpret,
+    )
+    flat = [x.reshape(-1)[:n] for x in outs]
+    ld = jnp.stack(flat[0:3], -1).astype(DTYPE)
+    v3 = lambda i: jnp.stack(flat[i:i + 3], -1).astype(DTYPE)
+    ng = v3(12)
+    vp = VisiblePoints(
+        p=v3(3),
+        wo=v3(6),
+        beta=jnp.stack(flat[9:12], -1).astype(DTYPE),
+        mat=flat[18].astype(jnp.int32),
+        uv=jnp.zeros((n, 2), DTYPE),
+        ns=ng,
+        ng=ng,
+        dpdu=v3(15),
+        valid=flat[19] > 0.0,
+    )
+    return ld, vp
+
+
 # ---------------------------------------------------------------------------
 # Fused grid deposit (sppm.rs:346-506 photon->VP splat, TPU-native form)
 #
@@ -879,12 +1089,15 @@ def deposit_mega(
     e_total = ekey.shape[0]
     live_col = jnp.where(skey != _MORTON_SENTINEL, 1.0, 0.0)
     # pad rows to a multiple of 8 (f32 VMEM sublane tile); pad rows are
-    # dead (live col 0) and past every clipped range anyway
+    # dead (live col 0) and past every clipped range anyway.  One stack
+    # + one pad — the former per-column .at[].set chain copied the whole
+    # table 10 times (~2 ms per bench iteration)
     e_pad_to = -(-e_total // 8) * 8
-    ev_tab = jnp.zeros((e_pad_to, 16), jnp.float32)
-    for j in range(9):
-        ev_tab = ev_tab.at[:e_total, j].set(ops[1 + j].astype(jnp.float32))
-    ev_tab = ev_tab.at[:e_total, 9].set(live_col)
+    ev_core = jnp.stack(
+        [ops[1 + j].astype(jnp.float32) for j in range(9)] + [live_col],
+        axis=-1,
+    )  # (E, 10)
+    ev_tab = jnp.pad(ev_core, ((0, e_pad_to - e_total), (0, 6)))
 
     # ---- VP side: per-tile Morton ranges over the p +- r cell boxes ----
     tile = DEP_ROWS * LANES
