@@ -670,6 +670,176 @@ def _run(
     return outs
 
 
+def _kernel_cam(
+    tri_ref,
+    px_r, py_r, pid_r, sid_r,
+    lr_o, lg_o, lb_o, w_o,
+    *, n_tris, lights_p, lights_emit, lights_ns, max_depth,
+    spp, xs, ys, jitter, seed, cam, kinds_present, max_lobes, debug,
+    strategy_all,
+):
+    """Camera-fused variant: in-kernel lens raygen feeds the chain walk
+    (the host raygen + HBM ray round trip dominate short chains —
+    tools/profile_fog.py measured the same split for volpath)."""
+    from .path_megakernel import _mk_sdim, _raygen
+
+    pid, sid = pid_r[:], sid_r[:]
+    sdim = _mk_sdim(pid, sid, spp, xs, ys, jitter, seed, None, None)
+    ox, oy, oz, dx, dy, dz, weight = _raygen(px_r[:], py_r[:], sdim, cam)
+    Lr, Lg, Lb = _chain_loop(
+        tri_ref, ox, oy, oz, dx, dy, dz, weight > 0.0, pid, sid,
+        n_tris, lights_p, lights_emit, lights_ns, max_depth,
+        spp, xs, ys, jitter, seed, kinds_present, max_lobes,
+        debug, strategy_all,
+    )
+    lr_o[:] = Lr
+    lg_o[:] = Lg
+    lb_o[:] = Lb
+    w_o[:] = weight
+
+
+def _kernel_bvh_cam(
+    nodes_f_ref, nodes_i_ref, tri_ref,
+    px_r, py_r, pid_r, sid_r,
+    lr_o, lg_o, lb_o, w_o,
+    stack_ref, t_ref, best_ref, attr_ref,
+    *, n_tris, lights_p, lights_emit, lights_ns, max_depth,
+    spp, xs, ys, jitter, seed, cam, kinds_present, max_lobes, debug,
+    strategy_all, max_leaf,
+):
+    from .path_megakernel import _mk_sdim, _raygen
+
+    pid, sid = pid_r[:], sid_r[:]
+    sdim = _mk_sdim(pid, sid, spp, xs, ys, jitter, seed, None, None)
+    ox, oy, oz, dx, dy, dz, weight = _raygen(px_r[:], py_r[:], sdim, cam)
+    Lr, Lg, Lb = _chain_loop(
+        tri_ref, ox, oy, oz, dx, dy, dz, weight > 0.0, pid, sid,
+        n_tris, lights_p, lights_emit, lights_ns, max_depth,
+        spp, xs, ys, jitter, seed, kinds_present, max_lobes,
+        debug, strategy_all,
+        bvh_refs=(nodes_f_ref, nodes_i_ref, stack_ref, t_ref, best_ref,
+                  attr_ref),
+        max_leaf=max_leaf,
+    )
+    lr_o[:] = Lr
+    lg_o[:] = Lg
+    lb_o[:] = Lb
+    w_o[:] = weight
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_tris", "lights_p", "lights_emit", "lights_ns", "max_depth",
+        "spp", "xs", "ys", "jitter", "seed", "cam", "kinds_present",
+        "max_lobes", "debug", "strategy_all", "max_leaf", "interpret",
+    ),
+)
+def _run_cam(
+    table, nodes_f, nodes_i, px, py, pid, sid,
+    n_tris, lights_p, lights_emit, lights_ns, max_depth,
+    spp, xs, ys, jitter, seed, cam, kinds_present, max_lobes,
+    debug, strategy_all, max_leaf=None, interpret=False,
+):
+    m = px.shape[0]
+    use_bvh = nodes_f is not None
+    rows = BVH_TILE_ROWS if use_bvh else TILE_ROWS
+    grid = (m // rows,)
+    ray_spec = pl.BlockSpec(
+        (rows, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    kw = dict(
+        n_tris=n_tris,
+        lights_p=lights_p,
+        lights_emit=lights_emit,
+        lights_ns=lights_ns,
+        max_depth=max_depth,
+        spp=spp, xs=xs, ys=ys, jitter=jitter, seed=seed, cam=cam,
+        kinds_present=kinds_present, max_lobes=max_lobes,
+        debug=debug, strategy_all=strategy_all,
+    )
+    if use_bvh:
+        kernel = functools.partial(_kernel_bvh_cam, max_leaf=max_leaf, **kw)
+        scratch, kwargs = _bvh_call_extras(
+            rows, kinds_present, max_lobes, interpret
+        )
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[vmem, vmem, vmem] + [ray_spec] * 4,
+            out_specs=[ray_spec] * 4,
+            out_shape=[jax.ShapeDtypeStruct((m, LANES), jnp.float32)] * 4,
+            scratch_shapes=scratch,
+            interpret=interpret,
+            **kwargs,
+        )(nodes_f, nodes_i, table, px, py, pid, sid)
+    kernel = functools.partial(_kernel_cam, **kw)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[vmem] + [ray_spec] * 4,
+        out_specs=[ray_spec] * 4,
+        out_shape=[jax.ShapeDtypeStruct((m, LANES), jnp.float32)] * 4,
+        interpret=interpret,
+    )(table, px, py, pid, sid)
+
+
+def li_levels_mega_cam(
+    ctx, packed, cam_packed, pixel_xy, pixel_id, s_idx, sampler, spec,
+    interpret=False,
+):
+    """Fully fused Debug/DirectLighting pass: in-kernel lens raygen +
+    chain walk.  Returns (L (N,3), weight (N,))."""
+    from .path_megakernel import _Hashable
+
+    (table, lights_p, lights_emit, kinds_present, max_lobes, bvh,
+     lights_ns) = packed
+    nodes_f, nodes_i, max_leaf = bvh if bvh is not None else (None,) * 3
+    n = pixel_xy.shape[0]
+    rows = BVH_TILE_ROWS if bvh is not None else TILE_ROWS
+    tile = rows * LANES
+    n_pad = -(-n // tile) * tile
+    pad = n_pad - n
+
+    def prep(x):
+        if pad:
+            x = jnp.concatenate([x, jnp.zeros((pad,), x.dtype)])
+        return x.reshape(n_pad // LANES, LANES)
+
+    s_arr = jnp.broadcast_to(jnp.asarray(s_idx, jnp.uint32), (n,))
+    debug = spec.kind == "debug"
+    strategy_all = debug or spec.light_strategy == "all"
+    max_depth = int(spec.max_depth)
+    from ..bsdf.lobes import (
+        LOBE_DEBUG_SPECULAR as _DS,
+        LOBE_SPEC_REFL as _SRK,
+    )
+
+    if not (set(kinds_present) & {_DS, _SRK}):
+        max_depth = min(max_depth, 2)
+    lr, lg, lb, w = _run_cam(
+        table, nodes_f, nodes_i,
+        prep(pixel_xy[:, 0].astype(jnp.float32)),
+        prep(pixel_xy[:, 1].astype(jnp.float32)),
+        prep(jnp.asarray(pixel_id, jnp.uint32)), prep(s_arr),
+        n_tris=int(table.shape[0]), lights_p=lights_p,
+        lights_emit=lights_emit, lights_ns=lights_ns,
+        max_depth=max_depth,
+        spp=int(sampler.spp), xs=int(sampler.xs), ys=int(sampler.ys),
+        jitter=bool(sampler.jitter), seed=int(sampler.seed),
+        cam=_Hashable(cam_packed),
+        kinds_present=kinds_present, max_lobes=max_lobes,
+        debug=debug, strategy_all=strategy_all,
+        max_leaf=max_leaf,
+        interpret=interpret,
+    )
+    l = jnp.stack(
+        [lr.reshape(-1)[:n], lg.reshape(-1)[:n], lb.reshape(-1)[:n]], axis=-1
+    ).astype(DTYPE)
+    return l, w.reshape(-1)[:n].astype(DTYPE)
+
+
 def li_levels_mega(
     ctx, packed, o, d, cam_weight, sampler, pixel_id, s_idx, spec,
     interpret=False,

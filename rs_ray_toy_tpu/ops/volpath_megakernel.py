@@ -714,6 +714,160 @@ def _run_vol(
     )(table, ox, oy, oz, dx, dy, dz, w, pid, sid)
 
 
+def _kernel_vol_cam(
+    tri_ref,
+    px_r, py_r, pid_r, sid_r,
+    lr_o, lg_o, lb_o, w_o,
+    *, n_tris, vol, wide, lights_p, lights_emit, max_depth, rr_threshold,
+    spp, xs, ys, jitter, seed, cam, kinds_present, max_lobes,
+):
+    """Camera-fused variant: in-kernel lens raygen feeds the volumetric
+    walk — the host raygen + HBM ray round trip were ~60% of a depth-5
+    fog pass (tools/profile_fog.py: 4 ms fixed vs 0.64 ms/bounce)."""
+    from .path_megakernel import _mk_sdim, _raygen
+
+    pid, sid = pid_r[:], sid_r[:]
+    sdim = _mk_sdim(pid, sid, spp, xs, ys, jitter, seed, None, None)
+    ox, oy, oz, dx, dy, dz, weight = _raygen(px_r[:], py_r[:], sdim, cam)
+    Lr, Lg, Lb = _vol_bounce_loop(
+        tri_ref, ox, oy, oz, dx, dy, dz, weight > 0.0, pid, sid,
+        n_tris, vol, wide, lights_p, lights_emit, max_depth, rr_threshold,
+        spp, xs, ys, jitter, seed, kinds_present, max_lobes,
+    )
+    lr_o[:] = Lr
+    lg_o[:] = Lg
+    lb_o[:] = Lb
+    w_o[:] = weight
+
+
+def _kernel_vol_bvh_cam(
+    nodes_f_ref, nodes_i_ref, tri_ref,
+    px_r, py_r, pid_r, sid_r,
+    lr_o, lg_o, lb_o, w_o,
+    stack_ref, t_ref, best_ref, attr_ref,
+    *, n_tris, vol, wide, lights_p, lights_emit, max_depth, rr_threshold,
+    spp, xs, ys, jitter, seed, cam, kinds_present, max_lobes, max_leaf,
+):
+    from .path_megakernel import _mk_sdim, _raygen
+
+    pid, sid = pid_r[:], sid_r[:]
+    sdim = _mk_sdim(pid, sid, spp, xs, ys, jitter, seed, None, None)
+    ox, oy, oz, dx, dy, dz, weight = _raygen(px_r[:], py_r[:], sdim, cam)
+    Lr, Lg, Lb = _vol_bounce_loop(
+        tri_ref, ox, oy, oz, dx, dy, dz, weight > 0.0, pid, sid,
+        n_tris, vol, wide, lights_p, lights_emit, max_depth, rr_threshold,
+        spp, xs, ys, jitter, seed, kinds_present, max_lobes,
+        bvh_refs=(nodes_f_ref, nodes_i_ref, stack_ref, t_ref, best_ref,
+                  attr_ref),
+        max_leaf=max_leaf,
+    )
+    lr_o[:] = Lr
+    lg_o[:] = Lg
+    lb_o[:] = Lb
+    w_o[:] = weight
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_tris", "vol", "wide", "lights_p", "lights_emit", "max_depth",
+        "rr_threshold", "spp", "xs", "ys", "jitter", "seed", "cam",
+        "kinds_present", "max_lobes", "max_leaf", "interpret",
+    ),
+)
+def _run_vol_cam(
+    table, nodes_f, nodes_i, px, py, pid, sid,
+    n_tris, vol, wide, lights_p, lights_emit, max_depth, rr_threshold,
+    spp, xs, ys, jitter, seed, cam, kinds_present, max_lobes,
+    max_leaf=None, interpret=False,
+):
+    m = px.shape[0]
+    use_bvh = nodes_f is not None
+    rows = BVH_TILE_ROWS if use_bvh else TILE_ROWS
+    grid = (m // rows,)
+    ray_spec = pl.BlockSpec(
+        (rows, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    kw = dict(
+        n_tris=n_tris, vol=vol, wide=wide,
+        lights_p=lights_p, lights_emit=lights_emit,
+        max_depth=max_depth, rr_threshold=rr_threshold,
+        spp=spp, xs=xs, ys=ys, jitter=jitter, seed=seed, cam=cam,
+        kinds_present=kinds_present, max_lobes=max_lobes,
+    )
+    if use_bvh:
+        kernel = functools.partial(
+            _kernel_vol_bvh_cam, max_leaf=max_leaf, **kw
+        )
+        scratch, kwargs = _bvh_call_extras(
+            rows, kinds_present, max_lobes, interpret
+        )
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[vmem, vmem, vmem] + [ray_spec] * 4,
+            out_specs=[ray_spec] * 4,
+            out_shape=[jax.ShapeDtypeStruct((m, LANES), jnp.float32)] * 4,
+            scratch_shapes=scratch,
+            interpret=interpret,
+            **kwargs,
+        )(nodes_f, nodes_i, table, px, py, pid, sid)
+    kernel = functools.partial(_kernel_vol_cam, **kw)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[vmem] + [ray_spec] * 4,
+        out_specs=[ray_spec] * 4,
+        out_shape=[jax.ShapeDtypeStruct((m, LANES), jnp.float32)] * 4,
+        interpret=interpret,
+    )(table, px, py, pid, sid)
+
+
+def li_volpath_mega_cam(
+    ctx, packed, cam_packed, pixel_xy, pixel_id, s_idx, sampler, spec,
+    interpret=False,
+):
+    """Fully fused volpath pass: in-kernel lens raygen + bounce loop.
+    Returns (L (N,3), weight (N,)) — the film add happens outside."""
+    from .path_megakernel import _Hashable
+
+    (table, lights_p, lights_emit, kinds_present, max_lobes, wide, bvh,
+     vol) = packed
+    nodes_f, nodes_i, max_leaf = bvh if bvh is not None else (None,) * 3
+    n = pixel_xy.shape[0]
+    rows = BVH_TILE_ROWS if bvh is not None else TILE_ROWS
+    tile = rows * LANES
+    n_pad = -(-n // tile) * tile
+    pad = n_pad - n
+
+    def prep(x):
+        if pad:
+            x = jnp.concatenate([x, jnp.zeros((pad,), x.dtype)])
+        return x.reshape(n_pad // LANES, LANES)
+
+    s_arr = jnp.broadcast_to(jnp.asarray(s_idx, jnp.uint32), (n,))
+    lr, lg, lb, w = _run_vol_cam(
+        table, nodes_f, nodes_i,
+        prep(pixel_xy[:, 0].astype(jnp.float32)),
+        prep(pixel_xy[:, 1].astype(jnp.float32)),
+        prep(jnp.asarray(pixel_id, jnp.uint32)), prep(s_arr),
+        n_tris=int(table.shape[0]), vol=vol, wide=wide,
+        lights_p=lights_p, lights_emit=lights_emit,
+        max_depth=int(spec.max_depth), rr_threshold=float(spec.rr_threshold),
+        spp=int(sampler.spp), xs=int(sampler.xs), ys=int(sampler.ys),
+        jitter=bool(sampler.jitter), seed=int(sampler.seed),
+        cam=_Hashable(cam_packed),
+        kinds_present=kinds_present, max_lobes=max_lobes,
+        max_leaf=max_leaf,
+        interpret=interpret,
+    )
+    l = jnp.stack(
+        [lr.reshape(-1)[:n], lg.reshape(-1)[:n], lb.reshape(-1)[:n]], axis=-1
+    ).astype(DTYPE)
+    return l, w.reshape(-1)[:n].astype(DTYPE)
+
+
 def li_volpath_mega(
     ctx, packed, o, d, cam_weight, sampler, pixel_id, s_idx, spec,
     interpret=False,

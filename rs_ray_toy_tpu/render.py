@@ -179,6 +179,76 @@ def render_job(
         return _render_sppm_job(job, cam, ctx, seed, write_to=write_to,
                                 mesh=mesh)
 
+    integrator = job.integrator
+    if ctx.n_channels != 3 and integrator.kind not in (
+        "path", "debug", "direct", "volpath", "ao", "sppm"
+    ):
+        raise NotImplementedError(
+            f"spectral mode: {integrator.kind} integrator not wired"
+        )
+
+    # camera ray differentials feed filtered texture lookups at primary
+    # hits; only worth the 3x primary raygen when filtered textures exist
+    from .scene.textures import TEX_CHECKER2D, TEX_IMAGE
+
+    want_diff = ctx.uses_textures and any(
+        r.kind in (TEX_IMAGE, TEX_CHECKER2D) for r in ctx.registry.records
+    )
+
+    # fused Pallas bounce loop when the scene fits its subset (the whole
+    # path loop runs in VMEM; ~10x less HBM traffic than the jnp loop)
+    mega_packed = None
+    direct_packed = None
+    if (
+        integrator.kind == "path"
+        and not want_diff
+        and os.environ.get("RS_MEGAKERNEL", "1") != "0"
+        and integrator.max_depth >= 1
+    ):
+        from .ops import path_megakernel as pmk
+
+        if pmk.supports(ctx, integrator, sampler, None):
+            mega_packed = pmk.pack_scene(ctx)
+            mega_cam = pmk.pack_camera(cam)
+        else:
+            # loud fallback (VERDICT r2 weak #5): the headline numbers
+            # depend on the fused path — never drop to jnp silently
+            print(
+                "rs_ray_toy_tpu: scene outside the path-megakernel subset"
+                " (e.g. textured material params, image-map environment"
+                " lights, >65536 triangles, unsupported lobe kinds) —"
+                " using the jnp wavefront loop",
+                file=sys.stderr,
+            )
+    if (
+        integrator.kind in ("debug", "direct")
+        and not want_diff
+        and os.environ.get("RS_MEGAKERNEL", "1") != "0"
+    ):
+        from .ops import direct_megakernel as dmk
+
+        if dmk.supports_direct(ctx, integrator, sampler, None):
+            direct_packed = dmk.pack_direct(ctx, integrator)
+    vol_packed = None
+    if (
+        integrator.kind == "volpath"
+        and not want_diff
+        and os.environ.get("RS_MEGAKERNEL", "1") != "0"
+    ):
+        from .ops import volpath_megakernel as vmk
+
+        if vmk.supports_volpath(ctx, integrator, sampler, None):
+            vol_packed = vmk.pack_volpath(ctx)
+    # in-kernel lens raygen for the direct/volpath kernels (the path
+    # kernel packs its own above): the host raygen + its HBM ray round
+    # trip are the dominant fixed cost of short fused passes
+    # (tools/profile_fog.py: ~4 ms fixed vs 0.64 ms/bounce at 230K rays)
+    fused_cam = None
+    if direct_packed is not None or vol_packed is not None:
+        from .ops import path_megakernel as pmk
+
+        fused_cam = pmk.pack_camera(cam)
+
     h, w = film_spec.yres, film_spec.xres
     ys, xs = np.mgrid[0:h, 0:w]
     # samples-per-pass: batch k samples of every pixel into one megabatch
@@ -191,7 +261,14 @@ def render_job(
         full_render = (
             stop_at_spp is None and resume_from is None and checkpoint_to is None
         )
-        k_spp = 8 if (ctx.bvh_tables is not None and full_render) else 1
+        if ctx.bvh_tables is not None and full_render:
+            k_spp = 8
+        elif vol_packed is not None and full_render:
+            # fused volpath: megabatch the whole spp plan into few passes
+            # (amortizes per-pass fixed cost; fog row 43.8 -> 48.4 at 16)
+            k_spp = min(16, spp)
+        else:
+            k_spp = 1
     else:
         k_spp = max(1, int(k_env))
     while spp % k_spp:
@@ -303,67 +380,6 @@ def render_job(
     # sharded scatter path writes raster coordinates directly
     film_is_blocked = blocked_perm is not None and not use_mesh
 
-    integrator = job.integrator
-    if ctx.n_channels != 3 and integrator.kind not in (
-        "path", "debug", "direct", "volpath", "ao", "sppm"
-    ):
-        raise NotImplementedError(
-            f"spectral mode: {integrator.kind} integrator not wired"
-        )
-
-    # camera ray differentials feed filtered texture lookups at primary
-    # hits; only worth the 3x primary raygen when filtered textures exist
-    from .scene.textures import TEX_CHECKER2D, TEX_IMAGE
-
-    want_diff = ctx.uses_textures and any(
-        r.kind in (TEX_IMAGE, TEX_CHECKER2D) for r in ctx.registry.records
-    )
-
-    # fused Pallas bounce loop when the scene fits its subset (the whole
-    # path loop runs in VMEM; ~10x less HBM traffic than the jnp loop)
-    mega_packed = None
-    direct_packed = None
-    if (
-        integrator.kind == "path"
-        and not want_diff
-        and os.environ.get("RS_MEGAKERNEL", "1") != "0"
-        and integrator.max_depth >= 1
-    ):
-        from .ops import path_megakernel as pmk
-
-        if pmk.supports(ctx, integrator, sampler, None):
-            mega_packed = pmk.pack_scene(ctx)
-            mega_cam = pmk.pack_camera(cam)
-        else:
-            # loud fallback (VERDICT r2 weak #5): the headline numbers
-            # depend on the fused path — never drop to jnp silently
-            print(
-                "rs_ray_toy_tpu: scene outside the path-megakernel subset"
-                " (e.g. textured material params, image-map environment"
-                " lights, >65536 triangles, unsupported lobe kinds) —"
-                " using the jnp wavefront loop",
-                file=sys.stderr,
-            )
-    if (
-        integrator.kind in ("debug", "direct")
-        and not want_diff
-        and os.environ.get("RS_MEGAKERNEL", "1") != "0"
-    ):
-        from .ops import direct_megakernel as dmk
-
-        if dmk.supports_direct(ctx, integrator, sampler, None):
-            direct_packed = dmk.pack_direct(ctx, integrator)
-    vol_packed = None
-    if (
-        integrator.kind == "volpath"
-        and not want_diff
-        and os.environ.get("RS_MEGAKERNEL", "1") != "0"
-    ):
-        from .ops import volpath_megakernel as vmk
-
-        if vmk.supports_volpath(ctx, integrator, sampler, None):
-            vol_packed = vmk.pack_volpath(ctx)
-
     def li_fn(o, d, weight, pid, s_idx_arr, diff=None):
         if integrator.kind in ("debug", "direct"):
             if direct_packed is not None and diff is None:
@@ -433,6 +449,24 @@ def render_job(
 
             l, weight = pmk.li_path_mega_cam(
                 ctx, mega_packed, mega_cam, pxy, pid, s_idx_arr,
+                sampler, integrator,
+                interpret=_jax.default_backend() == "cpu",
+            )
+        elif direct_packed is not None:
+            from .ops import direct_megakernel as dmk
+            import jax as _jax
+
+            l, weight = dmk.li_levels_mega_cam(
+                ctx, direct_packed, fused_cam, pxy, pid, s_idx_arr,
+                sampler, integrator,
+                interpret=_jax.default_backend() == "cpu",
+            )
+        elif vol_packed is not None:
+            from .ops import volpath_megakernel as vmk
+            import jax as _jax
+
+            l, weight = vmk.li_volpath_mega_cam(
+                ctx, vol_packed, fused_cam, pxy, pid, s_idx_arr,
                 sampler, integrator,
                 interpret=_jax.default_backend() == "cpu",
             )
