@@ -228,7 +228,9 @@ MATRIX = [
     # textured-matte: imagemap kd -> the jnp wavefront + differentials
     # path (the megakernel's named remaining gap; measured so the cost
     # of the gap is externally visible)
-    ("textured", "ref", "mat_textured", "path", False, 16, None),
+    # spp=4: the serialized texel gathers run ~7.7 s per 230K-ray pass
+    # on this chip (0.03 Mrays/s) — keep the row inside the budget
+    ("textured", "ref", "mat_textured", "path", False, 4, None),
 ]
 
 
