@@ -24,10 +24,17 @@ replacement for that layer.
 
 import os
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
 SELECT_MAX = 8
+# 1-wide (scalar-per-row) tables stay on the select chain much longer:
+# the chain is one fused VPU pass (2 ops per entry per element, no
+# materialization), while the one-hot route materializes an (N, M) f32
+# matrix — 118 MB of HBM traffic at N=230K, M=128 (the Halton sampler's
+# per-digit permutation and pixel-offset lookups are exactly this shape)
+SELECT_MAX_SCALAR = 128
 # one-hot matmul costs O(N*M*K) MXU flops — a win over the serialized
 # ~20ns/row gather only while M is small.  At M=19200 (a real mesh's
 # shading table) the one-hot costs ~345 GFLOP per lookup batch (~160 ms
@@ -84,6 +91,11 @@ def take_rows(table, idx, strategy="auto"):
         elif jax.default_backend() == "cpu":
             strategy = "gather"
         elif table.shape[0] <= SELECT_MAX:
+            strategy = "select"
+        elif (
+            int(np.prod(table.shape[1:])) <= 1
+            and table.shape[0] <= SELECT_MAX_SCALAR
+        ):
             strategy = "select"
         elif table.shape[0] <= ONEHOT_MAX:
             strategy = "onehot"
