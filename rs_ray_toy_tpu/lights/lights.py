@@ -71,7 +71,7 @@ def le_escape(infinite_envs, d):
     """Sum of infinite-light le along escaped rays (path.rs:84-87).
     Only the `infinite_lights`-section envs contribute — the reference's
     escape loop reads scene.infinite_lights, not scene.lights."""
-    c = infinite_envs[0]["mipmap"]["data"].shape[-1] if infinite_envs else 3
+    c = infinite_envs[0]["mipmap"]["channels"] if infinite_envs else 3
     total = jnp.zeros(d.shape[:-1] + (c,), DTYPE)
     for env in infinite_envs:
         if env.get("escape_le", False):

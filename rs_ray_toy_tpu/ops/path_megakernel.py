@@ -184,10 +184,13 @@ def _mesh_smooth(tri):
 
 def _env_constant_rgb(env):
     """The env map's constant texel, or None if it varies spatially."""
-    data = np.asarray(env["mipmap"]["data"])
+    from ..scene.mipmap import _BORDER as _B
+
+    data = np.asarray(env["mipmap"]["data"])  # (L, Hp, Wp*C) bordered
+    c = int(env["mipmap"]["channels"])
     h, w = (int(v) for v in np.asarray(env["mipmap"]["dims"])[0])
-    base = data[0, :h, :w]
-    if not np.all(base == base[0, 0]):
+    base = data[0, _B : _B + h, _B * c : (_B + w) * c].reshape(h, w, c)
+    if not np.all(base == base[:1, :1]):
         return None
     return tuple(float(v) for v in base[0, 0])
 

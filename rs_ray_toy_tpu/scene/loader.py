@@ -1116,7 +1116,14 @@ def _env_to_spectral(env):
 
     out = dict(env)
     mip = dict(env["mipmap"])
-    mip["data"] = sp.from_rgb(mip["data"], sp.REFLECTANCE)
+    # device pyramid is channel-folded (L, Hp, Wp*3); unfold, lift RGB
+    # -> N=60 on the trailing axis, refold -> (L, Hp, Wp*60)
+    d = mip["data"]
+    l_, hp, wpc = d.shape
+    unf = d.reshape(l_, hp, wpc // 3, 3)
+    lifted = sp.from_rgb(unf, sp.REFLECTANCE)
+    mip["data"] = lifted.reshape(l_, hp, -1)
+    mip["channels"] = lifted.shape[-1]
     out["mipmap"] = mip
     return out
 

@@ -15,13 +15,21 @@ from dataclasses import dataclass
 from typing import List
 
 import numpy as np
+import jax
 import jax.numpy as jnp
+from jax import lax
 
 from ..config import DTYPE
+from ..core.tableops import take_rows
 
 WRAP_REPEAT = 0
 WRAP_BLACK = 1
 WRAP_CLAMP = 2
+
+# per-level border texels baked into the packed pyramid (>= the EWA
+# window, covers bilerp's +/-1 too) so one contiguous window per ray is
+# always a valid fetch
+_BORDER = 16
 
 
 @dataclass
@@ -40,22 +48,54 @@ class MIPMap:
         return self.levels[0].shape[0]
 
     def as_device(self):
-        """Pack pyramid into one padded (L, Hmax, Wmax, C) array + dims."""
+        """Pack pyramid into one padded (L, Hmax+2B, Wmax+2B, C) array.
+
+        Each level carries a B-texel wrap-mode border (REPEAT copies the
+        opposite edge, CLAMP replicates the edge, BLACK stays zero), so
+        device lookups fetch one contiguous window per ray with a single
+        vmapped dynamic_slice — per-TEXEL fetches serialize as TPU
+        gathers (~25-30 ms per 230K rays on the bench chip; the EWA
+        window scan did 512 of them per level pair)."""
         hmax = self.levels[0].shape[0]
         wmax = self.levels[0].shape[1]
         n = len(self.levels)
         c = self.levels[0].shape[2]
-        packed = np.zeros((n, hmax, wmax, c), np.float32)
+        B = _BORDER
+        # channel-FOLDED (L, Hp, Wp*C): texel (t,s) occupies columns
+        # [s*C, (s+1)*C), so a per-ray window is one contiguous
+        # (1, wh, ww*C) slice whose tiled layout pads only the folded
+        # minor axis (a window tensor with a bare 3-wide channel dim
+        # gets that dim padded to 128 — a 42x blowup that OOM'd at
+        # 230K rays)
+        packed = np.zeros(
+            (n, hmax + 2 * B, (wmax + 2 * B) * c), np.float32
+        )
         dims = np.zeros((n, 2), np.int32)
         for i, lv in enumerate(self.levels):
             h, w = lv.shape[:2]
-            packed[i, :h, :w] = lv
             dims[i] = (h, w)
+            if self.wrap == WRAP_BLACK:
+                packed[i, B : B + h, B * c : (B + w) * c] = lv.reshape(
+                    h, w * c
+                )
+                continue
+            yi = np.arange(-B, h + B)
+            xi = np.arange(-B, w + B)
+            if self.wrap == WRAP_REPEAT:
+                yi, xi = yi % h, xi % w
+            else:  # WRAP_CLAMP
+                yi = np.clip(yi, 0, h - 1)
+                xi = np.clip(xi, 0, w - 1)
+            bordered = lv[yi[:, None], xi[None, :]]  # (h+2B, w+2B, c)
+            packed[i, : h + 2 * B, : (w + 2 * B) * c] = bordered.reshape(
+                h + 2 * B, (w + 2 * B) * c
+            )
         return {
             "data": jnp.asarray(packed),
             "dims": jnp.asarray(dims),
             "wrap": self.wrap,
             "n_levels": n,
+            "channels": c,
         }
 
 
@@ -102,47 +142,111 @@ def build_mipmap(image, wrap=WRAP_REPEAT, do_trilinear=False, max_aniso=8.0):
     return MIPMap(levels, wrap, do_trilinear, max_aniso)
 
 
-def _wrap_index(i, n, wrap):
+def _st_norm(st, wrap):
+    """Wrap-normalize continuous st so window starts stay inside the
+    padded borders.  REPEAT: taking the fraction shifts every texel
+    index by an exact multiple of the level size (mod-invariant).
+    CLAMP: clipping st reproduces per-index clamping via the
+    edge-replicated border.  BLACK: bounded clip only (the logical
+    inside-mask zeroes out-of-image texels exactly)."""
     if wrap == WRAP_REPEAT:
-        return jnp.mod(i, n)
-    return jnp.clip(i, 0, n - 1)
+        return st - jnp.floor(st)
+    if wrap == WRAP_CLAMP:
+        return jnp.clip(st, 0.0, 1.0 - 1e-7)
+    return jnp.clip(st, -1.5, 2.5)
 
 
-def _texel(dev, level, s, t):
-    """Gather texel (s,t) integer coords at `level` with wrapping."""
-    dims = dev["dims"][level]
-    h, w = dims[..., 0], dims[..., 1]
-    wrap = dev["wrap"]
-    si = _wrap_index(s, w, wrap)
-    ti = _wrap_index(t, h, wrap)
-    val = dev["data"][level, ti, si]
-    if wrap == WRAP_BLACK:
-        inside = (s >= 0) & (s < w) & (t >= 0) & (t < h)
-        val = jnp.where(inside[..., None], val, 0.0)
-    return val
+# rays per lax.map chunk in _window: bounds the gather output's live
+# footprint ((CHUNK, wh, ww*C) padded to 128 lanes — 268 MB at the EWA
+# window) instead of materializing the whole batch's windows at once
+_WINDOW_CHUNK = 1 << 15
+
+
+def _window(dev, level, t0, s0, wh, ww):
+    """Fetch each ray's texel window with chunked vmapped dynamic_slices
+    (each lowers to a single gather with slice_sizes) — the per-texel
+    form serialized as ~25-30 ms gathers per 230K rays on the bench
+    chip; the EWA scan issued 512 of them per level pair.  Returns
+    (C, wh, ww, N): rays on the MINOR axis so downstream tiled layouts
+    pad only the 128-lane dim."""
+    data = dev["data"]  # (L, Hp, Wp*C) channel-folded
+    c = dev["channels"]
+    n = level.shape[0]
+
+    def one(lvl, t, s):
+        return lax.dynamic_slice(
+            data, (lvl, t + _BORDER, (s + _BORDER) * c), (1, wh, ww * c)
+        )[0]
+
+    def chunk_fn(args):
+        lvl, t, s = args
+        w = jax.vmap(one)(lvl, t, s)  # (CH, wh, ww*c)
+        return jnp.moveaxis(w, 0, -1)  # (wh, ww*c, CH)
+
+    lvl = level.astype(jnp.int32)
+    tt = t0.astype(jnp.int32)
+    ss = s0.astype(jnp.int32)
+    if n > _WINDOW_CHUNK:
+        pad = (-n) % _WINDOW_CHUNK
+        if pad:
+            z = jnp.zeros((pad,), jnp.int32)
+            lvl = jnp.concatenate([lvl, z])
+            tt = jnp.concatenate([tt, z])
+            ss = jnp.concatenate([ss, z])
+        nc = lvl.shape[0] // _WINDOW_CHUNK
+        out = lax.map(
+            chunk_fn,
+            (
+                lvl.reshape(nc, _WINDOW_CHUNK),
+                tt.reshape(nc, _WINDOW_CHUNK),
+                ss.reshape(nc, _WINDOW_CHUNK),
+            ),
+        )  # (nc, wh, ww*c, CH)
+        win = jnp.moveaxis(out, 0, 2).reshape(wh, ww * c, nc * _WINDOW_CHUNK)
+        win = win[..., :n]
+    else:
+        win = chunk_fn((lvl, tt, ss))  # (wh, ww*c, n)
+    # unfold channels: (wh, ww, c, N) -> (c, wh, ww, N)
+    return jnp.moveaxis(win.reshape(wh, ww, c, n), 2, 0)
+
+
+def _black_mask(s0, t0, w, h, n):
+    """(n, n, N) logical inside-mask for WRAP_BLACK windows."""
+    di = jnp.arange(n, dtype=jnp.int32)
+    si = s0[None, :] + di[:, None]  # (n, N)
+    ti = t0[None, :] + di[:, None]
+    s_ok = (si >= 0) & (si < w.astype(jnp.int32)[None, :])
+    t_ok = (ti >= 0) & (ti < h.astype(jnp.int32)[None, :])
+    return t_ok[:, None, :] & s_ok[None, :, :]
 
 
 def _bilerp_level(dev, level, st):
-    """Bilinear at continuous st in [0,1)^2 on a given (per-ray) level."""
-    dims = dev["dims"][level]
+    """Bilinear at continuous st on a given (per-ray) level."""
+    dims = take_rows(dev["dims"], level)
     h = dims[..., 0].astype(DTYPE)
     w = dims[..., 1].astype(DTYPE)
-    s = st[..., 0] * w - 0.5
-    t = st[..., 1] * h - 0.5
+    wrap = dev["wrap"]
+    stn = _st_norm(st, wrap)
+    s = stn[..., 0] * w - 0.5
+    t = stn[..., 1] * h - 0.5
     s0 = jnp.floor(s).astype(jnp.int32)
     t0 = jnp.floor(t).astype(jnp.int32)
-    ds = (s - s0)[..., None]
-    dt = (t - t0)[..., None]
-    v00 = _texel(dev, level, s0, t0)
-    v10 = _texel(dev, level, s0 + 1, t0)
-    v01 = _texel(dev, level, s0, t0 + 1)
-    v11 = _texel(dev, level, s0 + 1, t0 + 1)
-    return (
+    ds = s - s0.astype(DTYPE)  # (N,)
+    dt = t - t0.astype(DTYPE)
+    win = _window(dev, level, t0, s0, 2, 2)  # (C, 2, 2, N): [t, s]
+    if wrap == WRAP_BLACK:
+        win = win * _black_mask(s0, t0, w, h, 2)[None]
+    v00 = win[:, 0, 0]  # (C, N)
+    v10 = win[:, 0, 1]
+    v01 = win[:, 1, 0]
+    v11 = win[:, 1, 1]
+    out = (
         (1 - ds) * (1 - dt) * v00
         + ds * (1 - dt) * v10
         + (1 - ds) * dt * v01
         + ds * dt * v11
     )
+    return out.T  # (N, C)
 
 
 def trilinear_lookup(dev, st, width=None):
@@ -176,12 +280,14 @@ def _ewa_weight(r2):
 
 def _ewa_level(dev, level, st, dst0, dst1):
     """EWA at one (per-ray) level; st in [0,1)^2, dst* in uv units."""
-    dims = dev["dims"][level]
+    dims = take_rows(dev["dims"], level)
     h = dims[..., 0].astype(DTYPE)
     w = dims[..., 1].astype(DTYPE)
+    wrap = dev["wrap"]
+    stn = _st_norm(st, wrap)
     # convert to texel coordinates
-    s = st[..., 0] * w - 0.5
-    t = st[..., 1] * h - 0.5
+    s = stn[..., 0] * w - 0.5
+    t = stn[..., 1] * h - 0.5
     d0s = dst0[..., 0] * w
     d0t = dst0[..., 1] * h
     d1s = dst1[..., 0] * w
@@ -204,19 +310,26 @@ def _ewa_level(dev, level, st, dst0, dst1):
     s0 = jnp.ceil(s - u_rad).astype(jnp.int32)
     t0 = jnp.ceil(t - v_rad).astype(jnp.int32)
 
-    acc = jnp.zeros(st.shape[:-1] + (3,), DTYPE)
-    wsum = jnp.zeros(st.shape[:-1], DTYPE)
-    for dt_i in range(_EWA_WINDOW):
-        for ds_i in range(_EWA_WINDOW):
-            ss = (s0 + ds_i).astype(DTYPE) - s
-            tt = (t0 + dt_i).astype(DTYPE) - t
-            r2 = A * ss * ss + B * ss * tt + C * tt * tt
-            inside = r2 < 1.0
-            wgt = jnp.where(inside, _ewa_weight(r2), 0.0)
-            texv = _texel(dev, level, s0 + ds_i, t0 + dt_i)
-            acc = acc + texv * wgt[..., None]
-            wsum = wsum + wgt
-    return acc / jnp.maximum(wsum, 1e-9)[..., None]
+    # ONE window fetch per ray + vectorized weights over the 16x16
+    # window (replaces a 256-iteration per-texel gather scan); rays
+    # ride the minor axis throughout for tight TPU layouts
+    win = _window(dev, level, t0, s0, _EWA_WINDOW, _EWA_WINDOW)
+    di = jnp.arange(_EWA_WINDOW, dtype=DTYPE)
+    ss = (s0.astype(DTYPE)[None, :] + di[:, None]) - s[None, :]  # (Ws, N)
+    tt = (t0.astype(DTYPE)[None, :] + di[:, None]) - t[None, :]  # (Wt, N)
+    r2 = (
+        A[None, None, :] * (ss * ss)[None, :, :]
+        + B[None, None, :] * tt[:, None, :] * ss[None, :, :]
+        + C[None, None, :] * (tt * tt)[:, None, :]
+    )  # (Wt, Ws, N): axis 0 = t rows, axis 1 = s cols (window order)
+    wgt = jnp.where(r2 < 1.0, _ewa_weight(r2), 0.0)
+    if wrap == WRAP_BLACK:
+        # zero the VALUES only: outside texels still contribute their
+        # weight to wsum (matching the per-texel formulation)
+        win = win * _black_mask(s0, t0, w, h, _EWA_WINDOW)[None]
+    acc = jnp.sum(win * wgt[None], axis=(1, 2))  # (C, N)
+    wsum = jnp.sum(wgt, axis=(0, 1))  # (N,)
+    return acc.T / jnp.maximum(wsum, 1e-9)[..., None]
 
 
 def ewa_lookup(dev, st, dst0, dst1, max_aniso=8.0):
