@@ -261,9 +261,13 @@ def render_job(
         full_render = (
             stop_at_spp is None and resume_from is None and checkpoint_to is None
         )
-        if ctx.bvh_tables is not None and full_render:
+        # k > 1 only single-device: the mesh path's scatter adds sum a
+        # pass's k samples in a different float order than the aligned
+        # reshape-add, which would break the multi-device bit-equality
+        # contract (tests/test_multichip.py)
+        if ctx.bvh_tables is not None and full_render and mesh is None:
             k_spp = 8
-        elif full_render and (
+        elif full_render and mesh is None and (
             vol_packed is not None
             or mega_packed is not None
             or direct_packed is not None

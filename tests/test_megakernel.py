@@ -322,11 +322,15 @@ def test_raygen_matches_camera(bench_ctx):
     np.testing.assert_allclose(d[live], np.asarray(d_ref)[live], rtol=1e-4, atol=2e-5)
 
 
-def test_supports_rejects_smooth_shading_normals(bench_ctx):
-    """The kernel shades ns == ng; a mesh with vertex normals differing
-    from the face normal (smooth shading) must fall back to the jnp path
-    (round-1 advisor finding: cube.obj's vn happen to equal ng, so parity
-    passed while smooth meshes silently rendered flat)."""
+def test_supports_smooth_shading_gates(bench_ctx):
+    """Smooth shading (vertex normals differing from ng): the PATH
+    kernel interpolates ns in-kernel since round 3 (allow_smooth=True;
+    parity pinned by test_megakernel_smooth.py), while the direct-chain
+    kernel still shades ns == ng and must fall back to the jnp path.
+    (Round-1 advisor finding: cube.obj's vn happen to equal ng, so
+    parity passed while smooth meshes silently rendered flat — the gate
+    direction per kernel is what this pins.)"""
+    from rs_ray_toy_tpu.ops.direct_megakernel import supports_direct
     from rs_ray_toy_tpu.ops.path_megakernel import supports
 
     job, ctx = bench_ctx
@@ -342,7 +346,13 @@ def test_supports_rejects_smooth_shading_normals(bench_ctx):
     ctx_smooth = type(ctx).__new__(type(ctx))
     ctx_smooth.__dict__.update(ctx.__dict__)
     ctx_smooth.tri = smooth_tri
-    assert not supports(ctx_smooth, job.integrator, None, None)
+    assert supports(ctx_smooth, job.integrator, None, None)
+    from dataclasses import replace as _dc_replace
+
+    dbg_spec = _dc_replace(job.integrator, kind="debug")
+    assert not supports_direct(ctx_smooth, dbg_spec, None, None)
+    # the flat-mesh baseline stays in the direct kernel's subset
+    assert supports_direct(ctx, dbg_spec, None, None)
 
 
 @pytest.mark.parametrize(
