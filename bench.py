@@ -27,6 +27,11 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_compile_cache")
 import numpy as np
 
 BASELINE_MRAYS = 50.0
+# sanity ceiling: a v5e chip cannot exceed a few hundred Mrays/s on these
+# scenes — any larger number means the timing harness returned garbage
+# (BENCH_r04 shipped 9451 Mrays/s when block_until_ready returned early).
+# Rows above the ceiling are REFUSED, loudly, rather than recorded.
+CEILING_MRAYS = float(os.environ.get("BENCH_CEILING_MRAYS", "500"))
 SCENE = "/root/reference/samples/scene.json"
 
 EXTRA_MATERIALS = {
@@ -191,6 +196,9 @@ def _run_one(scene_kind, material, integrator_kind, fog, spp, sppm_cfg=None):
         "vs_baseline": round(float(value) / BASELINE_MRAYS, 4),
         "spp": spp,
         "path": res.get("render_path", "jnp"),
+        # which fused kernel engaged (None = jnp wavefront) — a silent
+        # gate regression flips this field in the bench artifact
+        "kernel": res.get("fused_kernel"),
     }
     if integrator_kind == "sppm":
         line["photon_mrays_per_s"] = round(float(res["photon_mrays_per_s"]), 3)
@@ -308,6 +316,14 @@ def main():
                 line = _run_isolated(key, timeout_s=remaining)
                 if line is None:
                     continue
+                if line["value"] > CEILING_MRAYS:
+                    print(
+                        f"BENCH SANITY FAILURE: config {key} reported "
+                        f"{line['value']} Mrays/s > ceiling {CEILING_MRAYS} "
+                        "— timing harness returned garbage; row REFUSED",
+                        file=sys.stderr,
+                    )
+                    continue
                 print(json.dumps(line), flush=True)
             else:
                 try:
@@ -315,6 +331,14 @@ def main():
                 except Exception as e:  # keep the matrix alive per-config
                     print(f"config {key} failed: {type(e).__name__}: {e}",
                           file=sys.stderr)
+                    continue
+                if line["value"] > CEILING_MRAYS:
+                    print(
+                        f"BENCH SANITY FAILURE: config {key} reported "
+                        f"{line['value']} Mrays/s > ceiling {CEILING_MRAYS} "
+                        "— timing harness returned garbage; row REFUSED",
+                        file=sys.stderr,
+                    )
                     continue
                 line["config"] = key
                 print(json.dumps(line), flush=True)
@@ -330,7 +354,15 @@ def main():
     material = os.environ.get("BENCH_MATERIAL", "")
     kind = os.environ.get("BENCH_INTEGRATOR", "path")
     fog = bool(os.environ.get("BENCH_FOG"))
-    print(json.dumps(_run_one(scene_kind, material, kind, fog, spp)), flush=True)
+    line = _run_one(scene_kind, material, kind, fog, spp)
+    if line["value"] > CEILING_MRAYS:
+        print(
+            f"BENCH SANITY FAILURE: {line['value']} Mrays/s > ceiling "
+            f"{CEILING_MRAYS} — timing harness returned garbage; row REFUSED",
+            file=sys.stderr,
+        )
+        sys.exit(1)
+    print(json.dumps(line), flush=True)
 
 
 if __name__ == "__main__":

@@ -850,7 +850,11 @@ def render_sppm(ctx: SceneCtx, cam, sampler, film_spec, spec, write_image_fn=Non
     if time_stats is not None:
         import time as _time
 
-        jax.block_until_ready(state)
+        from ..utils.observability import force_ready
+
+        # host readback, not block_until_ready: the tunnel's block can
+        # return before the program finishes (BENCH_r04 sss row)
+        state = force_ready(state)
         time_stats["steady_s"] = _time.time() - time_stats.pop("t0")
     return _sppm_image(state, spec.n_iters, n_photons, h, w, inv_perm)
 

@@ -570,6 +570,7 @@ def render_job(
 
     from .utils.observability import (
         RenderStats,
+        force_ready,
         load_checkpoint,
         maybe_profile,
         save_checkpoint,
@@ -639,7 +640,9 @@ def render_job(
         film = compiled(
             film0, _i32(s_start // k_spp), _i32(s_end // k_spp), *batch_args
         )
-        jax.block_until_ready(film)
+        # timed region ends at a HOST READBACK, not block_until_ready: the
+        # tunnel's block can return early (BENCH_r04's impossible sss row)
+        film = force_ready(film)
     elapsed = time.time() - t0
 
     if film_is_blocked:
@@ -681,4 +684,12 @@ def render_job(
             or direct_packed is not None
             or vol_packed is not None
         ) else "jnp",
+        # per-kernel engagement (VERDICT r4 weak #7): names WHICH fused
+        # kernel ran, so a silent gate regression is visible in bench rows
+        "fused_kernel": (
+            "path" if mega_packed is not None
+            else "direct" if direct_packed is not None
+            else "volpath" if vol_packed is not None
+            else None
+        ),
     }

@@ -70,6 +70,28 @@ def load_checkpoint(path):
     return film, int(data["next_sample_index"])
 
 
+def force_ready(tree):
+    """block_until_ready + a host readback of one output buffer.
+
+    Through the axon tunnel, `block_until_ready` can return before the
+    device program actually finishes (BENCH_r04 shipped a physically
+    impossible 9451 Mrays/s row because a timed region ended there).
+    Reading real bytes back to the host cannot return early — all leaves
+    are outputs of one XLA execution, so one buffer's readback proves the
+    whole program completed.  Every timed region must end HERE.
+    """
+    tree = jax.block_until_ready(tree)
+    arrs = [
+        leaf
+        for leaf in jax.tree_util.tree_leaves(tree)
+        if isinstance(leaf, jax.Array)
+    ]
+    if arrs:
+        smallest = min(arrs, key=lambda a: a.size)
+        np.asarray(smallest.addressable_data(0))
+    return tree
+
+
 @contextlib.contextmanager
 def maybe_profile():
     """Capture a jax.profiler trace when RS_PROFILE_DIR is set."""
