@@ -398,15 +398,23 @@ def compute_uv_differentials(si: SurfaceHit, diff):
     kmax = jnp.argmax(ax, axis=-1)
     dim0 = jnp.where(kmax == 0, 1, 0)
     dim1 = jnp.where(kmax == 2, 1, 2)
-    rows = jnp.arange(si.p.shape[0])
+
+    def col(v, k):
+        # v[:, k] for per-row k in {0,1,2} as a select chain — the fancy
+        # v[rows, k] form lowers to a serialized per-row TPU gather
+        # (~2 us/row on the bench chip; 12 of them made this function the
+        # textured path's hidden dominant cost)
+        return jnp.where(
+            k == 0, v[:, 0], jnp.where(k == 1, v[:, 1], v[:, 2])
+        )
 
     def solve(dp):
-        a00 = si.dpdu[rows, dim0]
-        a01 = si.dpdv[rows, dim0]
-        a10 = si.dpdu[rows, dim1]
-        a11 = si.dpdv[rows, dim1]
-        b0 = dp[rows, dim0]
-        b1 = dp[rows, dim1]
+        a00 = col(si.dpdu, dim0)
+        a01 = col(si.dpdv, dim0)
+        a10 = col(si.dpdu, dim1)
+        a11 = col(si.dpdv, dim1)
+        b0 = col(dp, dim0)
+        b1 = col(dp, dim1)
         det = a00 * a11 - a01 * a10
         ok = jnp.abs(det) >= 1e-10
         inv = 1.0 / jnp.where(ok, det, 1.0)

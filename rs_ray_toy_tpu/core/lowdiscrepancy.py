@@ -51,11 +51,13 @@ def _digit_trips(base):
     return int(math.ceil(32.0 / math.log2(base)))
 
 
-def radical_inverse_base(base, a, dtype=jnp.float32):
+def radical_inverse_base(base, a, dtype=jnp.float32, max_val=None):
     """Radical inverse in a *static* base; a: int array (non-negative).
 
     Matches radical_inverse (lowdiscrepancy.rs:230-238): digits of a in
-    `base` mirrored about the radix point.
+    `base` mirrored about the radix point.  Non-binary bases ride the
+    same grouped-digit tables as the scrambled form (identity
+    permutation, zero tail); max_val bounds the digit count.
     """
     if base == 2:
         rb = reverse_bits_32(a.astype(jnp.uint32))
@@ -64,26 +66,10 @@ def radical_inverse_base(base, a, dtype=jnp.float32):
             rb.astype(jnp.float32) * jnp.float32(2.0**-32),
             jnp.float32(1.0 - 1e-7),
         ).astype(dtype)
-    trips = _digit_trips(base)
-    inv_base = 1.0 / base
-
-    # JAX default integer width is 32-bit, so the mirrored value is
-    # accumulated directly in floating point: v <- v*inv_base stays exact for
-    # the ~24 leading digits, which saturates f32 output precision.
-    def body(_, carry):
-        val, acc, inv = carry
-        nxt = val // base
-        digit = val - nxt * base
-        return nxt, acc + digit.astype(jnp.float32) * inv * inv_base, inv * inv_base
-
-    a32 = a.astype(jnp.int32)
-    _, acc, _ = lax.fori_loop(
-        0,
-        trips,
-        body,
-        (a32, jnp.zeros(a32.shape, jnp.float32), jnp.ones(a32.shape, jnp.float32)),
+    ident = jnp.arange(base, dtype=jnp.int32)
+    return scrambled_radical_inverse_base(
+        base, a, ident, dtype=dtype, max_val=max_val
     )
-    return jnp.minimum(acc, jnp.float32(1.0 - 1e-7)).astype(dtype)
 
 
 def radical_inverse(prime_index, a, dtype=jnp.float32):
@@ -104,7 +90,9 @@ def inverse_radical_inverse(base, inverse, n_digits):
     return index
 
 
-def scrambled_radical_inverse_base(base, a, perm, dtype=jnp.float32):
+def scrambled_radical_inverse_base(
+    base, a, perm, dtype=jnp.float32, max_val=None
+):
     """(lowdiscrepancy.rs:272+): digit-permuted radical inverse.
 
     perm: (base,) int array permuting digits.  Includes the reference's
@@ -114,37 +102,57 @@ def scrambled_radical_inverse_base(base, a, perm, dtype=jnp.float32):
         (rev + perm[0] * inv_base_n / (1 - inv_base)) * inv_base_n...
     evaluated with the same finite-trip structure.
 
-    The per-digit permutation lookup rides tableops (one-hot MXU for
-    small bases) — the serialized `perm[digit]` gather cost ~8 ms per
-    dim per 230K rows on the bench chip (tools/profile_halton.py), which
-    made the Halton slot payload dominate the fused SPPM camera pass.
+    max_val: static exclusive upper bound on `a` when the caller knows it
+    (the HaltonSampler's index < spp*stride); cuts the digit count from
+    the 2^32 default — base 3 runs 21 trips for 2^32 but only 15 for the
+    256-spp bench index bound.
+
+    Implementation: grouped-digit tables.  The per-digit loop (one
+    permutation row-select per digit, 10-21 trips) dominated the Halton
+    slot payload (tools/profile_halton.py); instead the digit positions
+    are split into groups of k = floor(log_base(1024)) digits and a host
+    table of base^k entries holds each group's permuted partial sum, so
+    the device does ceil(trips/k) one-hot row selections + the integer
+    splits.  Tables are f64-accumulated on host, so the grouped f32 sum
+    is at least as accurate as the old sequential f32 loop.
     """
     from .tableops import take_rows
 
     trips = _digit_trips(base)
+    if max_val is not None:
+        trips = min(trips, int(math.ceil(math.log(max(max_val, 2), base))))
     inv_base = 1.0 / base
-    # f32 rows select exactly on the MXU; permutation values < 2^24
-    perm_f = perm.astype(jnp.float32)
-
-    def body(_, carry):
-        val, acc, inv = carry
-        nxt = val // base
-        digit = val - nxt * base
-        pd = take_rows(perm_f, digit)
-        return nxt, acc + pd * inv * inv_base, inv * inv_base
+    # group size: largest k with base^k <= 1024 (tableops one-hot range)
+    k = max(1, int(math.floor(math.log(1024.0, base))))
+    perm_np = np.asarray(perm, np.int64)
+    # infinite tail of perm[0] digits past the finite trip count
+    # (PBRT v3 formulation the reference follows)
+    tail = float(perm_np[0]) * inv_base / (1.0 - inv_base)
 
     a32 = a.astype(jnp.int32)
-    _, acc, inv_base_n = lax.fori_loop(
-        0,
-        trips,
-        body,
-        (a32, jnp.zeros(a32.shape, jnp.float32), jnp.ones(a32.shape, jnp.float32)),
-    )
-    # Infinite tail of perm[0] digits past the finite trip count
-    # (PBRT v3 formulation the reference follows).
-    tail = perm[0].astype(jnp.float32) * inv_base / (1.0 - inv_base)
-    val = acc + inv_base_n * tail
-    return jnp.minimum(val, jnp.float32(1.0 - 1e-7)).astype(dtype)
+    acc = None
+    pos = 0
+    while pos < trips:
+        g = min(k, trips - pos)  # digits in this group
+        m = base**g
+        # table[v] = sum_i perm(digit_i(v)) * base^-(pos+i+1), f64 host
+        v = np.arange(m, dtype=np.int64)
+        part = np.zeros(m, np.float64)
+        vv = v.copy()
+        for i in range(g):
+            part += perm_np[vv % base] * float(base) ** -(pos + i + 1)
+            vv //= base
+        if pos + g >= trips:
+            part += tail * float(base) ** -(pos + g)
+        tab = jnp.asarray(part.astype(np.float32))
+        grp = a32 % m if pos + g < trips else a32
+        term = take_rows(tab, jnp.clip(grp, 0, m - 1))
+        acc = term if acc is None else acc + term
+        a32 = a32 // m
+        pos += g
+    if acc is None:
+        acc = jnp.full(a32.shape, np.float32(tail), jnp.float32)
+    return jnp.minimum(acc, jnp.float32(1.0 - 1e-7)).astype(dtype)
 
 
 def compute_radical_inverse_permutations(seed=0):

@@ -99,6 +99,63 @@ class MIPMap:
         }
 
 
+    def as_packed(self):
+        """Pack the COARSE pyramid (every level with H <= 64) into one
+        (128, Wmax*C) table for gather-free MXU lookups.
+
+        Per-ray texel access on this chip serializes as ~2 us/row TPU
+        gathers (tools/profile_textured.py: one 2x2 window fetch = 441 ms
+        per 230K rays), capping ANY gather-based texturing at ~0.1
+        Mrays/s.  The fast path is one-hot ROW selection on the MXU:
+        a bilerp at level l is a 2-hot row-weight vector (rows t0/t1 of
+        level l's row block, weights 1-dt/dt) times the packed table —
+        one (N,128)@(128,Wc) matmul — followed by an iota-compare column
+        extract for the s0/s1 lerp (~0.5 GFLOP).  ~60-90x the gather.
+
+        Lookups at levels FINER than lod_min are clamped to lod_min
+        (documented divergence: close-up texture detail blurs to the
+        64-row level; exact for every lookup landing at lod >= lod_min,
+        which covers typical minified primary hits).  Images that are
+        already <= 64 rows pack their whole pyramid: lod_min == 0, the
+        packed path is exact everywhere.
+        """
+        heights = [lv.shape[0] for lv in self.levels]
+        lod_min = 0
+        while sum(heights[lod_min:]) > 128 or heights[lod_min] > 64:
+            lod_min += 1
+        c = self.levels[0].shape[2]
+        wmax = self.levels[lod_min].shape[1]
+        rows = sum(heights[lod_min:])
+        table = np.zeros((128, wmax * c), np.float32)
+        # meta row per pyramid level: (h, w, row_offset); finer-than-
+        # packed levels alias lod_min's meta (lookups clamp before use)
+        meta = np.zeros((len(self.levels), 3), np.int32)
+        off = 0
+        for l, lv in enumerate(self.levels):
+            if l < lod_min:
+                continue
+            h, w = lv.shape[:2]
+            meta[l] = (h, w, off)
+            table[off : off + h, : w * c] = lv.reshape(h, w * c)
+            off += h
+        meta[:lod_min] = meta[lod_min]
+        assert off == rows <= 128
+        return {
+            "table": jnp.asarray(table),
+            "meta": jnp.asarray(meta),
+            "lod_min": lod_min,
+            "wrap": self.wrap,
+            "n_levels": len(self.levels),
+            "channels": c,
+            # static column maps for the extract stage
+            "col_s": jnp.asarray(np.arange(wmax * c, dtype=np.int32) // c),
+            "col_onehot": jnp.asarray(
+                (np.arange(wmax * c)[:, None] % c == np.arange(c)[None, :])
+                .astype(np.float32)
+            ),
+        }
+
+
 def _next_pow2(x):
     return 1 << (int(x) - 1).bit_length()
 
@@ -330,6 +387,127 @@ def _ewa_level(dev, level, st, dst0, dst1):
     acc = jnp.sum(win * wgt[None], axis=(1, 2))  # (C, N)
     wsum = jnp.sum(wgt, axis=(0, 1))  # (N,)
     return acc.T / jnp.maximum(wsum, 1e-9)[..., None]
+
+
+# ---- packed-pyramid (gather-free MXU) lookups ----
+#
+# See MIPMap.as_packed: per-ray texel gathers cost ~2 us/row on the bench
+# chip, so these lookups replace every texel access with ONE
+# (N,128)@(128,Wc) row matmul + a column extract.  Exact (vs the window
+# path) for every lookup landing at level >= lod_min; finer lookups clamp
+# to lod_min (documented divergence, RS_TEX_PACKED=0 restores the exact
+# gather path).
+
+_MM = dict(precision=jax.lax.Precision.HIGHEST)
+
+
+def _packed_bilerp(pk, level, st):
+    """Bilinear at continuous st on per-ray levels (>= lod_min each)."""
+    meta = take_rows(pk["meta"], level)  # (N, 3): h, w, row_offset
+    h = meta[..., 0]
+    w = meta[..., 1]
+    off = meta[..., 2]
+    hf = h.astype(DTYPE)
+    wf = w.astype(DTYPE)
+    wrap = pk["wrap"]
+    stn = _st_norm(st, wrap)
+    s = stn[..., 0] * wf - 0.5
+    t = stn[..., 1] * hf - 0.5
+    s0 = jnp.floor(s).astype(jnp.int32)
+    t0 = jnp.floor(t).astype(jnp.int32)
+    ds = (s - s0.astype(DTYPE))[:, None]
+    dt = (t - t0.astype(DTYPE))[:, None]
+    s1 = s0 + 1
+    t1 = t0 + 1
+    one = jnp.ones_like(s0, bool)[:, None]
+    if wrap == WRAP_REPEAT:
+        s0i, s1i = s0 % w, s1 % w
+        t0i, t1i = t0 % h, t1 % h
+        s0v = s1v = t0v = t1v = one
+    elif wrap == WRAP_CLAMP:
+        s0i = jnp.clip(s0, 0, w - 1)
+        s1i = jnp.clip(s1, 0, w - 1)
+        t0i = jnp.clip(t0, 0, h - 1)
+        t1i = jnp.clip(t1, 0, h - 1)
+        s0v = s1v = t0v = t1v = one
+    else:  # WRAP_BLACK: out-of-image texels read as zero
+        s0v = ((s0 >= 0) & (s0 < w))[:, None]
+        s1v = ((s1 >= 0) & (s1 < w))[:, None]
+        t0v = ((t0 >= 0) & (t0 < h))[:, None]
+        t1v = ((t1 >= 0) & (t1 < h))[:, None]
+        s0i = jnp.clip(s0, 0, w - 1)
+        s1i = jnp.clip(s1, 0, w - 1)
+        t0i = jnp.clip(t0, 0, h - 1)
+        t1i = jnp.clip(t1, 0, h - 1)
+    r0 = (off + t0i)[:, None]
+    r1 = (off + t1i)[:, None]
+    iota_r = jnp.arange(128, dtype=jnp.int32)[None, :]
+    wr = (
+        jnp.where((iota_r == r0) & t0v, 1.0 - dt, 0.0)
+        + jnp.where((iota_r == r1) & t1v, dt, 0.0)
+    ).astype(jnp.float32)
+    m = jnp.matmul(wr, pk["table"], **_MM)  # (N, Wc): t-lerped level rows
+    col_s = pk["col_s"][None, :]
+    cw = (
+        jnp.where((col_s == s0i[:, None]) & s0v, 1.0 - ds, 0.0)
+        + jnp.where((col_s == s1i[:, None]) & s1v, ds, 0.0)
+    ).astype(jnp.float32)
+    return jnp.matmul(m * cw, pk["col_onehot"], **_MM)  # (N, C)
+
+
+def packed_trilinear_lookup(pk, st, width=None):
+    """Triangle-filtered lookup on the packed coarse pyramid
+    (mipmap.rs:132-149 semantics, levels clamped to >= lod_min)."""
+    n_levels = pk["n_levels"]
+    lod_min = pk["lod_min"]
+    if width is None:
+        level = jnp.full(st.shape[:-1], lod_min, jnp.int32)
+        return _packed_bilerp(pk, level, st)
+    level_f = n_levels - 1 + jnp.log2(jnp.maximum(width, 1e-8))
+    level_f = jnp.clip(level_f, float(lod_min), n_levels - 1)
+    l0 = jnp.floor(level_f).astype(jnp.int32)
+    l1 = jnp.minimum(l0 + 1, n_levels - 1)
+    dt = (level_f - l0)[..., None]
+    return (1 - dt) * _packed_bilerp(pk, l0, st) + dt * _packed_bilerp(
+        pk, l1, st
+    )
+
+
+def packed_ewa_lookup(pk, st, dst0, dst1, max_aniso=8.0):
+    """Anisotropic lookup on the packed pyramid.
+
+    Level selection is EXACTLY ewa_lookup's (minor-axis radius after the
+    max_aniso eccentricity clamp); the per-level filter is the bilerp tap
+    instead of the elliptical Gaussian window (the sheared ellipse window
+    cannot ride one row matmul — its column weights depend on the row).
+    Divergence is filter sharpness only, bounded by one level's blur;
+    RS_TEX_PACKED=0 restores the exact elliptical filter."""
+    n_levels = pk["n_levels"]
+    lod_min = pk["lod_min"]
+    l0_sq = jnp.sum(dst0 * dst0, axis=-1)
+    l1_sq = jnp.sum(dst1 * dst1, axis=-1)
+    swap = l0_sq < l1_sq
+    major = jnp.where(swap[..., None], dst1, dst0)
+    minor_v = jnp.where(swap[..., None], dst0, dst1)
+    major_len = jnp.sqrt(jnp.maximum(jnp.sum(major * major, -1), 1e-20))
+    minor_len = jnp.sqrt(jnp.maximum(jnp.sum(minor_v * minor_v, -1), 0.0))
+    scale = jnp.where(
+        (minor_len * max_aniso < major_len) & (minor_len > 0.0),
+        major_len / jnp.maximum(minor_len * max_aniso, 1e-20),
+        1.0,
+    )
+    minor_len = minor_len * scale
+    lod = jnp.clip(
+        n_levels - 1 + jnp.log2(jnp.maximum(minor_len, 1e-9)),
+        float(lod_min),
+        n_levels - 1.0,
+    )
+    l0 = jnp.floor(lod).astype(jnp.int32)
+    l1 = jnp.minimum(l0 + 1, n_levels - 1)
+    dt = (lod - l0)[..., None]
+    return (1 - dt) * _packed_bilerp(pk, l0, st) + dt * _packed_bilerp(
+        pk, l1, st
+    )
 
 
 def ewa_lookup(dev, st, dst0, dst1, max_aniso=8.0):

@@ -17,12 +17,19 @@ import jax.numpy as jnp
 
 
 def timed(fn, *args, n=5):
+    def _force(x):
+        x = jax.block_until_ready(x)
+        leaves = [l for l in jax.tree_util.tree_leaves(x)
+                  if isinstance(l, jax.Array)]
+        if leaves:
+            np.asarray(min(leaves, key=lambda v: v.size).addressable_data(0))
+        return x
     out = fn(*args)
-    jax.block_until_ready(out)
+    _force(out)
     t0 = time.time()
     for _ in range(n):
         out = fn(*args)
-        jax.block_until_ready(out)
+        _force(out)
     return (time.time() - t0) / n
 
 

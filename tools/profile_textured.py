@@ -9,10 +9,19 @@ import numpy as np, jax, jax.numpy as jnp
 SCENE = "/root/reference/samples/scene.json"
 
 def timed(fn, *a, n=3):
-    out = fn(*a); jax.block_until_ready(out)
+    import numpy as _np
+    def _force(x):
+        import jax as _jax
+        x = _jax.block_until_ready(x)
+        leaves = [l for l in _jax.tree_util.tree_leaves(x)
+                  if isinstance(l, _jax.Array)]
+        if leaves:
+            _np.asarray(min(leaves, key=lambda v: v.size).addressable_data(0))
+        return x
+    out = fn(*a); _force(out)
     t0 = time.time()
     for _ in range(n):
-        out = fn(*a); jax.block_until_ready(out)
+        out = fn(*a); _force(out)
     return (time.time() - t0) / n, out
 
 def main():
@@ -50,6 +59,44 @@ def main():
     t_rgd, (o2, d2, wt2, diff) = timed(
         jax.jit(lambda: cam.generate_ray_differentials(pxy + u_f, u_l, spp=4)))
     print(f"generate_ray_differentials:  {t_rgd*1e3:9.1f} ms")
+
+    @jax.jit
+    def hit_only(o, d):
+        t_max = jnp.full(o.shape[:1], jnp.inf, DTYPE)
+        hit, si = ctx.intersect_shaded(o, d, t_max)
+        return si.uv, si.p, si.mat
+
+    t_hit, (uv, pw, mat) = timed(hit_only, o, d)
+    print(f"intersect_shaded alone:      {t_hit*1e3:9.1f} ms")
+
+    from rs_ray_toy_tpu.scene import textures as texm
+
+    @jax.jit
+    def tex_only(uv, pw):
+        return texm.eval_all(ctx.registry, ctx.dev_images, uv, pw, None)
+
+    t_tex, _ = timed(tex_only, uv, pw)
+    print(f"eval_all (no duv):           {t_tex*1e3:9.1f} ms")
+
+    @jax.jit
+    def tex_duv(uv, pw):
+        duv = jnp.zeros((uv.shape[0], 4), DTYPE)
+        return texm.eval_all(ctx.registry, ctx.dev_images, uv, pw, duv)
+
+    t_txd, _ = timed(tex_duv, uv, pw)
+    print(f"eval_all (zero duv, EWA):    {t_txd*1e3:9.1f} ms")
+
+    from rs_ray_toy_tpu.bsdf import eval as beval
+
+    @jax.jit
+    def lobes_only(uv, pw, mat):
+        tv = texm.eval_all(ctx.registry, ctx.dev_images, uv, pw, None)
+        return beval.gather_lobes(
+            ctx.mats, tv, jnp.maximum(mat, 0), static_kinds=ctx.static_kinds
+        )["s0"]
+
+    t_gl, _ = timed(lobes_only, uv, pw, mat)
+    print(f"eval_all + gather_lobes:     {t_gl*1e3:9.1f} ms")
 
     @jax.jit
     def hit_and_shade(o, d):
