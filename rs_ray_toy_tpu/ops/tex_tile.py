@@ -1,0 +1,269 @@
+"""In-kernel packed-pyramid texture lookups for the Pallas megakernels.
+
+The megakernels keep all per-ray state in (rows, 128-lane) vregs; a
+per-lane texel fetch has no Mosaic lowering (TPU has no per-lane
+gather), so texture taps become MXU one-hot row selections against the
+channel-planar packed coarse pyramid (scene/mipmap.py MIPMap.as_packed):
+
+  for each sublane row j of the tile (fori_loop):
+      vals  = scratch_in[:, j, :]               # (1, 128) per plane
+      oh    = eq(iota_k, r0)*wt0 + eq(iota_k, r1)*wt1   # (128, 128)
+      m     = dot_general(T, oh, contract k x k)        # (Wc, 128)
+      cs    = eq(iota_s, s0)*ws0 + eq(iota_s, s1)*ws1   # (Wc, 128)
+      out_c = sum_sublanes((m * cs)[c*wmax:(c+1)*wmax]) # (1, 128)
+
+Rays ride the LANE axis throughout; the only cross-lane motion is the
+dynamic sublane load/store on the VMEM scratch, which Mosaic supports
+natively.  Lerp weights fold into the one-hot entries, and per-level
+validity (BLACK wrap) folds into the weights, so one matmul evaluates a
+whole weighted bilerp tap.
+
+Precision: the matmuls run in bf16 (f32 accumulate).  One-hot 0/1
+entries are bf16-exact; lerp weights and texels round at <= 2^-9
+relative — below the 8-bit quantization of the PNG sources the
+reference's imagemaps load (mipmap.rs:31-72), so the kernel taps are no
+lossier than the asset.  Estimator tests compare against the f32 jnp
+packed path with a matching tolerance.
+
+Semantics match scene/mipmap.py packed_ewa_lookup /
+packed_trilinear_lookup exactly (same level selection, same lod_min
+clamp; mipmap.rs:132-189 modulo the documented packed divergences).
+"""
+
+import collections
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+
+from ..scene.mipmap import WRAP_BLACK, WRAP_CLAMP, WRAP_REPEAT
+
+# static texture payload: everything but the packed table rides the
+# kernel closure as compile-time constants
+TexC = collections.namedtuple(
+    "TexC",
+    "meta lod_min n_levels wmax channels wrap su sv du dv scale max_aniso "
+    "do_trilinear width_static",
+)
+
+# scratch planes per level tap: r0, r1, wt0, wt1, s0, s1, ws0, ws1
+PLANES_PER_LEVEL = 8
+
+
+def pack_texture_static(rec, image, pk):
+    """TexC for registry record `rec` over MIPMap `image` whose packed
+    dict is `pk` (MAP_UV records only; gates in path_megakernel)."""
+    # trilinear records use a CONSTANT footprint width (textures.eval_all
+    # footprint() is duv-independent only when duv is None; with duv the
+    # width varies -> handled by the EWA branch instead).  The imagemap
+    # default is EWA (do_trilinear=False, renderprocess.rs:522).
+    return TexC(
+        meta=tuple(tuple(int(v) for v in m) for m in pk["meta"]),
+        lod_min=int(pk["lod_min"]),
+        n_levels=int(pk["n_levels"]),
+        wmax=int(pk["wmax"]),
+        channels=int(pk["channels"]),
+        wrap=int(pk["wrap"]),
+        su=float(rec.su),
+        sv=float(rec.sv),
+        du=float(rec.du),
+        dv=float(rec.dv),
+        scale=float(rec.scale),
+        max_aniso=float(image.max_aniso),
+        do_trilinear=bool(image.do_trilinear),
+        width_static=None,
+    )
+
+
+def table_bf16(pk):
+    """The packed planar table as the kernel's bf16 input array."""
+    return pk["table"].astype(jnp.bfloat16)
+
+
+def _sel_meta(tex, level):
+    """(h, w, off) per-lane via static select chains (mipmap._sel_meta)."""
+    metas = tex.meta
+    h = jnp.full(level.shape, metas[-1][0], jnp.int32)
+    w = jnp.full(level.shape, metas[-1][1], jnp.int32)
+    off = jnp.full(level.shape, metas[-1][2], jnp.int32)
+    for l in range(len(metas) - 2, -1, -1):
+        sel = level <= l
+        h = jnp.where(sel, metas[l][0], h)
+        w = jnp.where(sel, metas[l][1], w)
+        off = jnp.where(sel, metas[l][2], off)
+    return h, w, off
+
+
+def ewa_lod(tex, d0u, d0v, d1u, d1v):
+    """Continuous EWA level (packed_ewa_lookup's exact selection):
+    minor-axis radius after the max_aniso eccentricity clamp, clamped to
+    [lod_min, n_levels-1].  Componentwise on (rows, lanes) arrays."""
+    l0_sq = d0u * d0u + d0v * d0v
+    l1_sq = d1u * d1u + d1v * d1v
+    major = jnp.maximum(l0_sq, l1_sq)
+    minor = jnp.minimum(l0_sq, l1_sq)
+    major_len = jnp.sqrt(jnp.maximum(major, 1e-20))
+    minor_len = jnp.sqrt(jnp.maximum(minor, 0.0))
+    ma = tex.max_aniso
+    scale = jnp.where(
+        (minor_len * ma < major_len) & (minor_len > 0.0),
+        major_len / jnp.maximum(minor_len * ma, 1e-20),
+        1.0,
+    )
+    minor_len = minor_len * scale
+    return jnp.clip(
+        tex.n_levels - 1 + jnp.log2(jnp.maximum(minor_len, 1e-9)),
+        float(tex.lod_min),
+        tex.n_levels - 1.0,
+    )
+
+
+def _level_planes(tex, ss, tt, level, lw):
+    """The 8 scratch planes of one bilerp tap at per-lane integer
+    `level`, level weight `lw` (the trilinear/EWA lerp factor, with any
+    dead-lane mask folded in by the caller).  Mirrors
+    scene/mipmap._packed_bilerp exactly."""
+    h, w, off = _sel_meta(tex, level)
+    hf = h.astype(jnp.float32)
+    wf = w.astype(jnp.float32)
+    wrap = tex.wrap
+    if wrap == WRAP_REPEAT:
+        sn = ss - jnp.floor(ss)
+        tn = tt - jnp.floor(tt)
+    elif wrap == WRAP_CLAMP:
+        sn = jnp.clip(ss, 0.0, 1.0 - 1e-7)
+        tn = jnp.clip(tt, 0.0, 1.0 - 1e-7)
+    else:
+        sn = jnp.clip(ss, -1.5, 2.5)
+        tn = jnp.clip(tt, -1.5, 2.5)
+    s = sn * wf - 0.5
+    t = tn * hf - 0.5
+    s0 = jnp.floor(s).astype(jnp.int32)
+    t0 = jnp.floor(t).astype(jnp.int32)
+    ds = s - s0.astype(jnp.float32)
+    ft = t - t0.astype(jnp.float32)
+    s1 = s0 + 1
+    t1 = t0 + 1
+    one = jnp.ones(ss.shape, jnp.float32)
+    if wrap == WRAP_REPEAT:
+        # level dims are powers of two: mod == mask (negatives included)
+        s0i, s1i = s0 & (w - 1), s1 & (w - 1)
+        t0i, t1i = t0 & (h - 1), t1 & (h - 1)
+        s0v = s1v = t0v = t1v = one
+    elif wrap == WRAP_CLAMP:
+        s0i = jnp.clip(s0, 0, w - 1)
+        s1i = jnp.clip(s1, 0, w - 1)
+        t0i = jnp.clip(t0, 0, h - 1)
+        t1i = jnp.clip(t1, 0, h - 1)
+        s0v = s1v = t0v = t1v = one
+    else:
+        s0v = ((s0 >= 0) & (s0 < w)).astype(jnp.float32)
+        s1v = ((s1 >= 0) & (s1 < w)).astype(jnp.float32)
+        t0v = ((t0 >= 0) & (t0 < h)).astype(jnp.float32)
+        t1v = ((t1 >= 0) & (t1 < h)).astype(jnp.float32)
+        s0i = jnp.clip(s0, 0, w - 1)
+        s1i = jnp.clip(s1, 0, w - 1)
+        t0i = jnp.clip(t0, 0, h - 1)
+        t1i = jnp.clip(t1, 0, h - 1)
+    f32 = lambda x: x.astype(jnp.float32)
+    return (
+        f32(off + t0i), f32(off + t1i),
+        (1.0 - ft) * t0v * lw, ft * t1v * lw,
+        f32(s0i), f32(s1i),
+        (1.0 - ds) * s0v, ds * s1v,
+    )
+
+
+def lookup_planes(tex, ss, tt, lod_f=None, active=None):
+    """All scratch planes for one texture tap on the tile.
+
+    lod_f None => static lod_min bilerp (the dead-differentials case:
+    zero footprints select lod_min exactly, so bounce>0 lookups compile
+    to ONE tap).  Otherwise the EWA/trilinear two-level lerp: 16 planes.
+    `active` masks dead lanes out of the row weights entirely (their
+    one-hot rows become zero -> they cost nothing extra and read as 0).
+    """
+    amask = 1.0 if active is None else active.astype(jnp.float32)
+    if lod_f is None:
+        level = jnp.full(ss.shape, tex.lod_min, jnp.int32)
+        return _level_planes(tex, ss, tt, level, amask * jnp.ones(ss.shape, jnp.float32))
+    l0 = jnp.floor(lod_f).astype(jnp.int32)
+    l1 = jnp.minimum(l0 + 1, tex.n_levels - 1)
+    dt = lod_f - l0.astype(jnp.float32)
+    pa = _level_planes(tex, ss, tt, l0, (1.0 - dt) * amask)
+    pb = _level_planes(tex, ss, tt, l1, dt * amask)
+    return pa + pb
+
+
+def tile_lookup(tex, tbl_ref, scr_in, scr_out, planes):
+    """Run the per-sublane-row matmul loop; returns (r, g, b) tiles.
+
+    tbl_ref: (128, channels*wmax) bf16 VMEM ref (whole packed table).
+    scr_in:  (n_planes, rows, LANES) f32 VMEM scratch.
+    scr_out: (channels, rows, LANES) f32 VMEM scratch.
+    planes:  tuple of (rows, LANES) f32 arrays from lookup_planes.
+    """
+    rows, lanes = planes[0].shape
+    n_planes = len(planes)
+    two_level = n_planes == 2 * PLANES_PER_LEVEL
+    wmax = tex.wmax
+    c = tex.channels
+    wc = c * wmax
+    for p, arr in enumerate(planes):
+        scr_in[p, :, :] = arr
+    tbl = tbl_ref[:, :]  # (128, wc) bf16, loop-invariant
+    iota_k = lax.broadcasted_iota(jnp.float32, (128, lanes), 0)
+    # planar column s-index: col = ch*wmax + s, wmax a power of two
+    iota_s = (
+        lax.broadcasted_iota(jnp.int32, (wc, lanes), 0) & (wmax - 1)
+    ).astype(jnp.float32)
+
+    def pl_ds(j):
+        return pl.dslice(j, 1)
+
+    def tap(j, base):
+        ld = lambda p: scr_in[base + p, pl_ds(j), :]
+        r0, r1 = ld(0), ld(1)
+        wt0, wt1 = ld(2), ld(3)
+        s0, s1 = ld(4), ld(5)
+        ws0, ws1 = ld(6), ld(7)
+        oh = (
+            jnp.where(iota_k == r0, wt0, 0.0)
+            + jnp.where(iota_k == r1, wt1, 0.0)
+        ).astype(jnp.bfloat16)
+        # m[col, lane] = sum_k T[k, col] * oh[k, lane]  (TN matmul)
+        m = lax.dot_general(
+            tbl, oh, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        cs = jnp.where(iota_s == s0, ws0, 0.0) + jnp.where(
+            iota_s == s1, ws1, 0.0
+        )
+        prod = m * cs
+        return [
+            jnp.sum(prod[ch * wmax : (ch + 1) * wmax, :], axis=0,
+                    keepdims=True)
+            for ch in range(c)
+        ]
+
+    def body(j, carry):
+        outs = tap(j, 0)
+        if two_level:
+            outs_b = tap(j, PLANES_PER_LEVEL)
+            outs = [a + b for a, b in zip(outs, outs_b)]
+        for ch in range(c):
+            scr_out[ch, pl_ds(j), :] = outs[ch]
+        return carry
+
+    lax.fori_loop(0, rows, body, 0)
+    out = [scr_out[ch, :, :] * tex.scale for ch in range(c)]
+    if c == 1:
+        return out[0], out[0], out[0]
+    return out[0], out[1], out[2]
+
+
+def n_scratch_planes(two_level):
+    return PLANES_PER_LEVEL * (2 if two_level else 1)

@@ -11,6 +11,7 @@ Device lookup gathers 8 texels for trilinear (mipmap.rs:132-149); EWA
 (mipmap.rs:150-189) comes with the ray-differential phase.
 """
 
+import os
 from dataclasses import dataclass
 from typing import List
 
@@ -126,33 +127,35 @@ class MIPMap:
         c = self.levels[0].shape[2]
         wmax = self.levels[lod_min].shape[1]
         rows = sum(heights[lod_min:])
+        # channel-PLANAR columns: col = c*wmax + s.  The s-lerp extraction
+        # then reads each channel as a static (N, wmax) slice and reduces
+        # over lanes — no second matmul, and the Pallas kernel shares the
+        # layout (ops/tex_tile.py)
         table = np.zeros((128, wmax * c), np.float32)
-        # meta row per pyramid level: (h, w, row_offset); finer-than-
-        # packed levels alias lod_min's meta (lookups clamp before use)
-        meta = np.zeros((len(self.levels), 3), np.int32)
+        # per-level (h, w, row_offset) as STATIC python ints: level meta
+        # rides select chains, never a per-ray table lookup.  Finer-than-
+        # packed levels alias lod_min's meta (lookups clamp before use).
+        meta = [None] * len(self.levels)
         off = 0
         for l, lv in enumerate(self.levels):
             if l < lod_min:
                 continue
             h, w = lv.shape[:2]
             meta[l] = (h, w, off)
-            table[off : off + h, : w * c] = lv.reshape(h, w * c)
+            for ch in range(c):
+                table[off : off + h, ch * wmax : ch * wmax + w] = lv[..., ch]
             off += h
-        meta[:lod_min] = meta[lod_min]
+        for l in range(lod_min):
+            meta[l] = meta[lod_min]
         assert off == rows <= 128
         return {
             "table": jnp.asarray(table),
-            "meta": jnp.asarray(meta),
+            "meta": tuple(meta),
             "lod_min": lod_min,
             "wrap": self.wrap,
             "n_levels": len(self.levels),
             "channels": c,
-            # static column maps for the extract stage
-            "col_s": jnp.asarray(np.arange(wmax * c, dtype=np.int32) // c),
-            "col_onehot": jnp.asarray(
-                (np.arange(wmax * c)[:, None] % c == np.arange(c)[None, :])
-                .astype(np.float32)
-            ),
+            "wmax": wmax,
         }
 
 
@@ -393,23 +396,49 @@ def _ewa_level(dev, level, st, dst0, dst1):
 #
 # See MIPMap.as_packed: per-ray texel gathers cost ~2 us/row on the bench
 # chip, so these lookups replace every texel access with ONE
-# (N,128)@(128,Wc) row matmul + a column extract.  Exact (vs the window
-# path) for every lookup landing at level >= lod_min; finer lookups clamp
-# to lod_min (documented divergence, RS_TEX_PACKED=0 restores the exact
+# (N,128)@(128,Wc) row matmul whose 2-hot rows carry the t-lerp weights,
+# then a channel-planar s-lerp reduction.  Exact (vs the window path) for
+# every lookup landing at level >= lod_min; finer lookups clamp to
+# lod_min (documented divergence, RS_TEX_PACKED=0 restores the exact
 # gather path).
+#
+# Matmul precision: DEFAULT (bf16 multiplies, f32 accumulate) by default —
+# one-hot 0/1 entries are bf16-exact, so only the lerp WEIGHTS and texel
+# values round (<= 2^-9 relative, below the 8-bit quantization of PNG
+# sources).  RS_TEX_PREC=highest restores exact-f32 taps (6x the MXU
+# passes; the f32 path measured pathologically slow on the bench chip).
+_MM = dict(
+    precision=getattr(
+        jax.lax.Precision,
+        os.environ.get("RS_TEX_PREC", "default").upper(),
+    )
+)
 
-_MM = dict(precision=jax.lax.Precision.HIGHEST)
+
+def _sel_meta(pk, level):
+    """Per-ray (h, w, off) as f32/int select chains over the static level
+    meta (a per-ray table gather serializes on TPU; take_rows(meta) alone
+    measured ~120 ms per 230K rays through the tunnel)."""
+    metas = pk["meta"]
+    h = jnp.full(level.shape, metas[-1][0], jnp.int32)
+    w = jnp.full(level.shape, metas[-1][1], jnp.int32)
+    off = jnp.full(level.shape, metas[-1][2], jnp.int32)
+    for l in range(len(metas) - 2, -1, -1):
+        sel = level <= l
+        h = jnp.where(sel, metas[l][0], h)
+        w = jnp.where(sel, metas[l][1], w)
+        off = jnp.where(sel, metas[l][2], off)
+    return h, w, off
 
 
 def _packed_bilerp(pk, level, st):
     """Bilinear at continuous st on per-ray levels (>= lod_min each)."""
-    meta = take_rows(pk["meta"], level)  # (N, 3): h, w, row_offset
-    h = meta[..., 0]
-    w = meta[..., 1]
-    off = meta[..., 2]
+    h, w, off = _sel_meta(pk, level)
     hf = h.astype(DTYPE)
     wf = w.astype(DTYPE)
     wrap = pk["wrap"]
+    wmax = pk["wmax"]
+    c = pk["channels"]
     stn = _st_norm(st, wrap)
     s = stn[..., 0] * wf - 0.5
     t = stn[..., 1] * hf - 0.5
@@ -421,8 +450,10 @@ def _packed_bilerp(pk, level, st):
     t1 = t0 + 1
     one = jnp.ones_like(s0, bool)[:, None]
     if wrap == WRAP_REPEAT:
-        s0i, s1i = s0 % w, s1 % w
-        t0i, t1i = t0 % h, t1 % h
+        # level dims are powers of two (build_mipmap pads): mod == mask,
+        # correct for negatives too
+        s0i, s1i = s0 & (w - 1), s1 & (w - 1)
+        t0i, t1i = t0 & (h - 1), t1 & (h - 1)
         s0v = s1v = t0v = t1v = one
     elif wrap == WRAP_CLAMP:
         s0i = jnp.clip(s0, 0, w - 1)
@@ -447,12 +478,14 @@ def _packed_bilerp(pk, level, st):
         + jnp.where((iota_r == r1) & t1v, dt, 0.0)
     ).astype(jnp.float32)
     m = jnp.matmul(wr, pk["table"], **_MM)  # (N, Wc): t-lerped level rows
-    col_s = pk["col_s"][None, :]
+    # channel-planar s-lerp: col = ch*wmax + s
+    iota_s = jnp.arange(wmax, dtype=jnp.int32)[None, :]
     cw = (
-        jnp.where((col_s == s0i[:, None]) & s0v, 1.0 - ds, 0.0)
-        + jnp.where((col_s == s1i[:, None]) & s1v, ds, 0.0)
+        jnp.where((iota_s == s0i[:, None]) & s0v, 1.0 - ds, 0.0)
+        + jnp.where((iota_s == s1i[:, None]) & s1v, ds, 0.0)
     ).astype(jnp.float32)
-    return jnp.matmul(m * cw, pk["col_onehot"], **_MM)  # (N, C)
+    n = m.shape[0]
+    return jnp.sum(m.reshape(n, c, wmax) * cw[:, None, :], axis=-1)
 
 
 def packed_trilinear_lookup(pk, st, width=None):
