@@ -10,6 +10,7 @@ b^trips >= 2^32.
 import math
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -124,7 +125,13 @@ def scrambled_radical_inverse_base(
     inv_base = 1.0 / base
     # group size: largest k with base^k <= 1024 (tableops one-hot range)
     k = max(1, int(math.floor(math.log(1024.0, base))))
-    perm_np = np.asarray(perm, np.int64)
+    try:
+        perm_np = np.asarray(perm, np.int64)
+    except jax.errors.TracerArrayConversionError:
+        # traced perm (a caller computing payloads under jit): the host
+        # group tables can't be built — keep the per-digit loop, with
+        # the permutation lookup still riding tableops one-hot
+        return _scrambled_loop(base, a, perm, trips, inv_base, dtype)
     # infinite tail of perm[0] digits past the finite trip count
     # (PBRT v3 formulation the reference follows)
     tail = float(perm_np[0]) * inv_base / (1.0 - inv_base)
@@ -153,6 +160,32 @@ def scrambled_radical_inverse_base(
     if acc is None:
         acc = jnp.full(a32.shape, np.float32(tail), jnp.float32)
     return jnp.minimum(acc, jnp.float32(1.0 - 1e-7)).astype(dtype)
+
+
+def _scrambled_loop(base, a, perm, trips, inv_base, dtype):
+    """Per-digit fallback (the pre-grouped-table form) for traced perms."""
+    from .tableops import take_rows
+
+    perm_f = perm.astype(jnp.float32)
+
+    def body(_, carry):
+        val, acc, inv = carry
+        nxt = val // base
+        digit = val - nxt * base
+        pd = take_rows(perm_f, digit)
+        return nxt, acc + pd * inv * inv_base, inv * inv_base
+
+    a32 = a.astype(jnp.int32)
+    _, acc, inv_base_n = lax.fori_loop(
+        0,
+        trips,
+        body,
+        (a32, jnp.zeros(a32.shape, jnp.float32),
+         jnp.ones(a32.shape, jnp.float32)),
+    )
+    tail = perm[0].astype(jnp.float32) * inv_base / (1.0 - inv_base)
+    val = acc + inv_base_n * tail
+    return jnp.minimum(val, jnp.float32(1.0 - 1e-7)).astype(dtype)
 
 
 def compute_radical_inverse_permutations(seed=0):

@@ -107,6 +107,7 @@ BVH_TILE_ROWS = int(os.environ.get("RS_MEGA_TILE_ROWS", "32"))
 SPH_MAX = 8
 LOBES_MAX = 5
 NRM_COL = 16 + 16 * LOBES_MAX  # vertex-normal block (smooth shading)
+TEX0 = NRM_COL + 9  # textured block: dpdv(3), uv0/uv1/uv2(6), tex id(1)
 LIGHT_MAX = 8
 DEPTH_MAX = 15
 
@@ -133,9 +134,11 @@ EnvC = collections.namedtuple(
     "to_world to_local",
 )
 LightC = collections.namedtuple("LightC", "kind p emit o2w w2o radius env")
+# tex: TexC static payload (ops/tex_tile.py) when a lambert kd rides an
+# imagemap — the packed pyramid TABLE is a kernel input, not static
 SceneStatic = collections.namedtuple(
-    "SceneStatic", "spheres lights esc_rgb world_radius bssrdf smooth",
-    defaults=(None, False),
+    "SceneStatic", "spheres lights esc_rgb world_radius bssrdf smooth tex",
+    defaults=(None, False, None),
 )
 # single-material Burley BSSRDF constants (bssrdf.rs / disney.rs):
 # R/d 3-tuples, eta, and the host-precomputed Sw normalization
@@ -206,6 +209,7 @@ def common_scene_checks(
     allow_bssrdf=False,
     allow_halton=False,
     allow_smooth=False,
+    allow_textured=False,
 ):
     """Host gates shared by BOTH megakernels (path + direct): RGB only,
     in-VMEM stratified sampler, VMEM-resident scene with flat (or, for
@@ -299,8 +303,29 @@ def common_scene_checks(
     if np.any(np.asarray(mats["bump_tex"])[used] >= 0):
         return None
     pi_ = np.asarray(mats["packed_i"])  # tex ids live in cols 6..10
-    if np.any(pi_[..., 6:11][live] >= 0):
-        return None
+    if np.any(pi_[..., 7:11][live] >= 0):
+        return None  # rough/sigma/scale textures: jnp path only
+    if np.any(np.asarray(mats["is_disney_tex"])[used]):
+        return None  # per-hit Disney texture assembly: jnp path only
+    s0t = pi_[..., 6]
+    if np.any((s0t >= 0) & live):
+        if not allow_textured:
+            return None
+        # textured kd: single-lobe lambert matte whose s0 rides an
+        # imagemap (matte.rs:35-61); the record/image subset is
+        # validated by _textured_static
+        tex_lobes = (s0t >= 0) & live
+        if np.any(tex_lobes & (kinds != LOBE_LAMBERT_REFL)):
+            return None
+        if np.any(tex_lobes[:, 1:]):
+            return None  # textured lobe must be the only lobe
+        if np.any(tex_lobes[:, 0] & (n_lobes != 1)):
+            return None
+        if np.asarray(ctx.sph.mat).size and np.any(
+            tex_lobes[np.maximum(np.asarray(ctx.sph.mat), 0), 0]
+            & (np.asarray(ctx.sph.mat) >= 0)
+        ):
+            return None  # textured sphere materials: no uv in-kernel
     # scale must be the identity (no ScaleTexture wrapping)
     if np.any(np.abs(np.asarray(mats["scale"])[live] - 1.0) > 0):
         return None
@@ -332,6 +357,45 @@ def common_scene_checks(
     return kinds, n_lobes, live, used
 
 
+def _textured_static(ctx):
+    """The one textured-kd record/image this kernel can evaluate, or None.
+
+    Subset (beyond common_scene_checks' lobe gates): exactly ONE distinct
+    imagemap, TEX_IMAGE kind with MAP_UV mapping, RGB texels, EWA
+    filtering (do_trilinear False — the imagemap default,
+    renderprocess.rs:522), and a packed coarse pyramid <= 256 texels wide
+    (the planar one-hot table; scene/mipmap.py MIPMap.as_packed).
+    Returns (record, image, packed, record_id)."""
+    from ..scene.textures import MAP_UV, TEX_IMAGE
+
+    mats = ctx.mats
+    s0t = np.asarray(mats["packed_i"])[..., 6]
+    n_lobes = np.asarray(mats["n_lobes"])
+    prim_mats = [np.asarray(ctx.tri.mat), np.asarray(ctx.sph.mat)]
+    prim_mat = np.concatenate([m for m in prim_mats if m.size]) if any(
+        m.size for m in prim_mats
+    ) else np.zeros(0, np.int64)
+    used = np.unique(prim_mat[prim_mat >= 0])
+    live = np.zeros_like(s0t, bool)
+    for i in used:
+        live[i, : int(n_lobes[i])] = True
+    ids = np.unique(s0t[live & (s0t >= 0)])
+    if ids.size != 1:
+        return None
+    tid = int(ids[0])
+    rec = ctx.registry.records[tid]
+    if rec.kind != TEX_IMAGE or rec.mapping != MAP_UV:
+        return None
+    image = ctx.registry.images[rec.image_id]
+    if image.do_trilinear:
+        return None
+    dev = ctx.dev_images[rec.image_id]
+    pk = dev.get("packed")
+    if pk is None or int(pk["channels"]) != 3 or int(pk["wmax"]) > 256:
+        return None
+    return rec, image, pk, tid
+
+
 def supports(ctx, spec, sampler, diff) -> bool:
     """Static host check: can the path megakernel render this job exactly?"""
     if spec.kind != "path" or diff is not None:
@@ -355,10 +419,20 @@ def supports(ctx, spec, sampler, diff) -> bool:
         allow_bssrdf=True,
         allow_halton=True,
         allow_smooth=True,
+        allow_textured=True,
     )
     if common is None:
         return False
     kinds, n_lobes, live, used = common
+    if np.any((np.asarray(ctx.mats["packed_i"])[..., 6] >= 0) & live):
+        # textured kd: the kernel computes camera-FD duv at the primary
+        # hit and dead differentials after (the jnp packed path's exact
+        # behavior only when no specular chain propagates footprints) —
+        # lambert-only scenes, and the record subset must validate
+        if any(k != LOBE_LAMBERT_REFL for k in np.unique(kinds[live])):
+            return False
+        if _textured_static(ctx) is None:
+            return False
     if np.any(n_lobes[used] > LOBES_MAX):
         return False
     if np.any(np.asarray(ctx.mats["has_bssrdf"])[used]):
@@ -616,7 +690,7 @@ def pack_scene(ctx, allow_bvh=True, with_mat_col=False):
     # pad to >=8 rows so sphere-only scenes still feed Pallas a real VMEM
     # block; zero rows have det == 0 and never intersect
     t_rows = max(t_count, 8)
-    table = np.zeros((t_rows, NRM_COL + 9), np.float32)
+    table = np.zeros((t_rows, TEX0 + 10), np.float32)
     table[:t_count, 0:3] = p0
     table[:t_count, 3:6] = e1
     table[:t_count, 6:9] = e2
@@ -641,6 +715,29 @@ def pack_scene(ctx, allow_bvh=True, with_mat_col=False):
     table[:t_count, NRM_COL + 3 : NRM_COL + 6] = np.asarray(tri.n1, np.float32)
     table[:t_count, NRM_COL + 6 : NRM_COL + 9] = np.asarray(tri.n2, np.float32)
     smooth = _mesh_smooth(tri)
+
+    # textured-kd block (read only when a textured material is live):
+    # dpdv for the duv 2x2 solve, per-vertex uv for barycentric interp,
+    # and the per-triangle texture engagement flag (-1 = constant s0)
+    tex_info = _textured_static(ctx)
+    tex_static = None
+    tex_table = None
+    if tex_info is not None:
+        rec, image, pk, tid = tex_info
+        from . import tex_tile
+
+        tex_static = tex_tile.pack_texture_static(rec, image, pk)
+        tex_table = tex_tile.table_bf16(pk)
+        table[:t_count, TEX0 + 0 : TEX0 + 3] = np.asarray(tri.dpdv, np.float32)
+        table[:t_count, TEX0 + 3 : TEX0 + 5] = np.asarray(tri.uv0, np.float32)
+        table[:t_count, TEX0 + 5 : TEX0 + 7] = np.asarray(tri.uv1, np.float32)
+        table[:t_count, TEX0 + 7 : TEX0 + 9] = np.asarray(tri.uv2, np.float32)
+        s0t_tri = np.asarray(ctx.mats["packed_i"])[..., 6][
+            np.maximum(mat, 0), 0
+        ]
+        table[:t_count, TEX0 + 9] = np.where(
+            (mat >= 0) & (s0t_tri >= 0), 1.0, -1.0
+        )
 
     lights_p = tuple(
         tuple(float(v) for v in row) for row in np.asarray(ctx.lights.p)
@@ -679,6 +776,7 @@ def pack_scene(ctx, allow_bvh=True, with_mat_col=False):
         world_radius=float(np.asarray(ctx.lights.world_radius)),
         bssrdf=bss,
         smooth=smooth,
+        tex=tex_static,
     )
     # static specialization facts: which lobe kinds exist on used materials
     # (triangles AND spheres) and the deepest live lobe stack — the kernel
@@ -714,7 +812,8 @@ def pack_scene(ctx, allow_bvh=True, with_mat_col=False):
         tbl = pack_bvh_tables(bvh_t, ctx.tri)
         order = np.asarray(bvh_t.prim_index, np.int64)
         cols = list(range(9)) + list(
-            _attr_cols(kinds_present, max_lobes, smooth)
+            _attr_cols(kinds_present, max_lobes, smooth,
+                       textured=tex_static is not None)
         )
         if with_mat_col:
             cols.append(47)  # material id rides as the LAST attr
@@ -727,7 +826,7 @@ def pack_scene(ctx, allow_bvh=True, with_mat_col=False):
         bvh = (tbl["nodes2_f"], tbl["nodes_i"], int(tbl["max_leaf"]))
     return (
         jnp.asarray(table), lights_p, lights_emit, kinds_present, max_lobes,
-        wide, bvh,
+        wide, bvh, tex_table,
     )
 
 
@@ -752,12 +851,14 @@ def _has_full(kinds_present):
     )
 
 
-def _attr_cols(kinds_present, max_lobes, smooth=False):
-    """Table columns the specialized kernel actually needs.  smooth
-    appends the winner's intersect row (p0,e1,e2 — barycentric recompute)
-    and the raw vertex normals, always as the LAST 18 attrs (the bounce
-    loop unpacks them from the tail; with_mat_col rides after, but the
-    SPPM kernels are flat-only so the orders never mix)."""
+def _attr_cols(kinds_present, max_lobes, smooth=False, textured=False):
+    """Table columns the specialized kernel actually needs.  smooth /
+    textured append the winner's intersect row (p0,e1,e2 — barycentric
+    recompute), then the raw vertex normals (smooth), then the textured
+    block (dpdv, uv0..uv2, tex id), always as the LAST attrs in that
+    order (the bounce loop unpacks them from the tail; with_mat_col
+    rides after, but the SPPM kernels are flat-only so the orders never
+    mix)."""
     has_full = _has_full(kinds_present)
     mixed = len(kinds_present) > 1
     cols = [9, 10, 11, 12, 13, 14, 15]  # ng, dpdu, n_lobes
@@ -770,9 +871,12 @@ def _attr_cols(kinds_present, max_lobes, smooth=False):
         cols.extend([base + 1, base + 2, base + 3])  # s0
         if has_full:
             cols.extend(range(base + 4, base + 15))  # s1,s2,au,av,fres,etas
+    if smooth or textured:
+        cols.extend(range(0, 9))  # p0, e1, e2 (barycentric recompute)
     if smooth:
-        cols.extend(range(0, 9))  # p0, e1, e2
         cols.extend(range(NRM_COL, NRM_COL + 9))  # n0, n1, n2
+    if textured:
+        cols.extend(range(TEX0, TEX0 + 10))  # dpdv, uv0..uv2, tex id
     return tuple(cols)
 
 
@@ -2188,6 +2292,7 @@ def _bounce_loop(
     n_tris, wide, max_depth, rr_threshold,
     spp, xs, ys, jitter, seed, kinds_present, max_lobes,
     bvh_refs=None, max_leaf=None, u_ref=None, hal_slots=None,
+    tex_refs=None, diff=None,
 ):
     sdim = _mk_sdim(pid, sid, spp, xs, ys, jitter, seed, u_ref, hal_slots)
     lights = wide.lights
@@ -2204,7 +2309,9 @@ def _bounce_loop(
     has_full = _has_full(kinds_present)
     mixed = len(kinds_present) > 1
     smooth = bool(getattr(wide, "smooth", False))
-    attr_cols = _attr_cols(kinds_present, max_lobes, smooth)
+    tex = getattr(wide, "tex", None)
+    textured = tex is not None and tex_refs is not None
+    attr_cols = _attr_cols(kinds_present, max_lobes, smooth, textured)
     one = jnp.ones(ox.shape, jnp.float32)
     zero = jnp.zeros(ox.shape, jnp.float32)
     br, bg, bb = one, one, one
@@ -2279,13 +2386,15 @@ def _bounce_loop(
                 lob["eta_a"] = lob["eta_b"] = zero_k
             lobs.append(lob)
 
-        if smooth:
-            # smooth shading normal: rebuild the winner's barycentrics
-            # from its intersect row (the last 18 attrs: p0,e1,e2 then
-            # raw n0,n1,n2) with surface_interaction's exact guards
+        # tail attr blocks (see _attr_cols): [p0,e1,e2] [n0,n1,n2] [tex]
+        tex_attrs = out[-10:] if textured else None
+        n_tail_tex = 10 if textured else 0
+        if smooth or textured:
+            # rebuild the winner's barycentrics from its intersect row
+            # with surface_interaction's exact guards
             # (accel/geometry.py:239-262, triangle.rs:301+)
-            (p0x, p0y, p0z, e1x, e1y, e1z, e2x, e2y, e2z,
-             n0x, n0y, n0z, n1x, n1y, n1z, n2x, n2y, n2z) = out[-18:]
+            g0 = -(9 + (9 if smooth else 0) + n_tail_tex)
+            (p0x, p0y, p0z, e1x, e1y, e1z, e2x, e2y, e2z) = out[g0 : g0 + 9]
             pvx = dy * e2z - dz * e2y
             pvy = dz * e2x - dx * e2z
             pvz = dx * e2y - dy * e2x
@@ -2298,6 +2407,11 @@ def _bounce_loop(
             qvz = tvx * e1y - tvy * e1x
             b2 = (dx * qvx + dy * qvy + dz * qvz) * inv_b
             b0 = 1.0 - b1 - b2
+        if smooth:
+            # smooth shading normal: interpolate the raw vertex normals
+            (n0x, n0y, n0z, n1x, n1y, n1z, n2x, n2y, n2z) = out[
+                -(9 + n_tail_tex) : -n_tail_tex or None
+            ]
             nsxr = b0 * n0x + b1 * n1x + b2 * n2x
             nsyr = b0 * n0y + b1 * n1y + b2 * n2y
             nszr = b0 * n0z + b1 * n1z + b2 * n2z
@@ -2329,6 +2443,12 @@ def _bounce_loop(
             duy = jnp.where(use_s, sduy, duy)
             duz = jnp.where(use_s, sduz, duz)
             n_lob = jnp.where(use_s, sm["n_lob"], n_lob)
+            if textured:
+                # sphere materials are untextured (supports gate): mask
+                # the triangle tex flag off sphere-winning lanes
+                tex_attrs = tex_attrs[:-1] + (
+                    jnp.where(use_s, -1.0, tex_attrs[-1]),
+                )
             if has_st:
                 mat_eta = jnp.where(use_s, sm["mat_eta"], mat_eta)
             for l in range(max_lobes):
@@ -2388,6 +2508,91 @@ def _bounce_loop(
         px = ox + dx * t
         py = oy + dy * t
         pz = oz + dz * t
+
+        if textured:
+            # textured-kd tap (matte.rs:35-61): interpolate uv, map to st
+            # (MAP_UV), pick the EWA level from camera-FD duv at the
+            # primary hit (dead differentials after — the jnp packed
+            # path's exact behavior for lambert-only scenes), evaluate on
+            # the packed pyramid via the MXU one-hot tap (ops/tex_tile)
+            from . import tex_tile as _tt
+
+            (dvux, dvuy, dvuz,
+             uv0u, uv0v, uv1u, uv1v, uv2u, uv2v, texid) = tex_attrs
+            texed = active & (texid > 0.0)
+            uvu = b0 * uv0u + b1 * uv1u + b2 * uv2u
+            uvv = b0 * uv0v + b1 * uv1v + b2 * uv2v
+            ss_t = tex.su * uvu + tex.du
+            tt_t = tex.sv * uvv + tex.dv
+            lodf = None
+            if bounce == 0 and diff is not None:
+                # compute_uv_differentials (accel/geometry.py:369-432):
+                # plane-project the FD rays, solve the 2x2 against
+                # dpdu/dpdv on the two dominant axes of ng
+                (rxox, rxoy, rxoz, rxdx, rxdy, rxdz,
+                 ryox, ryoy, ryoz, rydx, rydy, rydz) = diff
+                d_plane = ngx * px + ngy * py + ngz * pz
+
+                def _plane_dp(aox, aoy, aoz, adx, ady, adz):
+                    den = ngx * adx + ngy * ady + ngz * adz
+                    den = jnp.where(jnp.abs(den) < 1e-9, 1e-9, den)
+                    th = (
+                        d_plane - (ngx * aox + ngy * aoy + ngz * aoz)
+                    ) / den
+                    return (
+                        aox + adx * th - px,
+                        aoy + ady * th - py,
+                        aoz + adz * th - pz,
+                    )
+
+                dpxx, dpxy, dpxz = _plane_dp(rxox, rxoy, rxoz,
+                                             rxdx, rxdy, rxdz)
+                dpyx, dpyy, dpyz = _plane_dp(ryox, ryoy, ryoz,
+                                             rydx, rydy, rydz)
+                ax0, ax1, ax2 = jnp.abs(ngx), jnp.abs(ngy), jnp.abs(ngz)
+                k0 = (ax0 >= ax1) & (ax0 >= ax2)  # argmax, first-max ties
+                kmax2 = ~k0 & (ax2 > ax1)
+                # dim0 = 1 if kmax==0 else 0; dim1 = 1 if kmax==2 else 2
+                c0 = lambda vx, vy, vz: jnp.where(k0, vy, vx)
+                c1 = lambda vx, vy, vz: jnp.where(kmax2, vy, vz)
+                a00 = c0(dux, duy, duz)
+                a01 = c0(dvux, dvuy, dvuz)
+                a10 = c1(dux, duy, duz)
+                a11 = c1(dvux, dvuy, dvuz)
+                det_s = a00 * a11 - a01 * a10
+                okd = jnp.abs(det_s) >= 1e-10
+                invd = 1.0 / jnp.where(okd, det_s, 1.0)
+                fin = lambda x: jnp.where(
+                    jnp.isfinite(x) & active, x, 0.0
+                )
+
+                def _solve(bx, by, bz):
+                    b0_ = c0(bx, by, bz)
+                    b1_ = c1(bx, by, bz)
+                    du_ = (a11 * b0_ - a01 * b1_) * invd
+                    dv_ = (a00 * b1_ - a10 * b0_) * invd
+                    du_ = fin(jnp.where(okd, du_, 0.0))
+                    dv_ = fin(jnp.where(okd, dv_, 0.0))
+                    return du_, dv_
+
+                dudx, dvdx = _solve(dpxx, dpxy, dpxz)
+                dudy, dvdy = _solve(dpyx, dpyy, dpyz)
+                lodf = _tt.ewa_lod(
+                    tex,
+                    dudx * tex.su, dvdx * tex.sv,
+                    dudy * tex.su, dvdy * tex.sv,
+                )
+            planes = _tt.lookup_planes(tex, ss_t, tt_t, lodf, active=texed)
+            tbl_ref, scr_in, scr_out = tex_refs
+            tr_, tg_, tb_ = _tt.tile_lookup(
+                tex, tbl_ref, scr_in, scr_out, planes
+            )
+            l0s = lobs[0]["s0"]
+            lobs[0]["s0"] = (
+                jnp.where(texed, tr_, l0s[0]),
+                jnp.where(texed, tg_, l0s[1]),
+                jnp.where(texed, tb_, l0s[2]),
+            )
 
         # shading frame (bsdf/eval.make_frame): ss = normalize(dpdu),
         # degenerate -> coordinate_system(ns); ts = cross(ns, ss).  The
@@ -2958,6 +3163,32 @@ def _bounce_loop(
     return Lr, Lg, Lb
 
 
+def _parse_rest(rest, wide, hal_slots, n_outs, n_bvh_scr):
+    """(u_r, tex_refs, outs, bvh_scratch) from a kernel's *rest.
+
+    Positional layout (pallas_call order: inputs, outputs, scratch):
+      [u_r when halton] [tex_table when textured]
+      <n_outs output refs>
+      <n_bvh_scr BVH scratch refs> [scr_in, scr_out when textured]
+    """
+    textured = getattr(wide, "tex", None) is not None
+    i = 0
+    u_r = None
+    if hal_slots is not None:
+        u_r = rest[i]
+        i += 1
+    tex_tbl = None
+    if textured:
+        tex_tbl = rest[i]
+        i += 1
+    outs = rest[i : i + n_outs]
+    scr = rest[i + n_outs :]
+    bvh_scr = scr[:n_bvh_scr]
+    tex_refs = (tex_tbl, scr[n_bvh_scr], scr[n_bvh_scr + 1]) if textured \
+        else None
+    return u_r, tex_refs, outs, bvh_scr
+
+
 def _kernel(
     tri_ref,
     ox_r, oy_r, oz_r, dx_r, dy_r, dz_r, w_r, pid_r, sid_r,
@@ -2965,16 +3196,16 @@ def _kernel(
     n_tris, wide, max_depth, rr_threshold,
     spp, xs, ys, jitter, seed, kinds_present, max_lobes, hal_slots=None,
 ):
-    # rest = ([u_r when halton], lr_o, lg_o, lb_o)
-    u_r = rest[0] if hal_slots is not None else None
-    lr_o, lg_o, lb_o = rest[-3:]
+    u_r, tex_refs, (lr_o, lg_o, lb_o), _ = _parse_rest(
+        rest, wide, hal_slots, 3, 0
+    )
     Lr, Lg, Lb = _bounce_loop(
         tri_ref,
         ox_r[:], oy_r[:], oz_r[:], dx_r[:], dy_r[:], dz_r[:],
         w_r[:] > 0.0, pid_r[:], sid_r[:],
         n_tris, wide, max_depth, rr_threshold,
         spp, xs, ys, jitter, seed, kinds_present, max_lobes,
-        u_ref=u_r, hal_slots=hal_slots,
+        u_ref=u_r, hal_slots=hal_slots, tex_refs=tex_refs,
     )
     lr_o[:] = Lr
     lg_o[:] = Lg
@@ -2989,10 +3220,10 @@ def _kernel_bvh(
     spp, xs, ys, jitter, seed, kinds_present, max_lobes, max_leaf,
     hal_slots=None,
 ):
-    # rest = ([u_r when halton], lr_o, lg_o, lb_o, stack, t, best, attr)
-    u_r = rest[0] if hal_slots is not None else None
-    lr_o, lg_o, lb_o = rest[-7:-4]
-    stack_ref, t_ref, best_ref, attr_ref = rest[-4:]
+    u_r, tex_refs, (lr_o, lg_o, lb_o), bvh_scr = _parse_rest(
+        rest, wide, hal_slots, 3, 4
+    )
+    stack_ref, t_ref, best_ref, attr_ref = bvh_scr
     Lr, Lg, Lb = _bounce_loop(
         tri_ref,
         ox_r[:], oy_r[:], oz_r[:], dx_r[:], dy_r[:], dz_r[:],
@@ -3002,7 +3233,7 @@ def _kernel_bvh(
         bvh_refs=(nodes_f_ref, nodes_i_ref, stack_ref, t_ref, best_ref,
                   attr_ref),
         max_leaf=max_leaf,
-        u_ref=u_r, hal_slots=hal_slots,
+        u_ref=u_r, hal_slots=hal_slots, tex_refs=tex_refs,
     )
     lr_o[:] = Lr
     lg_o[:] = Lg
@@ -3010,11 +3241,13 @@ def _kernel_bvh(
 
 
 def _bvh_call_extras(rows, kinds_present, max_lobes, interpret,
-                     extra_attrs=0, smooth=False):
+                     extra_attrs=0, smooth=False, textured=False):
     """(scratch_shapes, compiler kwargs) shared by both BVH-mode runs.
     extra_attrs: additional trailing attr columns (the SPPM kernels add
     the material id)."""
-    n_attr = len(_attr_cols(kinds_present, max_lobes, smooth)) + extra_attrs
+    n_attr = len(
+        _attr_cols(kinds_present, max_lobes, smooth, textured)
+    ) + extra_attrs
     scratch = [
         pltpu.SMEM((STACK_DEPTH,), jnp.int32),
         pltpu.VMEM((rows, LANES), jnp.float32),
@@ -3029,6 +3262,25 @@ def _bvh_call_extras(rows, kinds_present, max_lobes, interpret,
     return scratch, kwargs
 
 
+def _tex_call_extras(wide, tex_table, rows, two_level):
+    """(extra inputs, extra in_specs, extra scratch) for textured runs:
+    the packed bf16 table rides whole-array VMEM; the tile lookup needs
+    its plane and output scratch (ops/tex_tile.py)."""
+    from . import tex_tile
+
+    tex = getattr(wide, "tex", None)
+    if tex is None:
+        return (), [], []
+    scratch = [
+        pltpu.VMEM(
+            (rows, tex_tile.n_scratch_planes(two_level), LANES),
+            jnp.float32,
+        ),
+        pltpu.VMEM((rows, tex.channels, LANES), jnp.float32),
+    ]
+    return (tex_table,), [pl.BlockSpec(memory_space=pltpu.VMEM)], scratch
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -3041,7 +3293,7 @@ def _run(
     table, nodes_f, nodes_i, ox, oy, oz, dx, dy, dz, w, pid, sid,
     n_tris, wide, max_depth, rr_threshold,
     spp, xs, ys, jitter, seed, kinds_present, max_lobes, max_leaf=None,
-    u=None, hal_slots=None,
+    u=None, hal_slots=None, tex_table=None,
     interpret=False,
 ):
     m = ox.shape[0]
@@ -3059,6 +3311,11 @@ def _run(
         u_specs = [pl.BlockSpec(
             (nc, rows, LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM
         )]
+    tex_in, tex_specs, tex_scratch = _tex_call_extras(
+        wide, tex_table, rows, two_level=False
+    )
+    u_in = u_in + tex_in
+    u_specs = u_specs + tex_specs
     if use_bvh:
         kernel = functools.partial(
             _kernel_bvh,
@@ -3071,6 +3328,7 @@ def _run(
         scratch, kwargs = _bvh_call_extras(
             rows, kinds_present, max_lobes, interpret,
             smooth=bool(getattr(wide, "smooth", False)),
+            textured=getattr(wide, "tex", None) is not None,
         )
         return pl.pallas_call(
             kernel,
@@ -3078,7 +3336,7 @@ def _run(
             in_specs=[vmem, vmem, vmem] + [ray_spec] * 9 + u_specs,
             out_specs=[ray_spec] * 3,
             out_shape=[jax.ShapeDtypeStruct((m, LANES), jnp.float32)] * 3,
-            scratch_shapes=scratch,
+            scratch_shapes=scratch + tex_scratch,
             interpret=interpret,
             **kwargs,
         )(nodes_f, nodes_i, table, ox, oy, oz, dx, dy, dz, w, pid, sid,
@@ -3099,6 +3357,7 @@ def _run(
         in_specs=[vmem] + [ray_spec] * 9 + u_specs,
         out_specs=[ray_spec] * 3,
         out_shape=[jax.ShapeDtypeStruct((m, LANES), jnp.float32)] * 3,
+        scratch_shapes=tex_scratch,
         interpret=interpret,
     )(table, ox, oy, oz, dx, dy, dz, w, pid, sid, *u_in)
     return outs
@@ -3143,7 +3402,7 @@ def li_path_mega(
     subset.  packed = pack_scene(ctx) built once per scene.  The sampler's
     bounce dimensions are evaluated inside the kernel (same hash math)."""
     (table, lights_p, lights_emit, kinds_present, max_lobes, wide,
-     bvh) = packed
+     bvh, tex_table) = packed
     nodes_f, nodes_i, max_leaf = bvh if bvh is not None else (None,) * 3
     n = o.shape[0]
 
@@ -3174,7 +3433,7 @@ def li_path_mega(
         **samp_static,
         kinds_present=kinds_present, max_lobes=max_lobes,
         max_leaf=max_leaf,
-        u=u, hal_slots=hal_slots,
+        u=u, hal_slots=hal_slots, tex_table=tex_table,
         interpret=interpret,
     )
     return jnp.stack(
@@ -3357,6 +3616,30 @@ def _raygen(px, py, sdim, cam):
     return wx, wy, wz, vx, vy, vz, weight
 
 
+def _raygen_with_diff(px, py, sdim, cam, wide, spp):
+    """Primary rays + (for textured scenes) camera-FD ray differentials
+    (camera/realistic.py generate_ray_differentials: +0.05px shifted film
+    points through the SAME lens sample, offsets scaled by 1/sqrt(spp),
+    dead where the shifted trace dies)."""
+    ox, oy, oz, dx, dy, dz, weight = _raygen(px, py, sdim, cam)
+    if getattr(wide, "tex", None) is None:
+        return ox, oy, oz, dx, dy, dz, weight, None
+    eps = 0.05
+    s_ = 1.0 / float(np.sqrt(max(spp, 1)))
+    xo0, xo1, xo2, xd0, xd1, xd2, wx = _raygen(px + eps, py, sdim, cam)
+    yo0, yo1, yo2, yd0, yd1, yd2, wy = _raygen(px, py + eps, sdim, cam)
+    okx = wx > 0.0
+    oky = wy > 0.0
+    fd = lambda b, s, ok: jnp.where(ok, b + (s - b) / eps * s_, b)
+    diff = (
+        fd(ox, xo0, okx), fd(oy, xo1, okx), fd(oz, xo2, okx),
+        fd(dx, xd0, okx), fd(dy, xd1, okx), fd(dz, xd2, okx),
+        fd(ox, yo0, oky), fd(oy, yo1, oky), fd(oz, yo2, oky),
+        fd(dx, yd0, oky), fd(dy, yd1, oky), fd(dz, yd2, oky),
+    )
+    return ox, oy, oz, dx, dy, dz, weight, diff
+
+
 def _kernel_cam(
     tri_ref,
     px_r, py_r, pid_r, sid_r,
@@ -3365,18 +3648,20 @@ def _kernel_cam(
     spp, xs, ys, jitter, seed, cam, kinds_present, max_lobes,
     hal_slots=None,
 ):
-    # rest = ([u_r when halton], lr_o, lg_o, lb_o, w_o)
-    u_r = rest[0] if hal_slots is not None else None
-    lr_o, lg_o, lb_o, w_o = rest[-4:]
+    u_r, tex_refs, (lr_o, lg_o, lb_o, w_o), _ = _parse_rest(
+        rest, wide, hal_slots, 4, 0
+    )
     pid = pid_r[:]
     sid = sid_r[:]
     sdim = _mk_sdim(pid, sid, spp, xs, ys, jitter, seed, u_r, hal_slots)
-    ox, oy, oz, dx, dy, dz, weight = _raygen(px_r[:], py_r[:], sdim, cam)
+    ox, oy, oz, dx, dy, dz, weight, diff = _raygen_with_diff(
+        px_r[:], py_r[:], sdim, cam, wide, spp
+    )
     Lr, Lg, Lb = _bounce_loop(
         tri_ref, ox, oy, oz, dx, dy, dz, weight > 0.0, pid, sid,
         n_tris, wide, max_depth, rr_threshold,
         spp, xs, ys, jitter, seed, kinds_present, max_lobes,
-        u_ref=u_r, hal_slots=hal_slots,
+        u_ref=u_r, hal_slots=hal_slots, tex_refs=tex_refs, diff=diff,
     )
     lr_o[:] = Lr
     lg_o[:] = Lg
@@ -3392,15 +3677,16 @@ def _kernel_cam_bvh(
     spp, xs, ys, jitter, seed, cam, kinds_present, max_lobes, max_leaf,
     hal_slots=None,
 ):
-    # rest = ([u_r when halton], lr_o, lg_o, lb_o, w_o, stack, t, best,
-    # attr)
-    u_r = rest[0] if hal_slots is not None else None
-    lr_o, lg_o, lb_o, w_o = rest[-8:-4]
-    stack_ref, t_ref, best_ref, attr_ref = rest[-4:]
+    u_r, tex_refs, (lr_o, lg_o, lb_o, w_o), bvh_scr = _parse_rest(
+        rest, wide, hal_slots, 4, 4
+    )
+    stack_ref, t_ref, best_ref, attr_ref = bvh_scr
     pid = pid_r[:]
     sid = sid_r[:]
     sdim = _mk_sdim(pid, sid, spp, xs, ys, jitter, seed, u_r, hal_slots)
-    ox, oy, oz, dx, dy, dz, weight = _raygen(px_r[:], py_r[:], sdim, cam)
+    ox, oy, oz, dx, dy, dz, weight, diff = _raygen_with_diff(
+        px_r[:], py_r[:], sdim, cam, wide, spp
+    )
     Lr, Lg, Lb = _bounce_loop(
         tri_ref, ox, oy, oz, dx, dy, dz, weight > 0.0, pid, sid,
         n_tris, wide, max_depth, rr_threshold,
@@ -3408,7 +3694,7 @@ def _kernel_cam_bvh(
         bvh_refs=(nodes_f_ref, nodes_i_ref, stack_ref, t_ref, best_ref,
                   attr_ref),
         max_leaf=max_leaf,
-        u_ref=u_r, hal_slots=hal_slots,
+        u_ref=u_r, hal_slots=hal_slots, tex_refs=tex_refs, diff=diff,
     )
     lr_o[:] = Lr
     lg_o[:] = Lg
@@ -3438,7 +3724,7 @@ def _run_cam(
     table, nodes_f, nodes_i, px, py, pid, sid,
     n_tris, wide, max_depth, rr_threshold,
     spp, xs, ys, jitter, seed, cam, kinds_present, max_lobes,
-    max_leaf=None, u=None, hal_slots=None, interpret=False,
+    max_leaf=None, u=None, hal_slots=None, tex_table=None, interpret=False,
 ):
     m = px.shape[0]
     use_bvh = nodes_f is not None
@@ -3455,6 +3741,11 @@ def _run_cam(
         u_specs = [pl.BlockSpec(
             (nc, rows, LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM
         )]
+    tex_in, tex_specs, tex_scratch = _tex_call_extras(
+        wide, tex_table, rows, two_level=True
+    )
+    u_in = u_in + tex_in
+    u_specs = u_specs + tex_specs
     if use_bvh:
         kernel = functools.partial(
             _kernel_cam_bvh,
@@ -3467,6 +3758,7 @@ def _run_cam(
         scratch, kwargs = _bvh_call_extras(
             rows, kinds_present, max_lobes, interpret,
             smooth=bool(getattr(wide, "smooth", False)),
+            textured=getattr(wide, "tex", None) is not None,
         )
         return pl.pallas_call(
             kernel,
@@ -3474,7 +3766,7 @@ def _run_cam(
             in_specs=[vmem, vmem, vmem] + [ray_spec] * 4 + u_specs,
             out_specs=[ray_spec] * 4,
             out_shape=[jax.ShapeDtypeStruct((m, LANES), jnp.float32)] * 4,
-            scratch_shapes=scratch,
+            scratch_shapes=scratch + tex_scratch,
             interpret=interpret,
             **kwargs,
         )(nodes_f, nodes_i, table, px, py, pid, sid, *u_in)
@@ -3492,6 +3784,7 @@ def _run_cam(
         in_specs=[vmem] + [ray_spec] * 4 + u_specs,
         out_specs=[ray_spec] * 4,
         out_shape=[jax.ShapeDtypeStruct((m, LANES), jnp.float32)] * 4,
+        scratch_shapes=tex_scratch,
         interpret=interpret,
     )(table, px, py, pid, sid, *u_in)
     return outs
@@ -3508,7 +3801,7 @@ def li_path_mega_cam(
     (sampler dim 0) is applied in-kernel, identically to the p_film the
     caller computes for filtering."""
     (table, lights_p, lights_emit, kinds_present, max_lobes, wide,
-     bvh) = packed
+     bvh, tex_table) = packed
     nodes_f, nodes_i, max_leaf = bvh if bvh is not None else (None,) * 3
     n = pixel_xy.shape[0]
 
@@ -3539,7 +3832,7 @@ def li_path_mega_cam(
         cam=_Hashable(cam_packed),
         kinds_present=kinds_present, max_lobes=max_lobes,
         max_leaf=max_leaf,
-        u=u, hal_slots=hal_slots,
+        u=u, hal_slots=hal_slots, tex_table=tex_table,
         interpret=interpret,
     )
     l = jnp.stack(

@@ -79,8 +79,11 @@ def pack_texture_static(rec, image, pk):
 
 
 def table_bf16(pk):
-    """The packed planar table as the kernel's bf16 input array."""
-    return pk["table"].astype(jnp.bfloat16)
+    """The packed planar table as the kernel's bf16 input array,
+    PRE-TRANSPOSED to (Wc, 128): the per-row tap is then a plain NN
+    matmul dot(T_t, oh) — a TN dot_general would re-materialize the
+    transpose inside the row loop."""
+    return pk["table"].T.astype(jnp.bfloat16)
 
 
 def _sel_meta(tex, level):
@@ -201,10 +204,17 @@ def lookup_planes(tex, ss, tt, lod_f=None, active=None):
 def tile_lookup(tex, tbl_ref, scr_in, scr_out, planes):
     """Run the per-sublane-row matmul loop; returns (r, g, b) tiles.
 
-    tbl_ref: (128, channels*wmax) bf16 VMEM ref (whole packed table).
-    scr_in:  (n_planes, rows, LANES) f32 VMEM scratch.
-    scr_out: (channels, rows, LANES) f32 VMEM scratch.
+    tbl_ref: (channels*wmax, 128) bf16 VMEM ref (packed table,
+             pre-transposed by table_bf16).
+    scr_in:  (rows, n_planes, LANES) f32 VMEM scratch.
+    scr_out: (rows, channels, LANES) f32 VMEM scratch.
     planes:  tuple of (rows, LANES) f32 arrays from lookup_planes.
+
+    Each fori iteration handles one sublane row (128 rays on lanes):
+    ONE dynamic load fetches every plane of the row, one NN matmul
+    dot(T_t (Wc,128), oh (128,128)) evaluates the weighted bilerp rows,
+    the planar s-extraction reduces channel blocks, and ONE dynamic
+    store writes all channels.
     """
     rows, lanes = planes[0].shape
     n_planes = len(planes)
@@ -213,32 +223,25 @@ def tile_lookup(tex, tbl_ref, scr_in, scr_out, planes):
     c = tex.channels
     wc = c * wmax
     for p, arr in enumerate(planes):
-        scr_in[p, :, :] = arr
-    tbl = tbl_ref[:, :]  # (128, wc) bf16, loop-invariant
-    iota_k = lax.broadcasted_iota(jnp.float32, (128, lanes), 0)
+        scr_in[:, p, :] = arr
+    tbl = tbl_ref[:, :]  # (wc, 128) bf16, loop-invariant
+    # Mosaic iota must be integer; plane values are small non-negative
+    # ints stored as f32 (exact below 2^24) — cast back for the compare
+    iota_k = lax.broadcasted_iota(jnp.int32, (128, lanes), 0)
     # planar column s-index: col = ch*wmax + s, wmax a power of two
-    iota_s = (
-        lax.broadcasted_iota(jnp.int32, (wc, lanes), 0) & (wmax - 1)
-    ).astype(jnp.float32)
+    iota_s = lax.broadcasted_iota(jnp.int32, (wc, lanes), 0) & (wmax - 1)
 
-    def pl_ds(j):
-        return pl.dslice(j, 1)
-
-    def tap(j, base):
-        ld = lambda p: scr_in[base + p, pl_ds(j), :]
-        r0, r1 = ld(0), ld(1)
+    def tap(row, base):
+        ld = lambda p: row[base + p : base + p + 1, :]
+        r0, r1 = ld(0).astype(jnp.int32), ld(1).astype(jnp.int32)
         wt0, wt1 = ld(2), ld(3)
-        s0, s1 = ld(4), ld(5)
+        s0, s1 = ld(4).astype(jnp.int32), ld(5).astype(jnp.int32)
         ws0, ws1 = ld(6), ld(7)
         oh = (
             jnp.where(iota_k == r0, wt0, 0.0)
             + jnp.where(iota_k == r1, wt1, 0.0)
         ).astype(jnp.bfloat16)
-        # m[col, lane] = sum_k T[k, col] * oh[k, lane]  (TN matmul)
-        m = lax.dot_general(
-            tbl, oh, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        m = jnp.dot(tbl, oh, preferred_element_type=jnp.float32)
         cs = jnp.where(iota_s == s0, ws0, 0.0) + jnp.where(
             iota_s == s1, ws1, 0.0
         )
@@ -250,16 +253,22 @@ def tile_lookup(tex, tbl_ref, scr_in, scr_out, planes):
         ]
 
     def body(j, carry):
-        outs = tap(j, 0)
+        # scratch may be allocated for the two-level case (16 planes)
+        # while a static-lod tap only fills 8 — slice what this tap uses
+        row = scr_in[pl.dslice(j, 1), pl.dslice(0, n_planes), :].reshape(
+            n_planes, lanes
+        )
+        outs = tap(row, 0)
         if two_level:
-            outs_b = tap(j, PLANES_PER_LEVEL)
+            outs_b = tap(row, PLANES_PER_LEVEL)
             outs = [a + b for a, b in zip(outs, outs_b)]
-        for ch in range(c):
-            scr_out[ch, pl_ds(j), :] = outs[ch]
+        scr_out[pl.dslice(j, 1), :, :] = jnp.concatenate(
+            outs, axis=0
+        ).reshape(1, c, lanes)
         return carry
 
     lax.fori_loop(0, rows, body, 0)
-    out = [scr_out[ch, :, :] * tex.scale for ch in range(c)]
+    out = [scr_out[:, ch, :] * tex.scale for ch in range(c)]
     if c == 1:
         return out[0], out[0], out[0]
     return out[0], out[1], out[2]

@@ -833,7 +833,7 @@ def li_volpath_mega_cam(
     from .path_megakernel import _Hashable
 
     (table, lights_p, lights_emit, kinds_present, max_lobes, wide, bvh,
-     vol) = packed
+     _tex, vol) = packed
     nodes_f, nodes_i, max_leaf = bvh if bvh is not None else (None,) * 3
     n = pixel_xy.shape[0]
     rows = BVH_TILE_ROWS if bvh is not None else TILE_ROWS
@@ -875,7 +875,7 @@ def li_volpath_mega(
     """Drop-in replacement for integrators.volpath.li_volpath on the
     homogeneous-fog subset.  packed = pack_volpath(ctx)."""
     (table, lights_p, lights_emit, kinds_present, max_lobes, wide, bvh,
-     vol) = packed
+     _tex, vol) = packed
     nodes_f, nodes_i, max_leaf = bvh if bvh is not None else (None,) * 3
     n = o.shape[0]
 

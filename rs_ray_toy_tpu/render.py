@@ -201,10 +201,13 @@ def render_job(
     direct_packed = None
     if (
         integrator.kind == "path"
-        and not want_diff
         and os.environ.get("RS_MEGAKERNEL", "1") != "0"
         and integrator.max_depth >= 1
     ):
+        # textured scenes may still run fused: the kernel computes its
+        # own camera-FD duv and taps the packed pyramid in-kernel
+        # (supports() pins the subset), so want_diff no longer forces
+        # the jnp wavefront loop
         from .ops import path_megakernel as pmk
 
         if pmk.supports(ctx, integrator, sampler, None):

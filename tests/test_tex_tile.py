@@ -58,8 +58,8 @@ def _run_tile(tex, pk, ss, tt_, lod=None, active=None):
         out_specs=[vmem] * 3,
         out_shape=[jax.ShapeDtypeStruct((ROWS, LANES), jnp.float32)] * 3,
         scratch_shapes=[
-            pltpu.VMEM((n_planes, ROWS, LANES), jnp.float32),
-            pltpu.VMEM((tex.channels, ROWS, LANES), jnp.float32),
+            pltpu.VMEM((ROWS, n_planes, LANES), jnp.float32),
+            pltpu.VMEM((ROWS, tex.channels, LANES), jnp.float32),
         ],
         interpret=jax.default_backend() == "cpu",
     )(tt.table_bf16(pk), ss, tt_, lod_in)
