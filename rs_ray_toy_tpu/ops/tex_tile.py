@@ -191,8 +191,15 @@ def lookup_planes(tex, ss, tt, lod_f=None, active=None):
     """
     amask = 1.0 if active is None else active.astype(jnp.float32)
     if lod_f is None:
+        # static lod_min tap: rows are RELATIVE to the level's block so
+        # tile_lookup can statically slice the table to h rows (half the
+        # matmul for every bounce>0 tap)
         level = jnp.full(ss.shape, tex.lod_min, jnp.int32)
-        return _level_planes(tex, ss, tt, level, amask * jnp.ones(ss.shape, jnp.float32))
+        p = _level_planes(
+            tex, ss, tt, level, amask * jnp.ones(ss.shape, jnp.float32)
+        )
+        off = float(tex.meta[tex.lod_min][2])
+        return (p[0] - off, p[1] - off) + p[2:]
     l0 = jnp.floor(lod_f).astype(jnp.int32)
     l1 = jnp.minimum(l0 + 1, tex.n_levels - 1)
     dt = lod_f - l0.astype(jnp.float32)
@@ -224,10 +231,18 @@ def tile_lookup(tex, tbl_ref, scr_in, scr_out, planes):
     wc = c * wmax
     for p, arr in enumerate(planes):
         scr_in[:, p, :] = arr
-    tbl = tbl_ref[:, :]  # (wc, 128) bf16, loop-invariant
+    if two_level:
+        # dynamic per-ray levels: the one-hot spans the whole 128-row table
+        k_rows = 128
+        tbl = tbl_ref[:, :]  # (wc, 128) bf16, loop-invariant
+    else:
+        # static lod_min tap (relative rows): slice the level's block
+        off = tex.meta[tex.lod_min][2]
+        k_rows = max(tex.meta[tex.lod_min][0], 8)
+        tbl = tbl_ref[:, off : off + k_rows]
     # Mosaic iota must be integer; plane values are small non-negative
     # ints stored as f32 (exact below 2^24) — cast back for the compare
-    iota_k = lax.broadcasted_iota(jnp.int32, (128, lanes), 0)
+    iota_k = lax.broadcasted_iota(jnp.int32, (k_rows, lanes), 0)
     # planar column s-index: col = ch*wmax + s, wmax a power of two
     iota_s = lax.broadcasted_iota(jnp.int32, (wc, lanes), 0) & (wmax - 1)
 
