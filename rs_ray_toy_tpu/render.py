@@ -232,6 +232,12 @@ def render_job(
 
         if dmk.supports_direct(ctx, integrator, sampler, None):
             direct_packed = dmk.pack_direct(ctx, integrator)
+        else:
+            print(
+                "rs_ray_toy_tpu: scene outside the direct-megakernel subset"
+                " — using the jnp wavefront loop",
+                file=sys.stderr,
+            )
     vol_packed = None
     if (
         integrator.kind == "volpath"
@@ -242,6 +248,13 @@ def render_job(
 
         if vmk.supports_volpath(ctx, integrator, sampler, None):
             vol_packed = vmk.pack_volpath(ctx)
+        else:
+            print(
+                "rs_ray_toy_tpu: scene outside the volpath-megakernel subset"
+                " (e.g. grid media, per-prim medium interfaces, non-camera"
+                " media) — using the jnp wavefront loop",
+                file=sys.stderr,
+            )
     # in-kernel lens raygen for the direct/volpath kernels (the path
     # kernel packs its own above): the host raygen + its HBM ray round
     # trip are the dominant fixed cost of short fused passes
