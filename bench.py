@@ -233,12 +233,10 @@ MATRIX = [
     ("sphere_area", "sphere_area", "", "path", False, 64, None),
     ("fog_area", "fog_area", "", "volpath", True, 16, None),
     ("env", "env", "", "path", False, 64, None),
-    # textured-matte: imagemap kd -> the jnp wavefront + differentials
-    # path (the megakernel's named remaining gap; measured so the cost
-    # of the gap is externally visible)
-    # spp=4: the serialized texel gathers run ~7.7 s per 230K-ray pass
-    # on this chip (0.03 Mrays/s) — keep the row inside the budget
-    ("textured", "ref", "mat_textured", "path", False, 4, None),
+    # textured-matte: imagemap kd tapped in-kernel on the packed coarse
+    # pyramid (ops/tex_tile.py; round 5 — was 0.026 Mrays/s on the jnp
+    # wavefront + serialized-gather path, now ~7.8 in the megakernel)
+    ("textured", "ref", "mat_textured", "path", False, 16, None),
 ]
 
 

@@ -88,7 +88,15 @@ def force_ready(tree):
     ]
     if arrs:
         smallest = min(arrs, key=lambda a: a.size)
-        np.asarray(smallest.addressable_data(0))
+        # read back ONE scalar, not the whole buffer: the scalar's value
+        # depends on the producing program, so the transfer cannot finish
+        # before the program does — but unlike a full-buffer readback the
+        # cost is a fixed round trip, not tunnel bandwidth x buffer size
+        # (a 921KB film-weight readback measured ~40 ms on short renders,
+        # inflating single-pass rows like fog by a third)
+        shard = smallest.addressable_data(0)
+        flat = shard.reshape((-1,)) if shard.ndim != 1 else shard
+        np.asarray(flat[:1])
     return tree
 
 
