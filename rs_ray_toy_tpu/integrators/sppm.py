@@ -502,12 +502,22 @@ def render_sppm(ctx: SceneCtx, cam, sampler, film_spec, spec, write_image_fn=Non
     light_distr = ctx._power_distribution
     n_photons = spec.photons_per_iter
 
+    # single-device full-film batch: the Halton camera payload rides the
+    # gather-free CRT-offset grid broadcast (payload_grid); the layout
+    # matches the blocked-32 pixel order exactly when the deposit engaged
+    _cam_grid = None
+    if not use_mesh:
+        _cam_grid = (
+            h, w, "blocked32" if _dep_resolved is not None else "raster"
+        )
+
     def one_iteration(state, it):
         if _mega_packed is not None and _cam_packed is not None:
             ld_delta, vp = _smk.sppm_camera_mega_cam(
                 ctx, _mega_packed, _cam_packed, pixel_xy, pixel_id,
                 pixel_valid, it, sampler, spec.max_depth,
                 interpret=jax.default_backend() == "cpu",
+                grid=_cam_grid,
             )
         elif _mega_packed is not None:
             n = pixel_id.shape[0]

@@ -3364,12 +3364,18 @@ def _run(
 
 
 def _sampler_payload(
-    sampler, wide, kinds_present, spec, pid, s_arr, prep, with_cam
+    sampler, wide, kinds_present, spec, pid, s_arr, prep, with_cam,
+    grid=None,
 ):
     """(hal_slots, u, samp_static) for a megakernel launch: stratified
     samplers keep the in-kernel hash math (u None); Halton samplers ship
     their slot values as a (NC, n_blocks, LANES) input computed by the
-    production HaltonSampler — exact parity, any spp."""
+    production HaltonSampler — exact parity, any spp.
+
+    grid=(s_base, k, w, h): the batch is render.py's raster-tiled
+    sample-outer full-film layout — slot values then come from
+    HaltonSampler.payload_grid (the 128x128 CRT-offset grid tiled to the
+    film: ~14x less radical-inverse compute, bit-identical values)."""
     from ..sampler.halton import HaltonSampler
 
     samp_static = dict(
@@ -3390,7 +3396,12 @@ def _sampler_payload(
         int(spec.max_depth), n_lights, all_point, has_env_nee, has_bssrdf,
         with_cam,
     )
-    umat = _halton_u(sampler, pid, s_arr, hal_slots)  # (NC, N)
+    umat = None
+    if grid is not None:
+        s_base, k, w, h = grid
+        umat = sampler.payload_grid(hal_slots, s_base, k, w, h)
+    if umat is None:
+        umat = _halton_u(sampler, pid, s_arr, hal_slots)  # (NC, N)
     u = jnp.stack([prep(umat[c]) for c in range(umat.shape[0])], 0)
     return hal_slots, u, samp_static
 
@@ -3792,7 +3803,7 @@ def _run_cam(
 
 def li_path_mega_cam(
     ctx, packed, cam_packed, pixel_xy, pixel_id, s_idx, sampler, spec,
-    interpret=False,
+    interpret=False, grid=None,
 ):
     """Full fused pass: camera ray generation + bounce loop in one kernel.
 
@@ -3819,7 +3830,7 @@ def li_path_mega_cam(
     pid_arr = jnp.asarray(pixel_id, jnp.uint32)
     hal_slots, u, samp_static = _sampler_payload(
         sampler, wide, kinds_present, spec, pid_arr, s_arr, prep,
-        with_cam=True,
+        with_cam=True, grid=grid,
     )
     lr, lg, lb, w = _run_cam(
         table, nodes_f, nodes_i,

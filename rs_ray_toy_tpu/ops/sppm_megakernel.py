@@ -766,7 +766,7 @@ def _run_cam(
 
 def sppm_camera_mega_cam(
     ctx, packed, cam_packed, pixel_xy, pixel_id, pvalid, s_idx, sampler,
-    max_depth, interpret=False,
+    max_depth, interpret=False, grid=None,
 ):
     """Fully fused SPPM camera pass: in-kernel lens raygen + walk.
     pvalid: per-slot bool mask (multi-device tile padding carries
@@ -795,7 +795,19 @@ def sppm_camera_mega_cam(
     hal_slots, u = None, None
     if isinstance(sampler, HaltonSampler):
         hal_slots = _sppm_slots(int(max_depth), with_cam=True)
-        umat = _halton_u(sampler, pid_arr, s_arr, hal_slots)
+        umat = None
+        if grid is not None:
+            # single-device full-film batch: slot values from the 128x128
+            # CRT-offset grid, broadcast by layout (bit-equal, ~14x less
+            # radical-inverse compute — see HaltonSampler.payload_grid)
+            h_, w_, layout = grid
+            if n == h_ * w_:
+                umat = sampler.payload_grid(
+                    hal_slots, jnp.asarray(s_idx, jnp.uint32), 1, w_, h_,
+                    layout=layout,
+                )
+        if umat is None:
+            umat = _halton_u(sampler, pid_arr, s_arr, hal_slots)
         u = jnp.stack([prep(umat[c]) for c in range(umat.shape[0])], 0)
     outs = _run_cam(
         table, nodes_f, nodes_i,

@@ -112,7 +112,10 @@ class HaltonSampler:
         return off + sample_index.astype(jnp.int32) * self.sample_stride
 
     def _dim_value(self, pixel_id, sample_index, dim):
-        idx = self._index(pixel_id, sample_index)
+        return self._dim_value_idx(self._index(pixel_id, sample_index), dim)
+
+    def _dim_value_idx(self, idx, dim):
+        """Halton dim value from a precomputed global sample index."""
         # static index bound: idx = off + s*stride with off < stride and
         # s < spp — cuts the digit-loop trip count (base 3 runs 15 trips
         # at the 256-spp bench bound instead of the 2^32 default's 21)
@@ -136,6 +139,66 @@ class HaltonSampler:
 
     def _static_dim(self, dim):
         return isinstance(dim, int) and dim < ld.N_PRIMES
+
+    def payload_grid(self, hal_slots, s_base, k, w, h, layout="raster"):
+        """(NC, k*h*w) slot-value matrix for a full-film megabatch, or
+        None when a slot needs the per-lane RNG fallback (or the layout
+        cannot be expressed gather-free).
+
+        layout="raster": sample-outer raster lanes (lane = s*(h*w) +
+        y*w + x — render.py's non-blocked layout).  layout="blocked32":
+        the 32x32 screen-block order of the SPPM state (key = (by*nbx +
+        bx)*1024 + iy*32 + ix; ragged bottom block-row supported, ragged
+        block-columns not — returns None then).
+
+        The Halton value depends on the pixel ONLY through the CRT offset
+        off(px%128, py%128) (halton.rs:75-105) — 128x128 = 16,384 distinct
+        values per film.  Evaluating each dim on the (k,128,128) offset
+        grid and TILING to the film costs ~1/14 the compute of the
+        per-lane form at 640x360x16 (the radical-inverse digit math was
+        half the fused halton pass), and the broadcast is pure
+        tile/crop/reshape/transpose — no device gather.  Values are
+        bit-identical to get_1d/get_2d: same _dim_value_idx on the same
+        integer index."""
+        dims = []
+        for slot, n in hal_slots:
+            dims.extend((2 * slot,) if n == 1 else (2 * slot, 2 * slot + 1))
+        if any(d >= ld.N_PRIMES for d in dims):
+            return None  # per-lane RNG fallback dims: generic path
+        BS = 32
+        if layout == "blocked32" and w % BS != 0:
+            return None
+        ox = np.asarray(self.offs_x, np.int64)
+        oy = np.asarray(self.offs_y, np.int64)
+        off2d = jnp.asarray(
+            (oy[:, None] + ox[None, :]) % max(self.sample_stride, 1),
+            jnp.int32,
+        )  # (128, 128) [py, px]
+        s = s_base.astype(jnp.int32) + jnp.arange(k, dtype=jnp.int32)
+        idx = off2d[None] + s[:, None, None] * jnp.int32(self.sample_stride)
+        ty = -(-h // K_MAX_RESOLUTION)
+        tx = -(-w // K_MAX_RESOLUTION)
+
+        def broadcast(val):  # (k,128,128) -> (k*h*w,)
+            full = jnp.tile(val, (1, ty, tx))[:, :h, :w]
+            if layout == "blocked32":
+                # raster -> (by, bx, iy, ix) block order via pad +
+                # reshape/transpose + two static slices (full block-rows
+                # then the ragged bottom row) — a pure relabeling that
+                # reproduces the argsorted key order with no gather
+                nby, nbx = -(-h // BS), w // BS
+                fby = h // BS
+                v = jnp.pad(full, ((0, 0), (0, nby * BS - h), (0, 0)))
+                t = v.reshape(k, nby, BS, nbx, BS).transpose(0, 1, 3, 2, 4)
+                parts = [t[:, :fby].reshape(k, -1)]
+                if h % BS:
+                    parts.append(t[:, fby:, :, : h % BS].reshape(k, -1))
+                return jnp.concatenate(parts, axis=1).reshape(k * h * w)
+            return full.reshape(k * h * w)
+
+        return jnp.stack(
+            [broadcast(self._dim_value_idx(idx, d)) for d in dims], 0
+        ).astype(jnp.float32)
 
     def get_1d(self, pixel_id, sample_index, dim):
         """Slot d consumes Halton dim 2d — the first of the (2d, 2d+1)
