@@ -133,6 +133,15 @@ def _next_u(state):
     return state, rngmod.uniform_float_from_u32(state)
 
 
+def _next_u_masked(state, mask):
+    """_next_u advancing only the lanes in `mask` (grid.rs draws its
+    tracking rng per-ray, sequentially: a lane that exited the loop must
+    NOT keep consuming draws — otherwise the chain depends on how long
+    OTHER lanes in the batch keep looping, i.e. on batch composition)."""
+    ns = rngmod.hash_u32(state ^ jnp.uint32(0x9E3779B9))
+    return jnp.where(mask, ns, state), rngmod.uniform_float_from_u32(ns)
+
+
 def _grid_density(mediums, med_id, p_medium):
     """Trilinear density lookup in medium space [0,1]^3 (grid.rs:80-117)."""
     dims = mediums["dims"][med_id]  # (N,3) as (nz,ny,nx)
@@ -226,7 +235,7 @@ def medium_tr(mediums, med_id, o, d_unit, seg_len, rng_state):
 
     def body(c):
         t, tr, state, alive = c
-        state, u1 = _next_u(state)
+        state, u1 = _next_u_masked(state, alive)
         t = jnp.where(
             alive,
             t - jnp.log(jnp.maximum(1.0 - u1, 1e-12)) * inv_max / jnp.maximum(st_scalar, 1e-20),
@@ -238,12 +247,14 @@ def medium_tr(mediums, med_id, o, d_unit, seg_len, rng_state):
         tr = jnp.where(
             alive & ~past, tr * (1.0 - jnp.maximum(dens * inv_max, 0.0)), tr
         )
-        # RR termination (grid.rs:147-156)
-        state, u2 = _next_u(state)
+        # RR termination (grid.rs:147-156): the rng draw happens ONLY on
+        # the tr < 0.1 branch in the reference — draw-count parity
         low = tr < 0.1
+        rr = alive & ~past & low
+        state, u2 = _next_u_masked(state, rr)
         q = jnp.maximum(1.0 - tr, 0.05)
-        killed = alive & ~past & low & (u2 < q)
-        tr = jnp.where(killed, 0.0, jnp.where(alive & ~past & low, tr / (1.0 - q), tr))
+        killed = rr & (u2 < q)
+        tr = jnp.where(killed, 0.0, jnp.where(rr, tr / (1.0 - q), tr))
         alive = alive & ~past & ~killed
         return t, tr, state, alive
 
@@ -309,14 +320,16 @@ def medium_sample(mediums, med_id, o, d_unit, seg_len, rng_state):
 
     def body(c):
         t, hit, state, alive = c
-        state, u1 = _next_u(state)
+        state, u1 = _next_u_masked(state, alive)
         t_new = t - jnp.log(jnp.maximum(1.0 - u1, 1e-12)) * inv_max / jnp.maximum(
             st_scalar, 1e-20
         )
         past = t_new >= tmax
         p = om + dm * t_new[..., None]
         dens = _grid_density(mediums, mid, p)
-        state, u2 = _next_u(state)
+        # acceptance draw only while inside the segment (grid.rs:169-176
+        # breaks on t >= t_max BEFORE the density draw)
+        state, u2 = _next_u_masked(state, alive & ~past)
         interact = alive & ~past & (dens * inv_max > u2)
         hit = hit | interact
         t = jnp.where(alive, t_new, t)
