@@ -76,6 +76,13 @@ def _build_scene(scene_kind, material, integrator_kind, fog, spp,
         n = int(os.environ.get("BENCH_GRID_N", "40"))
         scene_path = write_grid_scene(tempfile.mkdtemp(), ny=n, nz=n)
         tag = f"grid{12 * n * n}tri"
+    elif scene_kind == "grid_fog":
+        from rs_ray_toy_tpu.scene.gen import write_grid_fog_scene
+
+        scene_path = write_grid_fog_scene(
+            tempfile.mkdtemp(), n=16, sigma_scale=0.5
+        )
+        tag = "grid_fog16"
 
     cfg = json.load(open(scene_path))
     if scene_kind == "sphere_area":
@@ -228,6 +235,9 @@ MATRIX = [
       "photons_per_iter": 1 << 17}),
     ("grid", "grid", "", "path", False, 8, None),
     ("fog", "ref", "", "volpath", True, 16, None),
+    # BASELINE config 4's hard half: GridDensity camera medium (delta/
+    # ratio tracking in-kernel, round 5 — was jnp-only)
+    ("grid_fog", "grid_fog", "", "volpath", False, 16, None),
     ("glass", "ref", "mat_glass", "path", False, 64, None),
     ("sss", "ref", "mat_sss", "path", False, 16, None),
     ("sphere_area", "sphere_area", "", "path", False, 64, None),

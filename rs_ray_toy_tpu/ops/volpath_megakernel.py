@@ -8,10 +8,19 @@ does for the surface-only path.
 
 Scope (checked statically by `supports_volpath`), on top of the path
 megakernel's material/geometry subset (common_scene_checks):
-  - ONE homogeneous medium that is the camera medium, with NO per-prim
-    medium interfaces: every ray stays in the fog forever, so sigma_a/
-    sigma_s/sigma_t/g are compile-time constants and the medium-
-    transition machinery (volpath.rs:198-236) is statically dead;
+  - ONE camera medium, with NO per-prim medium interfaces: every ray
+    stays in the fog forever, so the medium constants are compile-time
+    and the medium-transition machinery (volpath.rs:198-236) is
+    statically dead.  Homogeneous media use the closed forms
+    (homogeneous.rs:34-85); GRID media (grid.rs:119-207) run delta
+    tracking (sample) and ratio tracking (NEE tr) as in-kernel
+    lax.while_loops whose density taps are gather-free one-hot MXU
+    matmuls against the hi/lo-bf16-split planar density table
+    (_grid_density_tap).  Grid scenes are gated to point lights (the
+    area-light counter branch would draw medium_tr rng not replicated
+    here) and rgb mode.  Tap lerp weights round to bf16, so isolated
+    tracking decisions can flip vs the jnp path: grid estimator tests
+    compare images (rmse + bit-close lane fraction), not lanes;
   - point and sphere-area lights: NEE is estimate_direct
     (handle_media=true) (integrator/mod.rs:403-558) with the MIS power
     heuristic for area lights (phase pdf at medium vertices, mean
@@ -42,7 +51,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..config import DTYPE, PI
 from ..core import rng as rngmod
 from ..scene.types import LIGHT_DIFFUSE_AREA, LIGHT_POINT
-from ..scene.medium import MEDIUM_HOMOGENEOUS
+from ..scene.medium import MEDIUM_GRID, MEDIUM_HOMOGENEOUS
 from .bvh_pallas import STACK_DEPTH
 from .path_megakernel import (
     BVH_TILE_ROWS,
@@ -83,7 +92,15 @@ from ..bsdf.lobes import (
 SPEC_KINDS = (LOBE_SPEC_REFL, LOBE_SPEC_TRANS, LOBE_FRESNEL_SPEC)
 INV_4_PI = 1.0 / (4.0 * PI)
 
-MediumC = collections.namedtuple("MediumC", "sigma_a sigma_s sigma_t g")
+MediumC = collections.namedtuple(
+    "MediumC", "sigma_a sigma_s sigma_t g grid", defaults=(None,)
+)
+# grid camera medium statics (grid.rs:119-207): dims, the 3x4 rows of the
+# world->medium transform, the majorant inverse, and the padded planar
+# density-table shape (the table itself rides as a kernel input)
+GridC = collections.namedtuple(
+    "GridC", "nz ny nx w2m inv_max r_pad nx_pad"
+)
 VolStatic = collections.namedtuple(
     "VolStatic", "medium cdf pick_pdf world_radius"
 )
@@ -98,8 +115,22 @@ def supports_volpath(ctx, spec, sampler, diff) -> bool:
     m = ctx.mediums
     if m is None or int(m["n"]) != 1:
         return False
-    if int(np.asarray(m["kind"])[0]) != MEDIUM_HOMOGENEOUS:
+    kind0 = int(np.asarray(m["kind"])[0])
+    if kind0 not in (MEDIUM_HOMOGENEOUS, MEDIUM_GRID):
         return False
+    if kind0 == MEDIUM_GRID:
+        # grid tracking subset (grid.rs:119-207 in-kernel): density table
+        # must fit the VMEM one-hot tap shapes, and lights must all be
+        # delta points — area lights engage the scattering-sampling
+        # counter branch whose medium_tr draws are not replicated here
+        nz, ny, nx = (int(v) for v in np.asarray(m["dims"])[0])
+        if nz * ny > 1024 or nx > 256:
+            return False
+        lk = np.asarray(ctx.lights.kind)
+        if lk.size == 0 or np.any(lk != LIGHT_POINT):
+            return False
+        if ctx.n_channels != 3:
+            return False
     if int(getattr(ctx, "camera_medium", -1)) != 0:
         return False
     # no per-prim medium interfaces: rays keep the camera medium forever
@@ -144,14 +175,41 @@ def supports_volpath(ctx, spec, sampler, diff) -> bool:
 
 
 def pack_volpath(ctx):
-    """pack_scene + the static medium constants and light power CDF."""
+    """pack_scene + the static medium constants and light power CDF.
+
+    Grid media additionally pack the density volume as a planar
+    (row = z*ny + y, col = x) table, pre-transposed to (nx_pad, r_pad)
+    and hi/lo-split into two bf16 arrays (hi = bf16(T), lo = bf16(T-hi):
+    their f32 sum recovers every f32 density bit) for the in-kernel
+    one-hot MXU taps (_grid_density_tap)."""
     packed = pack_scene(ctx)
     m = ctx.mediums
+    grid = None
+    gtab = None
+    if int(np.asarray(m["kind"])[0]) == MEDIUM_GRID:
+        nz, ny, nx = (int(v) for v in np.asarray(m["dims"])[0])
+        dens = np.asarray(m["density"])[0, :nz, :ny, :nx].astype(np.float32)
+        r_pad = max(128, -(-(nz * ny) // 128) * 128)
+        nx_pad = max(8, -(-nx // 8) * 8)
+        tbl = np.zeros((r_pad, nx_pad), np.float32)
+        tbl[: nz * ny, :nx] = dens.reshape(nz * ny, nx)
+        t_t = tbl.T  # (nx_pad, r_pad)
+        hi = t_t.astype(jnp.bfloat16)
+        lo = (t_t - np.asarray(hi, np.float32)).astype(jnp.bfloat16)
+        w2m_m = np.asarray(m["w2m"])[0]
+        grid = GridC(
+            nz=nz, ny=ny, nx=nx,
+            w2m=tuple(float(v) for v in w2m_m[:3, :4].ravel()),
+            inv_max=float(np.asarray(m["inv_max_density"])[0]),
+            r_pad=r_pad, nx_pad=nx_pad,
+        )
+        gtab = (jnp.asarray(hi), jnp.asarray(lo))
     medium = MediumC(
         sigma_a=tuple(float(v) for v in np.asarray(m["sigma_a"])[0]),
         sigma_s=tuple(float(v) for v in np.asarray(m["sigma_s"])[0]),
         sigma_t=tuple(float(v) for v in np.asarray(m["sigma_t"])[0]),
         g=float(np.asarray(m["g"])[0]),
+        grid=grid,
     )
     # power-weighted light distribution, baked static (the CDF/pdf values
     # match core.sampling.Distribution1D.as_device()'s f32 arrays exactly)
@@ -174,7 +232,7 @@ def pack_volpath(ctx):
         pick_pdf=pick_pdf,
         world_radius=float(np.asarray(ctx.lights.world_radius)),
     )
-    return packed + (vol,)
+    return packed + (vol, gtab)
 
 
 def _rng_next(state):
@@ -185,6 +243,131 @@ def _rng_next(state):
         2.0 ** -24
     )
     return state, u
+
+
+def _rng_next_masked(state, mask):
+    """scene/medium._next_u_masked on the tile: only `mask` lanes consume
+    the draw (grid.rs tracking rng is per-ray sequential)."""
+    ns = rngmod.hash_u32(state ^ jnp.uint32(0x9E3779B9))
+    u = (ns >> 8).astype(jnp.int32).astype(jnp.float32) * jnp.float32(
+        2.0 ** -24
+    )
+    return jnp.where(mask, ns, state), u
+
+
+def _g_affine(w2m, x, y, z):
+    """Apply the static 3x4 world->medium rows to a point."""
+    return (
+        w2m[0] * x + w2m[1] * y + w2m[2] * z + w2m[3],
+        w2m[4] * x + w2m[5] * y + w2m[6] * z + w2m[7],
+        w2m[8] * x + w2m[9] * y + w2m[10] * z + w2m[11],
+    )
+
+
+def _g_rot3(w2m, x, y, z):
+    """3x3 part only (directions)."""
+    return (
+        w2m[0] * x + w2m[1] * y + w2m[2] * z,
+        w2m[4] * x + w2m[5] * y + w2m[6] * z,
+        w2m[8] * x + w2m[9] * y + w2m[10] * z,
+    )
+
+
+def _box_interval_k(ox, oy, oz, dx, dy, dz, seg_len):
+    """scene/medium._unit_box_interval componentwise (same float ops)."""
+
+    def inv1(d):
+        return 1.0 / jnp.where(
+            jnp.abs(d) < 1e-12, jnp.where(d < 0, -1e-12, 1e-12), d
+        )
+
+    ix, iy, iz = inv1(dx), inv1(dy), inv1(dz)
+    t0x, t1x = (0.0 - ox) * ix, (1.0 - ox) * ix
+    t0y, t1y = (0.0 - oy) * iy, (1.0 - oy) * iy
+    t0z, t1z = (0.0 - oz) * iz, (1.0 - oz) * iz
+    tn = jnp.maximum(
+        jnp.minimum(t0x, t1x),
+        jnp.maximum(jnp.minimum(t0y, t1y), jnp.minimum(t0z, t1z)),
+    )
+    tf = jnp.minimum(
+        jnp.maximum(t0x, t1x),
+        jnp.minimum(jnp.maximum(t0y, t1y), jnp.maximum(t0z, t1z)),
+    )
+    tmin = jnp.maximum(tn, 0.0)
+    tmax = jnp.minimum(tf, seg_len)
+    return tmin <= tmax, tmin, tmax
+
+
+# scratch planes for one grid tap: 4 row ids + 4 row weights + col base
+# + 2 col weights in; 1 value plane out
+GRID_TAP_PLANES = 12
+
+
+def _grid_density_tap(gr, ghi_ref, glo_ref, gscr, px, py, pz):
+    """Trilinear density at medium-space positions (rows, LANES vregs) —
+    scene/medium._grid_density via gather-free MXU one-hots.
+
+    Per sublane row: ONE weighted 4-hot over the (z*ny+y) planar rows
+    (the z/y lerp weights and the outside-zero masks fold into the
+    one-hot entries; out-of-range rows encode as -1 and match nothing)
+    feeds two bf16 matmuls against the hi/lo table split, then a
+    weighted 2-hot column reduce applies the x lerp.  Weights round to
+    bf16 (<= 2^-9 relative): tracking decisions can flip vs the jnp
+    path on epsilon-close draws, so estimator tests compare images, not
+    lanes (module docstring)."""
+    rows = px.shape[0]
+    nx, ny, nz = gr.nx, gr.ny, gr.nz
+    psx = px * nx - 0.5
+    psy = py * ny - 0.5
+    psz = pz * nz - 0.5
+    fx, fy, fz = jnp.floor(psx), jnp.floor(psy), jnp.floor(psz)
+    ddx, ddy, ddz = psx - fx, psy - fy, psz - fz
+    x0, y0, z0 = fx, fy, fz  # f32 integers (exact below 2^24)
+
+    wy0, wy1 = 1.0 - ddy, ddy
+    wz0, wz1 = 1.0 - ddz, ddz
+    p = 0
+    for oz, wz in ((0.0, wz0), (1.0, wz1)):
+        for oy, wy in ((0.0, wy0), (1.0, wy1)):
+            zi = z0 + oz
+            yi = y0 + oy
+            ok = (zi >= 0.0) & (zi < nz) & (yi >= 0.0) & (yi < ny)
+            r = jnp.where(ok, zi * ny + yi, -1.0)
+            gscr[:, p, :] = r
+            gscr[:, p + 4, :] = jnp.where(ok, wz * wy, 0.0)
+            p += 1
+    # x taps: cols x0, x0+1; out-of-range naturally miss (iota >= 0) or
+    # land in the zero-padded table columns
+    gscr[:, 8, :] = x0
+    gscr[:, 9, :] = jnp.where(x0 >= 0.0, 1.0 - ddx, 0.0)
+    gscr[:, 10, :] = jnp.where(x0 + 1.0 < nx, ddx, 0.0)
+
+    iota_r = lax.broadcasted_iota(jnp.int32, (gr.r_pad, LANES), 0)
+    iota_x = lax.broadcasted_iota(jnp.int32, (gr.nx_pad, LANES), 0)
+    hi = ghi_ref[:, :]
+    lo = glo_ref[:, :]
+
+    def body(j, carry):
+        row = gscr[pl.dslice(j, 1), pl.dslice(0, 11), :].reshape(11, LANES)
+        oh = jnp.zeros((gr.r_pad, LANES), jnp.float32)
+        for c in range(4):
+            rc = row[c : c + 1, :].astype(jnp.int32)
+            wc = row[c + 4 : c + 5, :]
+            oh = oh + jnp.where(iota_r == rc, wc, 0.0)
+        ohb = oh.astype(jnp.bfloat16)
+        m = jnp.dot(hi, ohb, preferred_element_type=jnp.float32) + jnp.dot(
+            lo, ohb, preferred_element_type=jnp.float32
+        )  # (nx_pad, LANES)
+        xc = row[8:9, :].astype(jnp.int32)
+        cs = jnp.where(iota_x == xc, row[9:10, :], 0.0) + jnp.where(
+            iota_x == xc + 1, row[10:11, :], 0.0
+        )
+        val = jnp.sum(m * cs, axis=0, keepdims=True)
+        gscr[pl.dslice(j, 1), pl.dslice(11, 1), :] = val.reshape(1, 1, LANES)
+        return carry
+
+    lax.fori_loop(0, rows, body, 0)
+    return gscr[:, 11, :]
 
 
 def _coord_system(wx, wy, wz):
@@ -240,7 +423,7 @@ def _vol_bounce_loop(
     tri_ref, ox, oy, oz, dx, dy, dz, active, pid, sid,
     n_tris, vol, wide, lights_p, lights_emit, max_depth, rr_threshold,
     spp, xs, ys, jitter, seed, kinds_present, max_lobes,
-    bvh_refs=None, max_leaf=None,
+    bvh_refs=None, max_leaf=None, grid_refs=None,
 ):
     """li_volpath's bounce loop on one VMEM ray tile (volpath.rs:48-258
     under the static homogeneous-fog subset)."""
@@ -321,36 +504,103 @@ def _vol_bounce_loop(
         found = active & (t < 3.0e38)
         seg_len = jnp.where(found, t, 2.0 * vol.world_radius + 1000.0)
 
-        # ---- homogeneous medium sample (homogeneous.rs:38-85; two chain
-        # draws exactly like scene/medium.medium_sample) ----
-        state, u_ch = _rng_next(state)
-        state, u_d = _rng_next(state)
-        channel = jnp.minimum((u_ch * 3.0).astype(jnp.int32), 2)
-        st_ch = jnp.where(
-            channel == 0,
-            med.sigma_t[0],
-            jnp.where(channel == 1, med.sigma_t[1], med.sigma_t[2]),
-        )
-        dist = -jnp.log(jnp.maximum(1.0 - u_d, 1e-12)) / jnp.maximum(
-            st_ch, 1e-20
-        )
-        t_med = jnp.minimum(dist, seg_len)
-        smp_med = dist < seg_len
-        tr_c = tuple(jnp.exp(-med.sigma_t[c] * t_med) for c in range(3))
-        dens = tuple(
-            jnp.where(smp_med, med.sigma_t[c] * tr_c[c], tr_c[c])
-            for c in range(3)
-        )
-        pdf_m = (dens[0] + dens[1] + dens[2]) * (1.0 / 3.0)
-        pdf_m = jnp.where(pdf_m == 0.0, 1.0, pdf_m)
-        bm = tuple(
-            jnp.where(smp_med, tr_c[c] * med.sigma_s[c], tr_c[c]) / pdf_m
-            for c in range(3)
-        )
-        br = jnp.where(active, br * bm[0], br)
-        bg = jnp.where(active, bg * bm[1], bg)
-        bb = jnp.where(active, bb * bm[2], bb)
-        in_medium = smp_med & active
+        if med.grid is None:
+            # ---- homogeneous medium sample (homogeneous.rs:38-85; two
+            # chain draws exactly like scene/medium.medium_sample) ----
+            state, u_ch = _rng_next(state)
+            state, u_d = _rng_next(state)
+            channel = jnp.minimum((u_ch * 3.0).astype(jnp.int32), 2)
+            st_ch = jnp.where(
+                channel == 0,
+                med.sigma_t[0],
+                jnp.where(channel == 1, med.sigma_t[1], med.sigma_t[2]),
+            )
+            dist = -jnp.log(jnp.maximum(1.0 - u_d, 1e-12)) / jnp.maximum(
+                st_ch, 1e-20
+            )
+            t_med = jnp.minimum(dist, seg_len)
+            smp_med = dist < seg_len
+            tr_c = tuple(jnp.exp(-med.sigma_t[c] * t_med) for c in range(3))
+            dens = tuple(
+                jnp.where(smp_med, med.sigma_t[c] * tr_c[c], tr_c[c])
+                for c in range(3)
+            )
+            pdf_m = (dens[0] + dens[1] + dens[2]) * (1.0 / 3.0)
+            pdf_m = jnp.where(pdf_m == 0.0, 1.0, pdf_m)
+            bm = tuple(
+                jnp.where(smp_med, tr_c[c] * med.sigma_s[c], tr_c[c]) / pdf_m
+                for c in range(3)
+            )
+            br = jnp.where(active, br * bm[0], br)
+            bg = jnp.where(active, bg * bm[1], bg)
+            bb = jnp.where(active, bb * bm[2], bb)
+            in_medium = smp_med & active
+        else:
+            # ---- grid delta tracking (grid.rs:162-207; chain-exact to
+            # scene/medium.medium_sample's grid branch: the homogeneous
+            # channel/distance draws are skipped for grid lanes and the
+            # tracking draws advance only live walkers) ----
+            gr = med.grid
+            ghi_ref, glo_ref, gscr = grid_refs
+            omx, omy, omz = _g_affine(gr.w2m, ox, oy, oz)
+            dmx_r, dmy_r, dmz_r = _g_rot3(gr.w2m, dx, dy, dz)
+            g_scale = jnp.sqrt(
+                dmx_r * dmx_r + dmy_r * dmy_r + dmz_r * dmz_r
+            )
+            g_inv_scale = 1.0 / jnp.maximum(g_scale, 1e-20)
+            dmx, dmy, dmz = (
+                dmx_r * g_inv_scale, dmy_r * g_inv_scale, dmz_r * g_inv_scale
+            )
+            len_m = seg_len * g_scale
+            okb, g_tmin, g_tmax = _box_interval_k(
+                omx, omy, omz, dmx, dmy, dmz, len_m
+            )
+            st0 = max(med.sigma_t[0], 1e-20)
+            step_k = jnp.float32(gr.inv_max / st0)
+            walk0 = active & okb
+            tw0 = jnp.where(walk0, g_tmin, jnp.inf)
+
+            def dt_body(c):
+                tw, hit_f, st_c, alive_i, _any = c
+                alive = alive_i > 0
+                st_c, u1 = _rng_next_masked(st_c, alive)
+                t_new = tw - jnp.log(jnp.maximum(1.0 - u1, 1e-12)) * step_k
+                past = t_new >= g_tmax
+                pmx = omx + dmx * t_new
+                pmy = omy + dmy * t_new
+                pmz = omz + dmz * t_new
+                dens_g = _grid_density_tap(
+                    gr, ghi_ref, glo_ref, gscr, pmx, pmy, pmz
+                )
+                draw2 = alive & ~past
+                st_c, u2 = _rng_next_masked(st_c, draw2)
+                interact = draw2 & (dens_g * gr.inv_max > u2)
+                hit_f = jnp.where(interact, 1.0, hit_f)
+                tw = jnp.where(alive, t_new, tw)
+                alive2 = draw2 & ~interact
+                return (
+                    tw, hit_f, st_c, alive2.astype(jnp.int32),
+                    jnp.any(alive2).astype(jnp.int32),
+                )
+
+            tw, hit_f, state, _, _ = lax.while_loop(
+                lambda c: c[4] > 0,
+                dt_body,
+                (
+                    tw0, jnp.zeros_like(tw0), state,
+                    walk0.astype(jnp.int32),
+                    jnp.any(walk0).astype(jnp.int32),
+                ),
+            )
+            smp_med = hit_f > 0.0
+            t_med = jnp.where(smp_med, tw * g_inv_scale, seg_len)
+            ratio = tuple(
+                med.sigma_s[c] / max(med.sigma_t[c], 1e-20) for c in range(3)
+            )
+            br = jnp.where(active & smp_med, br * ratio[0], br)
+            bg = jnp.where(active & smp_med, bg * ratio[1], bg)
+            bb = jnp.where(active & smp_med, bb * ratio[2], bb)
+            in_medium = smp_med & active
         active = active & ((br > 0.0) | (bg > 0.0) | (bb > 0.0))
         active = active & (found | in_medium)
 
@@ -512,19 +762,85 @@ def _vol_bounce_loop(
         t_sh = jnp.where(live, 1.0 - 1e-4, 0.0) * seg
         occ = occluded_all(sox, soy, soz, sdx, sdy, sdz, t_sh)
         # transmittance through the fog along the full segment
-        # (VisibilityTester::tr, homogeneous closed form)
+        # (VisibilityTester::tr)
+        if med.grid is None:
+            tr_l = tuple(jnp.exp(-med.sigma_t[c] * seg) for c in range(3))
+        else:
+            # grid ratio tracking (grid.rs:119-160) along the shadow
+            # segment; runs for every active lane crossing the box —
+            # NOT just live ones — because the jnp path's medium_tr
+            # draws unconditionally and later bounces consume the same
+            # per-lane chain (chain parity)
+            gr = med.grid
+            ghi_ref, glo_ref, gscr = grid_refs
+            smx, smy, smz = _g_affine(gr.w2m, sox, soy, soz)
+            sdmx_r, sdmy_r, sdmz_r = _g_rot3(gr.w2m, sdx, sdy, sdz)
+            s_scale = jnp.sqrt(
+                sdmx_r * sdmx_r + sdmy_r * sdmy_r + sdmz_r * sdmz_r
+            )
+            s_inv = 1.0 / jnp.maximum(s_scale, 1e-20)
+            sdmx, sdmy, sdmz = sdmx_r * s_inv, sdmy_r * s_inv, sdmz_r * s_inv
+            s_len_m = seg * s_scale
+            s_okb, s_tmin, s_tmax = _box_interval_k(
+                smx, smy, smz, sdmx, sdmy, sdmz, s_len_m
+            )
+            st0 = max(med.sigma_t[0], 1e-20)
+            step_k = jnp.float32(gr.inv_max / st0)
+            twalk0 = active & s_okb
+            ts0 = jnp.where(twalk0, s_tmin, jnp.inf)
+
+            def tr_body(c):
+                ts, trv, st_c, alive_i, _any = c
+                alive = alive_i > 0
+                st_c, u1 = _rng_next_masked(st_c, alive)
+                ts = jnp.where(
+                    alive,
+                    ts - jnp.log(jnp.maximum(1.0 - u1, 1e-12)) * step_k,
+                    ts,
+                )
+                past = ts >= s_tmax
+                pmx = smx + sdmx * ts
+                pmy = smy + sdmy * ts
+                pmz = smz + sdmz * ts
+                dens_g = _grid_density_tap(
+                    gr, ghi_ref, glo_ref, gscr, pmx, pmy, pmz
+                )
+                upd = alive & ~past
+                trv = jnp.where(
+                    upd,
+                    trv * (1.0 - jnp.maximum(dens_g * gr.inv_max, 0.0)),
+                    trv,
+                )
+                low = trv < 0.1
+                rr = upd & low
+                st_c, u2 = _rng_next_masked(st_c, rr)
+                q = jnp.maximum(1.0 - trv, 0.05)
+                killed = rr & (u2 < q)
+                trv = jnp.where(
+                    killed, 0.0, jnp.where(rr, trv / (1.0 - q), trv)
+                )
+                alive2 = upd & ~killed
+                return (
+                    ts, trv, st_c, alive2.astype(jnp.int32),
+                    jnp.any(alive2).astype(jnp.int32),
+                )
+
+            _, tr_g, state, _, _ = lax.while_loop(
+                lambda c: c[4] > 0,
+                tr_body,
+                (
+                    ts0, jnp.ones_like(ts0), state,
+                    twalk0.astype(jnp.int32),
+                    jnp.any(twalk0).astype(jnp.int32),
+                ),
+            )
+            tr_l = (tr_g, tr_g, tr_g)
         vis = live & ~occ
         inv_pp = 1.0 / jnp.maximum(ppdf, 1e-20)  # li_volpath:222 floor
         scale = weight * inv_pp / jnp.maximum(ls_pdf, 1e-20)
-        Lr = Lr + jnp.where(
-            vis, br * fr * lir * jnp.exp(-med.sigma_t[0] * seg) * scale, 0.0
-        )
-        Lg = Lg + jnp.where(
-            vis, bg * fg * lig * jnp.exp(-med.sigma_t[1] * seg) * scale, 0.0
-        )
-        Lb = Lb + jnp.where(
-            vis, bb * fb * lib * jnp.exp(-med.sigma_t[2] * seg) * scale, 0.0
-        )
+        Lr = Lr + jnp.where(vis, br * fr * lir * tr_l[0] * scale, 0.0)
+        Lg = Lg + jnp.where(vis, bg * fg * lig * tr_l[1] * scale, 0.0)
+        Lb = Lb + jnp.where(vis, bb * fb * lib * tr_l[2] * scale, 0.0)
         # scattering-sampling counter branch (integrator/mod.rs:483-558):
         # statically zero here — the aggregate carries no emissive prims
         # and env lights are outside the volpath-kernel subset, so the
@@ -618,18 +934,28 @@ def _vol_bounce_loop(
 
 
 def _kernel_vol(
-    tri_ref,
-    ox_r, oy_r, oz_r, dx_r, dy_r, dz_r, w_r, pid_r, sid_r,
-    lr_o, lg_o, lb_o,
-    *, n_tris, vol, wide, lights_p, lights_emit, max_depth, rr_threshold,
+    tri_ref, *refs,
+    n_tris, vol, wide, lights_p, lights_emit, max_depth, rr_threshold,
     spp, xs, ys, jitter, seed, kinds_present, max_lobes,
 ):
+    has_grid = vol.medium.grid is not None
+    (ox_r, oy_r, oz_r, dx_r, dy_r, dz_r, w_r, pid_r, sid_r) = refs[:9]
+    i = 9
+    grid_refs = None
+    if has_grid:
+        ghi_ref, glo_ref = refs[i : i + 2]
+        i += 2
+    lr_o, lg_o, lb_o = refs[i : i + 3]
+    i += 3
+    if has_grid:
+        grid_refs = (ghi_ref, glo_ref, refs[i])
     Lr, Lg, Lb = _vol_bounce_loop(
         tri_ref,
         ox_r[:], oy_r[:], oz_r[:], dx_r[:], dy_r[:], dz_r[:],
         w_r[:] > 0.0, pid_r[:], sid_r[:],
         n_tris, vol, wide, lights_p, lights_emit, max_depth, rr_threshold,
         spp, xs, ys, jitter, seed, kinds_present, max_lobes,
+        grid_refs=grid_refs,
     )
     lr_o[:] = Lr
     lg_o[:] = Lg
@@ -637,13 +963,20 @@ def _kernel_vol(
 
 
 def _kernel_vol_bvh(
-    nodes_f_ref, nodes_i_ref, tri_ref,
-    ox_r, oy_r, oz_r, dx_r, dy_r, dz_r, w_r, pid_r, sid_r,
-    lr_o, lg_o, lb_o,
-    stack_ref, t_ref, best_ref, attr_ref,
-    *, n_tris, vol, wide, lights_p, lights_emit, max_depth, rr_threshold,
+    nodes_f_ref, nodes_i_ref, tri_ref, *refs,
+    n_tris, vol, wide, lights_p, lights_emit, max_depth, rr_threshold,
     spp, xs, ys, jitter, seed, kinds_present, max_lobes, max_leaf,
 ):
+    has_grid = vol.medium.grid is not None
+    (ox_r, oy_r, oz_r, dx_r, dy_r, dz_r, w_r, pid_r, sid_r) = refs[:9]
+    i = 9
+    if has_grid:
+        ghi_ref, glo_ref = refs[i : i + 2]
+        i += 2
+    lr_o, lg_o, lb_o = refs[i : i + 3]
+    i += 3
+    stack_ref, t_ref, best_ref, attr_ref = refs[i : i + 4]
+    grid_refs = (ghi_ref, glo_ref, refs[i + 4]) if has_grid else None
     Lr, Lg, Lb = _vol_bounce_loop(
         tri_ref,
         ox_r[:], oy_r[:], oz_r[:], dx_r[:], dy_r[:], dz_r[:],
@@ -653,6 +986,7 @@ def _kernel_vol_bvh(
         bvh_refs=(nodes_f_ref, nodes_i_ref, stack_ref, t_ref, best_ref,
                   attr_ref),
         max_leaf=max_leaf,
+        grid_refs=grid_refs,
     )
     lr_o[:] = Lr
     lg_o[:] = Lg
@@ -671,7 +1005,7 @@ def _run_vol(
     table, nodes_f, nodes_i, ox, oy, oz, dx, dy, dz, w, pid, sid,
     n_tris, vol, wide, lights_p, lights_emit, max_depth, rr_threshold,
     spp, xs, ys, jitter, seed, kinds_present, max_lobes, max_leaf=None,
-    interpret=False,
+    interpret=False, ghi=None, glo=None,
 ):
     m = ox.shape[0]
     use_bvh = nodes_f is not None
@@ -681,6 +1015,14 @@ def _run_vol(
         (rows, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    has_grid = vol.medium.grid is not None
+    g_in = [ghi, glo] if has_grid else []
+    g_specs = [vmem, vmem] if has_grid else []
+    g_scratch = (
+        [pltpu.VMEM((rows, GRID_TAP_PLANES, LANES), jnp.float32)]
+        if has_grid
+        else []
+    )
     kw = dict(
         n_tris=n_tris, vol=vol, wide=wide,
         lights_p=lights_p, lights_emit=lights_emit,
@@ -696,29 +1038,29 @@ def _run_vol(
         return pl.pallas_call(
             kernel,
             grid=grid,
-            in_specs=[vmem, vmem, vmem] + [ray_spec] * 9,
+            in_specs=[vmem, vmem, vmem] + [ray_spec] * 9 + g_specs,
             out_specs=[ray_spec] * 3,
             out_shape=[jax.ShapeDtypeStruct((m, LANES), jnp.float32)] * 3,
-            scratch_shapes=scratch,
+            scratch_shapes=list(scratch) + g_scratch,
             interpret=interpret,
             **kwargs,
-        )(nodes_f, nodes_i, table, ox, oy, oz, dx, dy, dz, w, pid, sid)
+        )(nodes_f, nodes_i, table, ox, oy, oz, dx, dy, dz, w, pid, sid,
+          *g_in)
     kernel = functools.partial(_kernel_vol, **kw)
     return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[vmem] + [ray_spec] * 9,
+        in_specs=[vmem] + [ray_spec] * 9 + g_specs,
         out_specs=[ray_spec] * 3,
         out_shape=[jax.ShapeDtypeStruct((m, LANES), jnp.float32)] * 3,
+        scratch_shapes=g_scratch,
         interpret=interpret,
-    )(table, ox, oy, oz, dx, dy, dz, w, pid, sid)
+    )(table, ox, oy, oz, dx, dy, dz, w, pid, sid, *g_in)
 
 
 def _kernel_vol_cam(
-    tri_ref,
-    px_r, py_r, pid_r, sid_r,
-    lr_o, lg_o, lb_o, w_o,
-    *, n_tris, vol, wide, lights_p, lights_emit, max_depth, rr_threshold,
+    tri_ref, *refs,
+    n_tris, vol, wide, lights_p, lights_emit, max_depth, rr_threshold,
     spp, xs, ys, jitter, seed, cam, kinds_present, max_lobes,
 ):
     """Camera-fused variant: in-kernel lens raygen feeds the volumetric
@@ -726,6 +1068,15 @@ def _kernel_vol_cam(
     fog pass (tools/profile_fog.py: 4 ms fixed vs 0.64 ms/bounce)."""
     from .path_megakernel import _mk_sdim, _raygen
 
+    has_grid = vol.medium.grid is not None
+    px_r, py_r, pid_r, sid_r = refs[:4]
+    i = 4
+    if has_grid:
+        ghi_ref, glo_ref = refs[i : i + 2]
+        i += 2
+    lr_o, lg_o, lb_o, w_o = refs[i : i + 4]
+    i += 4
+    grid_refs = (ghi_ref, glo_ref, refs[i]) if has_grid else None
     pid, sid = pid_r[:], sid_r[:]
     sdim = _mk_sdim(pid, sid, spp, xs, ys, jitter, seed, None, None)
     ox, oy, oz, dx, dy, dz, weight = _raygen(px_r[:], py_r[:], sdim, cam)
@@ -733,6 +1084,7 @@ def _kernel_vol_cam(
         tri_ref, ox, oy, oz, dx, dy, dz, weight > 0.0, pid, sid,
         n_tris, vol, wide, lights_p, lights_emit, max_depth, rr_threshold,
         spp, xs, ys, jitter, seed, kinds_present, max_lobes,
+        grid_refs=grid_refs,
     )
     lr_o[:] = Lr
     lg_o[:] = Lg
@@ -741,15 +1093,22 @@ def _kernel_vol_cam(
 
 
 def _kernel_vol_bvh_cam(
-    nodes_f_ref, nodes_i_ref, tri_ref,
-    px_r, py_r, pid_r, sid_r,
-    lr_o, lg_o, lb_o, w_o,
-    stack_ref, t_ref, best_ref, attr_ref,
-    *, n_tris, vol, wide, lights_p, lights_emit, max_depth, rr_threshold,
+    nodes_f_ref, nodes_i_ref, tri_ref, *refs,
+    n_tris, vol, wide, lights_p, lights_emit, max_depth, rr_threshold,
     spp, xs, ys, jitter, seed, cam, kinds_present, max_lobes, max_leaf,
 ):
     from .path_megakernel import _mk_sdim, _raygen
 
+    has_grid = vol.medium.grid is not None
+    px_r, py_r, pid_r, sid_r = refs[:4]
+    i = 4
+    if has_grid:
+        ghi_ref, glo_ref = refs[i : i + 2]
+        i += 2
+    lr_o, lg_o, lb_o, w_o = refs[i : i + 4]
+    i += 4
+    stack_ref, t_ref, best_ref, attr_ref = refs[i : i + 4]
+    grid_refs = (ghi_ref, glo_ref, refs[i + 4]) if has_grid else None
     pid, sid = pid_r[:], sid_r[:]
     sdim = _mk_sdim(pid, sid, spp, xs, ys, jitter, seed, None, None)
     ox, oy, oz, dx, dy, dz, weight = _raygen(px_r[:], py_r[:], sdim, cam)
@@ -760,6 +1119,7 @@ def _kernel_vol_bvh_cam(
         bvh_refs=(nodes_f_ref, nodes_i_ref, stack_ref, t_ref, best_ref,
                   attr_ref),
         max_leaf=max_leaf,
+        grid_refs=grid_refs,
     )
     lr_o[:] = Lr
     lg_o[:] = Lg
@@ -779,7 +1139,7 @@ def _run_vol_cam(
     table, nodes_f, nodes_i, px, py, pid, sid,
     n_tris, vol, wide, lights_p, lights_emit, max_depth, rr_threshold,
     spp, xs, ys, jitter, seed, cam, kinds_present, max_lobes,
-    max_leaf=None, interpret=False,
+    max_leaf=None, interpret=False, ghi=None, glo=None,
 ):
     m = px.shape[0]
     use_bvh = nodes_f is not None
@@ -789,6 +1149,14 @@ def _run_vol_cam(
         (rows, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    has_grid = vol.medium.grid is not None
+    g_in = [ghi, glo] if has_grid else []
+    g_specs = [vmem, vmem] if has_grid else []
+    g_scratch = (
+        [pltpu.VMEM((rows, GRID_TAP_PLANES, LANES), jnp.float32)]
+        if has_grid
+        else []
+    )
     kw = dict(
         n_tris=n_tris, vol=vol, wide=wide,
         lights_p=lights_p, lights_emit=lights_emit,
@@ -806,22 +1174,23 @@ def _run_vol_cam(
         return pl.pallas_call(
             kernel,
             grid=grid,
-            in_specs=[vmem, vmem, vmem] + [ray_spec] * 4,
+            in_specs=[vmem, vmem, vmem] + [ray_spec] * 4 + g_specs,
             out_specs=[ray_spec] * 4,
             out_shape=[jax.ShapeDtypeStruct((m, LANES), jnp.float32)] * 4,
-            scratch_shapes=scratch,
+            scratch_shapes=list(scratch) + g_scratch,
             interpret=interpret,
             **kwargs,
-        )(nodes_f, nodes_i, table, px, py, pid, sid)
+        )(nodes_f, nodes_i, table, px, py, pid, sid, *g_in)
     kernel = functools.partial(_kernel_vol_cam, **kw)
     return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[vmem] + [ray_spec] * 4,
+        in_specs=[vmem] + [ray_spec] * 4 + g_specs,
         out_specs=[ray_spec] * 4,
         out_shape=[jax.ShapeDtypeStruct((m, LANES), jnp.float32)] * 4,
+        scratch_shapes=g_scratch,
         interpret=interpret,
-    )(table, px, py, pid, sid)
+    )(table, px, py, pid, sid, *g_in)
 
 
 def li_volpath_mega_cam(
@@ -833,7 +1202,8 @@ def li_volpath_mega_cam(
     from .path_megakernel import _Hashable
 
     (table, lights_p, lights_emit, kinds_present, max_lobes, wide, bvh,
-     _tex, vol) = packed
+     _tex, vol, gtab) = packed
+    ghi, glo = gtab if gtab is not None else (None, None)
     nodes_f, nodes_i, max_leaf = bvh if bvh is not None else (None,) * 3
     n = pixel_xy.shape[0]
     rows = BVH_TILE_ROWS if bvh is not None else TILE_ROWS
@@ -860,7 +1230,7 @@ def li_volpath_mega_cam(
         cam=_Hashable(cam_packed),
         kinds_present=kinds_present, max_lobes=max_lobes,
         max_leaf=max_leaf,
-        interpret=interpret,
+        interpret=interpret, ghi=ghi, glo=glo,
     )
     l = jnp.stack(
         [lr.reshape(-1)[:n], lg.reshape(-1)[:n], lb.reshape(-1)[:n]], axis=-1
@@ -875,7 +1245,8 @@ def li_volpath_mega(
     """Drop-in replacement for integrators.volpath.li_volpath on the
     homogeneous-fog subset.  packed = pack_volpath(ctx)."""
     (table, lights_p, lights_emit, kinds_present, max_lobes, wide, bvh,
-     _tex, vol) = packed
+     _tex, vol, gtab) = packed
+    ghi, glo = gtab if gtab is not None else (None, None)
     nodes_f, nodes_i, max_leaf = bvh if bvh is not None else (None,) * 3
     n = o.shape[0]
 

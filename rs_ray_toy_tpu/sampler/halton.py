@@ -180,20 +180,26 @@ class HaltonSampler:
         tx = -(-w // K_MAX_RESOLUTION)
 
         def broadcast(val):  # (k,128,128) -> (k*h*w,)
-            full = jnp.tile(val, (1, ty, tx))[:, :h, :w]
             if layout == "blocked32":
-                # raster -> (by, bx, iy, ix) block order via pad +
-                # reshape/transpose + two static slices (full block-rows
-                # then the ragged bottom row) — a pure relabeling that
-                # reproduces the argsorted key order with no gather
+                # blocked (by, bx, iy, ix) order directly: 128 = 4*32, so
+                # T[(by*32+iy)%128, (bx*32+ix)%128] = T2[by%4, bx%4, iy, ix]
+                # with T2 the (4,4,32,32) re-tiling of T.  Only the TINY
+                # 16K-element table is transposed; the film-sized array is
+                # formed by tile (broadcast) + two static slices for the
+                # ragged bottom block-row.  (An earlier form transposed
+                # the film-sized array itself — a 5-D transpose XLA ran
+                # ~100x slower than the whole SPPM iteration on this chip.)
                 nby, nbx = -(-h // BS), w // BS
                 fby = h // BS
-                v = jnp.pad(full, ((0, 0), (0, nby * BS - h), (0, 0)))
-                t = v.reshape(k, nby, BS, nbx, BS).transpose(0, 1, 3, 2, 4)
-                parts = [t[:, :fby].reshape(k, -1)]
+                t2 = val.reshape(k, 4, BS, 4, BS).transpose(0, 1, 3, 2, 4)
+                big = jnp.tile(t2, (1, -(-nby // 4), -(-nbx // 4), 1, 1))[
+                    :, :nby, :nbx
+                ]  # (k, nby, nbx, 32, 32) in block order
+                parts = [big[:, :fby].reshape(k, -1)]
                 if h % BS:
-                    parts.append(t[:, fby:, :, : h % BS].reshape(k, -1))
+                    parts.append(big[:, fby:, :, : h % BS].reshape(k, -1))
                 return jnp.concatenate(parts, axis=1).reshape(k * h * w)
+            full = jnp.tile(val, (1, ty, tx))[:, :h, :w]
             return full.reshape(k * h * w)
 
         return jnp.stack(

@@ -283,8 +283,11 @@ def medium_sample(mediums, med_id, o, d_unit, seg_len, rng_state):
     sigma_s = mediums["sigma_s"][mid]
 
     # ---- homogeneous (homogeneous.rs:38-85) ----
-    rng_state, u_ch = _next_u(rng_state)
-    rng_state, u_d = _next_u(rng_state)
+    # grid lanes draw ONLY their tracking rng (grid.rs:162-207) — the
+    # channel/distance draws below belong to the homogeneous estimator
+    grid_lane = mediums["kind"][mid] == MEDIUM_GRID
+    rng_state, u_ch = _next_u_masked(rng_state, ~grid_lane)
+    rng_state, u_d = _next_u_masked(rng_state, ~grid_lane)
     # channel-stratified distance sampling over ALL spectrum channels
     # (homogeneous.rs:45: channel = u * SPECTRUM_N)
     channel = jnp.minimum((u_ch * C).astype(jnp.int32), C - 1)

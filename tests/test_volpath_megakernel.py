@@ -206,3 +206,44 @@ def test_render_job_uses_volpath_megakernel(monkeypatch):
         outs[flag] = np.asarray(res["rgb_srgb_input"])
     rmse = float(np.sqrt(np.mean((outs["1"] - outs["0"]) ** 2)))
     assert rmse < 1e-4, f"volpath megakernel render deviates: rmse {rmse}"
+
+
+@pytest.mark.kernel
+def test_grid_fog_kernel_matches_jnp(monkeypatch):
+    """Grid camera medium (delta/ratio tracking in-kernel) vs the jnp
+    wavefront path.  The kernel's density taps fold trilinear weights in
+    bf16 (ops/volpath_megakernel._grid_density_tap), so epsilon-close
+    tracking decisions can flip on isolated lanes — the comparison is
+    image-level RMSE plus a bit-close lane fraction, not per-ray
+    equality (module docstring documents the divergence)."""
+    import tempfile
+    import numpy as np
+    from rs_ray_toy_tpu.scene.gen import write_grid_fog_scene
+    from rs_ray_toy_tpu.scene.loader import load_scene
+    from rs_ray_toy_tpu.render import render_job
+
+    p = write_grid_fog_scene(
+        tempfile.mkdtemp(), n=8, xres=64, yres=32, max_depth=3,
+        sigma_scale=0.6,
+    )
+    monkeypatch.setenv("RS_MEGAKERNEL", "1")
+    job = load_scene(p)
+    res = render_job(job, spp_override=2, pupil_samples=1 << 10, seed=0)
+    assert res["render_path"] == "megakernel"
+    assert res["fused_kernel"] == "volpath"
+    a = np.asarray(res["rgb_srgb_input"])
+    assert np.isfinite(a).all()
+
+    monkeypatch.setenv("RS_MEGAKERNEL", "0")
+    job = load_scene(p)
+    b = np.asarray(
+        render_job(job, spp_override=2, pupil_samples=1 << 10, seed=0)[
+            "rgb_srgb_input"
+        ]
+    )
+    rmse = float(np.sqrt(np.mean((a - b) ** 2)))
+    match = float(np.mean(np.all(np.abs(a - b) < 1e-5, axis=-1)))
+    assert rmse < 2e-3, f"grid kernel image deviates: rmse {rmse}"
+    assert match > 0.85, f"too many decision-flip lanes: {match}"
+    # the image actually shows fog-lit content
+    assert (a.sum(-1) > 0).mean() > 0.05
