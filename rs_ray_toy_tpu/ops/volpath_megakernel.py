@@ -324,18 +324,35 @@ def _grid_density_tap(gr, ghi_ref, glo_ref, gscr, px, py, pz):
     ddx, ddy, ddz = psx - fx, psy - fy, psz - fz
     x0, y0, z0 = fx, fy, fz  # f32 integers (exact below 2^24)
 
-    wy0, wy1 = 1.0 - ddy, ddy
-    wz0, wz1 = 1.0 - ddz, ddz
-    p = 0
-    for oz, wz in ((0.0, wz0), (1.0, wz1)):
-        for oy, wy in ((0.0, wy0), (1.0, wy1)):
-            zi = z0 + oz
-            yi = y0 + oy
-            ok = (zi >= 0.0) & (zi < nz) & (yi >= 0.0) & (yi < ny)
-            r = jnp.where(ok, zi * ny + yi, -1.0)
-            gscr[:, p, :] = r
-            gscr[:, p + 4, :] = jnp.where(ok, wz * wy, 0.0)
-            p += 1
+    # factored build: r = z*ny + y means the weighted 4-hot is the outer
+    # product of a weighted z 2-hot and a weighted y 2-hot — two tiny
+    # compares + one multiply instead of four (r_pad, LANES)-size
+    # compares (the build was the dominant VPU cost of the first
+    # version: 2.8 Mrays/s on the 16^3 bench row).  Boundary texels
+    # self-mask: z0*ny for z0=-1 is -ny (no iota match) while z0*ny+ny
+    # = 0 still matches the valid upper slab; the high edge matches only
+    # zero-padded table rows.  Requires ny | r_pad.
+    factored = gr.r_pad % ny == 0
+    if factored:
+        gscr[:, 0, :] = z0 * ny
+        gscr[:, 1, :] = y0
+        gscr[:, 4, :] = 1.0 - ddz
+        gscr[:, 5, :] = ddz
+        gscr[:, 6, :] = 1.0 - ddy
+        gscr[:, 7, :] = ddy
+    else:
+        wy0, wy1 = 1.0 - ddy, ddy
+        wz0, wz1 = 1.0 - ddz, ddz
+        p = 0
+        for oz, wz in ((0.0, wz0), (1.0, wz1)):
+            for oy, wy in ((0.0, wy0), (1.0, wy1)):
+                zi = z0 + oz
+                yi = y0 + oy
+                ok = (zi >= 0.0) & (zi < nz) & (yi >= 0.0) & (yi < ny)
+                r = jnp.where(ok, zi * ny + yi, -1.0)
+                gscr[:, p, :] = r
+                gscr[:, p + 4, :] = jnp.where(ok, wz * wy, 0.0)
+                p += 1
     # x taps: cols x0, x0+1; out-of-range naturally miss (iota >= 0) or
     # land in the zero-padded table columns
     gscr[:, 8, :] = x0
@@ -346,15 +363,38 @@ def _grid_density_tap(gr, ghi_ref, glo_ref, gscr, px, py, pz):
     iota_x = lax.broadcasted_iota(jnp.int32, (gr.nx_pad, LANES), 0)
     hi = ghi_ref[:, :]
     lo = glo_ref[:, :]
+    nzp = gr.r_pad // ny if factored else 0
 
     def body(j, carry):
         row = gscr[pl.dslice(j, 1), pl.dslice(0, 11), :].reshape(11, LANES)
-        oh = jnp.zeros((gr.r_pad, LANES), jnp.float32)
-        for c in range(4):
-            rc = row[c : c + 1, :].astype(jnp.int32)
-            wc = row[c + 4 : c + 5, :]
-            oh = oh + jnp.where(iota_r == rc, wc, 0.0)
-        ohb = oh.astype(jnp.bfloat16)
+        if factored:
+            z_row = row[0:1, :].astype(jnp.int32)   # z0*ny (may be -ny)
+            y_row = row[1:2, :].astype(jnp.int32)   # y0 (may be -1)
+            wz0, wz1 = row[4:5, :], row[5:6, :]
+            wy0, wy1 = row[6:7, :], row[7:8, :]
+            iota_z = lax.broadcasted_iota(
+                jnp.int32, (nzp, LANES), 0
+            ) * ny
+            iota_y = lax.broadcasted_iota(jnp.int32, (ny, LANES), 0)
+            oh_z = jnp.where(iota_z == z_row, wz0, 0.0) + jnp.where(
+                iota_z == z_row + ny, wz1, 0.0
+            )
+            # y 2-hot: y0 and y0+1 wrap across rows only through the
+            # z-block product, so the y0+1 == ny case must NOT match
+            # row 0 of the next block — iota_y < ny keeps it out
+            oh_y = jnp.where(iota_y == y_row, wy0, 0.0) + jnp.where(
+                (iota_y == y_row + 1) & (y_row + 1 < ny), wy1, 0.0
+            )
+            ohb = (
+                jnp.repeat(oh_z, ny, axis=0) * jnp.tile(oh_y, (nzp, 1))
+            ).astype(jnp.bfloat16)
+        else:
+            oh = jnp.zeros((gr.r_pad, LANES), jnp.float32)
+            for c in range(4):
+                rc = row[c : c + 1, :].astype(jnp.int32)
+                wc = row[c + 4 : c + 5, :]
+                oh = oh + jnp.where(iota_r == rc, wc, 0.0)
+            ohb = oh.astype(jnp.bfloat16)
         m = jnp.dot(hi, ohb, preferred_element_type=jnp.float32) + jnp.dot(
             lo, ohb, preferred_element_type=jnp.float32
         )  # (nx_pad, LANES)

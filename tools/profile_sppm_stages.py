@@ -23,13 +23,24 @@ import jax.numpy as jnp
 SCENE = "/root/reference/samples/scene.json"
 
 
+def _force(out):
+    # scalar host readback: block_until_ready can return early through
+    # the tunnel (BENCH_r04's 9451 row) and full-buffer readbacks pay
+    # tunnel bandwidth — sync on one element instead
+    jax.block_until_ready(out)
+    leaves = [l for l in jax.tree_util.tree_leaves(out)
+              if isinstance(l, jax.Array)]
+    if leaves:
+        np.asarray(leaves[0].reshape((-1,))[:1])
+
+
 def timed(fn, *args, n=3, **kw):
     out = fn(*args, **kw)
-    jax.block_until_ready(out)
+    _force(out)
     t0 = time.time()
     for _ in range(n):
         out = fn(*args, **kw)
-        jax.block_until_ready(out)
+        _force(out)
     return (time.time() - t0) / n, out
 
 
