@@ -60,6 +60,16 @@ _KERNEL_MODULES = {
 
 # heavyweight end-to-end renders outside the kernel modules
 _SLOW_TESTS = {
+    "test_sppm_runs",
+    "test_sppm_statistically_matches_path",
+    # compile-heavy golden renders whose estimator coverage overlaps
+    # faster tests (microfacet lobes: test_bsdf + test_megakernel_wide;
+    # halton: test_halton payload pins + the kernel-tier render A/B;
+    # SPPM absolute oracle: kernel-tier multi-device + furnace suite)
+    "test_golden_metal_path",
+    "test_golden_plastic_path",
+    "test_golden_halton_path",
+    "test_sppm_sphere_interior_oracle",
     "test_spectral_render_end_to_end",
     "test_spectral_metal_render_differs_more",
     "test_spectral_volpath_grid_fog",

@@ -6,6 +6,7 @@ texture must actually vary the BSDF per hit.
 """
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from rs_ray_toy_tpu.bsdf import eval as beval
@@ -168,6 +169,25 @@ def test_textured_color_varies_per_hit():
     s0 = np.asarray(params["s0"])[got, 0, :]  # diffuse slot weight
     assert s0.std(axis=0).max() > 1e-3, "textured color did not vary per hit"
 
-    res = render_job(job, spp_override=2, pupil_samples=1 << 10, seed=0)
+    # the end-to-end render of this scene lives in the slow tier
+    # (test_textured_disney_render_end_to_end): compiling the jnp
+    # wavefront textured-Disney pipeline alone is ~10 min on this box
+    global _TEXTURED_JOB
+    _TEXTURED_JOB = job
+
+
+_TEXTURED_JOB = None
+
+
+@pytest.mark.slow
+def test_textured_disney_render_end_to_end():
+    """End-to-end render of the textured-Disney scene (jnp wavefront +
+    differentials path — outside the megakernel subset)."""
+    from rs_ray_toy_tpu.render import render_job
+
+    if _TEXTURED_JOB is None:
+        test_textured_color_varies_per_hit()
+    res = render_job(_TEXTURED_JOB, spp_override=2, pupil_samples=1 << 10,
+                     seed=0)
     rgb = np.asarray(res["rgb_srgb_input"])
     assert np.isfinite(rgb).all() and rgb.max() > 0

@@ -49,7 +49,7 @@ def test_path_engagement_flags(monkeypatch, capsys):
 
     path = _write_scene(
         lambda c: c.update(
-            Integrator={"integrator_type": "Path", "max_depth": 2}
+            Integrator={"integrator_type": "Path", "max_depth": 1}
         )
     )
     res = _render(path, monkeypatch)
@@ -65,7 +65,11 @@ def test_path_engagement_flags(monkeypatch, capsys):
 def test_direct_engagement_flags(monkeypatch, capsys):
     from rs_ray_toy_tpu.ops import direct_megakernel as dmk
 
-    path = _write_scene(lambda c: None)  # scene.json default: Debug
+    path = _write_scene(
+        lambda c: c.update(
+            Integrator={"integrator_type": "Debug", "max_depth": 1}
+        )
+    )
     res = _render(path, monkeypatch)
     assert res["render_path"] == "megakernel"
     assert res["fused_kernel"] == "direct"
@@ -80,7 +84,7 @@ def test_volpath_engagement_flags(monkeypatch, capsys):
     from rs_ray_toy_tpu.ops import volpath_megakernel as vmk
 
     def fog(c):
-        c["Integrator"] = {"integrator_type": "Volpath", "max_depth": 2}
+        c["Integrator"] = {"integrator_type": "Volpath", "max_depth": 1}
         c["Camera"]["medium"] = {"medium_type": "Homogeneous", "g": 0.0}
 
     path = _write_scene(fog)
