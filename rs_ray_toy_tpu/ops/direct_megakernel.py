@@ -137,7 +137,9 @@ def pack_direct(ctx, spec):
         while p < max(int(v), 1):
             p <<= 1
         ns.append(p)
-    return packed + (tuple(ns),)  # (..., bvh, lights_ns)
+    # (..., bvh, lights_ns, chunks): the brute tri loops' static AABB
+    # cull (path_megakernel._build_tri_chunks; None when the BVH engages)
+    return packed + (tuple(ns), getattr(p7[5], "chunks", None))
 
 
 def _lobe_f_dbg(lob, wix, wiy, wiz, kinds_present, wol=None):
@@ -178,7 +180,7 @@ def _chain_loop(
     tri_ref, ox, oy, oz, dx, dy, dz, active0, pid, sid,
     n_tris, lights_p, lights_emit, lights_ns, max_depth,
     spp, xs, ys, jitter, seed, kinds_present, max_lobes,
-    debug, strategy_all, bvh_refs=None, max_leaf=None,
+    debug, strategy_all, bvh_refs=None, max_leaf=None, chunks=None,
 ):
     n_lights = len(lights_p)
     has_mf = LOBE_MF_REFL in kinds_present
@@ -218,7 +220,8 @@ def _chain_loop(
         alive = (br != 0.0) | (bg != 0.0) | (bb != 0.0)
         if bvh_refs is None:
             out = _closest_hit(
-                tri_ref, n_tris, ox, oy, oz, dx, dy, dz, attr_cols
+                tri_ref, n_tris, ox, oy, oz, dx, dy, dz, attr_cols,
+                chunks=chunks, live=alive,
             )
         else:
             out = _bvh_closest_hit(
@@ -337,6 +340,7 @@ def _chain_loop(
                 occ = _occluded(
                     tri_ref, n_tris, sox, soy, soz,
                     lpx - sox, lpy - soy, lpz - soz, t_sh,
+                    chunks=chunks,
                 )
             else:
                 occ = _bvh_occluded(
@@ -572,6 +576,7 @@ def _kernel(
     lr_o, lg_o, lb_o,
     *, n_tris, lights_p, lights_emit, lights_ns, max_depth,
     spp, xs, ys, jitter, seed, kinds_present, max_lobes, debug, strategy_all,
+    chunks=None,
 ):
     Lr, Lg, Lb = _chain_loop(
         tri_ref,
@@ -579,7 +584,7 @@ def _kernel(
         w_r[:] > 0.0, pid_r[:], sid_r[:],
         n_tris, lights_p, lights_emit, lights_ns, max_depth,
         spp, xs, ys, jitter, seed, kinds_present, max_lobes,
-        debug, strategy_all,
+        debug, strategy_all, chunks=chunks,
     )
     lr_o[:] = Lr
     lg_o[:] = Lg
@@ -616,14 +621,14 @@ def _kernel_bvh(
     static_argnames=(
         "n_tris", "lights_p", "lights_emit", "lights_ns", "max_depth",
         "spp", "xs", "ys", "jitter", "seed", "kinds_present", "max_lobes",
-        "debug", "strategy_all", "max_leaf", "interpret",
+        "debug", "strategy_all", "max_leaf", "chunks", "interpret",
     ),
 )
 def _run(
     table, nodes_f, nodes_i, ox, oy, oz, dx, dy, dz, w, pid, sid,
     n_tris, lights_p, lights_emit, lights_ns, max_depth,
     spp, xs, ys, jitter, seed, kinds_present, max_lobes,
-    debug, strategy_all, max_leaf=None, interpret=False,
+    debug, strategy_all, max_leaf=None, chunks=None, interpret=False,
 ):
     m = ox.shape[0]
     use_bvh = nodes_f is not None
@@ -658,7 +663,7 @@ def _run(
             interpret=interpret,
             **kwargs,
         )(nodes_f, nodes_i, table, ox, oy, oz, dx, dy, dz, w, pid, sid)
-    kernel = functools.partial(_kernel, **kw)
+    kernel = functools.partial(_kernel, chunks=chunks, **kw)
     outs = pl.pallas_call(
         kernel,
         grid=grid,
@@ -676,7 +681,7 @@ def _kernel_cam(
     lr_o, lg_o, lb_o, w_o,
     *, n_tris, lights_p, lights_emit, lights_ns, max_depth,
     spp, xs, ys, jitter, seed, cam, kinds_present, max_lobes, debug,
-    strategy_all,
+    strategy_all, chunks=None,
 ):
     """Camera-fused variant: in-kernel lens raygen feeds the chain walk
     (the host raygen + HBM ray round trip dominate short chains —
@@ -690,7 +695,7 @@ def _kernel_cam(
         tri_ref, ox, oy, oz, dx, dy, dz, weight > 0.0, pid, sid,
         n_tris, lights_p, lights_emit, lights_ns, max_depth,
         spp, xs, ys, jitter, seed, kinds_present, max_lobes,
-        debug, strategy_all,
+        debug, strategy_all, chunks=chunks,
     )
     lr_o[:] = Lr
     lg_o[:] = Lg
@@ -732,14 +737,15 @@ def _kernel_bvh_cam(
     static_argnames=(
         "n_tris", "lights_p", "lights_emit", "lights_ns", "max_depth",
         "spp", "xs", "ys", "jitter", "seed", "cam", "kinds_present",
-        "max_lobes", "debug", "strategy_all", "max_leaf", "interpret",
+        "max_lobes", "debug", "strategy_all", "max_leaf", "chunks",
+        "interpret",
     ),
 )
 def _run_cam(
     table, nodes_f, nodes_i, px, py, pid, sid,
     n_tris, lights_p, lights_emit, lights_ns, max_depth,
     spp, xs, ys, jitter, seed, cam, kinds_present, max_lobes,
-    debug, strategy_all, max_leaf=None, interpret=False,
+    debug, strategy_all, max_leaf=None, chunks=None, interpret=False,
 ):
     m = px.shape[0]
     use_bvh = nodes_f is not None
@@ -774,7 +780,7 @@ def _run_cam(
             interpret=interpret,
             **kwargs,
         )(nodes_f, nodes_i, table, px, py, pid, sid)
-    kernel = functools.partial(_kernel_cam, **kw)
+    kernel = functools.partial(_kernel_cam, chunks=chunks, **kw)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -794,7 +800,7 @@ def li_levels_mega_cam(
     from .path_megakernel import _Hashable
 
     (table, lights_p, lights_emit, kinds_present, max_lobes, bvh,
-     lights_ns) = packed
+     lights_ns, chunks) = packed
     nodes_f, nodes_i, max_leaf = bvh if bvh is not None else (None,) * 3
     n = pixel_xy.shape[0]
     rows = BVH_TILE_ROWS if bvh is not None else TILE_ROWS
@@ -831,7 +837,7 @@ def li_levels_mega_cam(
         cam=_Hashable(cam_packed),
         kinds_present=kinds_present, max_lobes=max_lobes,
         debug=debug, strategy_all=strategy_all,
-        max_leaf=max_leaf,
+        max_leaf=max_leaf, chunks=chunks,
         interpret=interpret,
     )
     l = jnp.stack(
@@ -847,7 +853,7 @@ def li_levels_mega(
     """Drop-in replacement for integrators.direct.li_levels on the
     supported subset.  packed = pack_direct(ctx, spec)."""
     (table, lights_p, lights_emit, kinds_present, max_lobes, bvh,
-     lights_ns) = packed
+     lights_ns, chunks) = packed
     nodes_f, nodes_i, max_leaf = bvh if bvh is not None else (None,) * 3
     n = o.shape[0]
     rows = BVH_TILE_ROWS if bvh is not None else TILE_ROWS
@@ -885,7 +891,7 @@ def li_levels_mega(
         jitter=bool(sampler.jitter), seed=int(sampler.seed),
         kinds_present=kinds_present, max_lobes=max_lobes,
         debug=debug, strategy_all=strategy_all,
-        max_leaf=max_leaf,
+        max_leaf=max_leaf, chunks=chunks,
         interpret=interpret,
     )
     return jnp.stack(

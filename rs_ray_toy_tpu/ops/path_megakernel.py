@@ -137,8 +137,9 @@ LightC = collections.namedtuple("LightC", "kind p emit o2w w2o radius env")
 # tex: TexC static payload (ops/tex_tile.py) when a lambert kd rides an
 # imagemap — the packed pyramid TABLE is a kernel input, not static
 SceneStatic = collections.namedtuple(
-    "SceneStatic", "spheres lights esc_rgb world_radius bssrdf smooth tex",
-    defaults=(None, False, None),
+    "SceneStatic",
+    "spheres lights esc_rgb world_radius bssrdf smooth tex chunks",
+    defaults=(None, False, None, None),
 )
 # single-material Burley BSSRDF constants (bssrdf.rs / disney.rs):
 # R/d 3-tuples, eta, and the host-precomputed Sw normalization
@@ -769,6 +770,15 @@ def pack_scene(ctx, allow_bvh=True, with_mat_col=False):
             eta=eta_b,
             c_sw=float(1.0 - 2.0 * fm1),
         )
+    # brute-force tri-loop AABB cull chunks (None when the BVH engages —
+    # the leaf reorder below invalidates row ranges, and the packet
+    # traversal already culls hierarchically)
+    will_bvh = allow_bvh and t_count > 0 and (
+        t_count > TRI_MAX or os.environ.get("RS_MEGA_BVH", "") == "force"
+    )
+    chunks = None
+    if not will_bvh and os.environ.get("RS_MEGA_CULL", "1") != "0":
+        chunks = _build_tri_chunks(p0, e1, e2, t_count)
     wide = SceneStatic(
         spheres=spheres,
         lights=lights_c,
@@ -777,6 +787,7 @@ def pack_scene(ctx, allow_bvh=True, with_mat_col=False):
         bssrdf=bss,
         smooth=smooth,
         tex=tex_static,
+        chunks=chunks,
     )
     # static specialization facts: which lobe kinds exist on used materials
     # (triangles AND spheres) and the deepest live lobe stack — the kernel
@@ -889,7 +900,98 @@ def _normalize3(x, y, z):
     return x * inv, y * inv, z * inv
 
 
-def _closest_hit(tri_ref, n_tris, ox, oy, oz, dx, dy, dz, attr_cols):
+# ---- static chunk culling for the brute-force tri loops ----
+#
+# The fog/env family is VPU-bound on the Möller-Trumbore fori over the
+# whole tri table: every bounce pays n_tris * ~58 ops per lane for the
+# closest hit AND the NEE shadow test, even when the tile's rays can
+# only see one of the scene's objects.  pack_scene splits consecutive
+# table rows into spatially coherent chunks (instances load contiguous,
+# so the greedy area-break lands on object boundaries); the loops then
+# slab-test each chunk's padded AABB against the tile and wrap the
+# chunk's MT fori in a lax.cond — a tile whose rays all miss the box
+# skips its triangles entirely (the same whole-tile cond-skip mechanism
+# as the SPPM deposit's sorted-prefix chunk skip).  False positives are
+# harmless (the MT tests still decide); boxes are padded so the f32
+# slab test can never reject a triangle MT would hit.
+
+
+def _build_tri_chunks(p0, e1, e2, t_count, max_tris=256, max_chunks=24):
+    """Greedy spatial chunking of consecutive tri rows (host, numpy).
+
+    Returns a hashable tuple of (lo, hi, bmin3, bmax3) covering
+    [0, t_count), or None when chunking is off (BVH scenes, huge or
+    pathologically scattered tables)."""
+    if t_count <= 0 or t_count > max_tris:
+        return None
+    p0 = np.asarray(p0[:t_count], np.float64)
+    v = np.stack([p0, p0 + np.asarray(e1[:t_count], np.float64),
+                  p0 + np.asarray(e2[:t_count], np.float64)], 1)
+    tlo, thi = v.min(1), v.max(1)
+
+    def area(lo, hi):
+        d = np.maximum(hi - lo, 0.0)
+        return d[0] * d[1] + d[1] * d[2] + d[2] * d[0]
+
+    raw = []
+    lo_i, cur_lo, cur_hi = 0, tlo[0].copy(), thi[0].copy()
+    for i in range(1, t_count):
+        nlo = np.minimum(cur_lo, tlo[i])
+        nhi = np.maximum(cur_hi, thi[i])
+        cnt = i - lo_i
+        if cnt >= 16 or (
+            cnt >= 4 and area(nlo, nhi) > 2.0 * area(cur_lo, cur_hi) + 1e-12
+        ):
+            raw.append((lo_i, i, cur_lo, cur_hi))
+            lo_i, cur_lo, cur_hi = i, tlo[i].copy(), thi[i].copy()
+        else:
+            cur_lo, cur_hi = nlo, nhi
+    raw.append((lo_i, t_count, cur_lo, cur_hi))
+    if len(raw) > max_chunks:
+        return None
+    out = []
+    for lo_i, hi_i, blo, bhi in raw:
+        pad = 1e-3 + 1e-4 * np.maximum(np.abs(blo), np.abs(bhi))
+        out.append((
+            int(lo_i), int(hi_i),
+            tuple(float(x) for x in blo - pad),
+            tuple(float(x) for x in bhi + pad),
+        ))
+    return tuple(out)
+
+
+def _cull_inv(dx, dy, dz):
+    """Finite-clamped per-lane 1/d for the slab test (no 0*inf NaNs;
+    the clamp only ever widens the hit interval — conservative)."""
+
+    def inv(d):
+        eps = jnp.float32(1e-30)
+        safe = jnp.where(jnp.abs(d) < eps,
+                         jnp.where(d < 0.0, -eps, eps), d)
+        return 1.0 / safe
+
+    return inv(dx), inv(dy), inv(dz)
+
+
+def _chunk_box_hit(bmin, bmax, ox, oy, oz, ivx, ivy, ivz, t_bound):
+    """Per-lane slab test of a static padded AABB vs segment [0, t_bound]."""
+    t0 = (jnp.float32(bmin[0]) - ox) * ivx
+    t1 = (jnp.float32(bmax[0]) - ox) * ivx
+    tlo = jnp.minimum(t0, t1)
+    thi = jnp.maximum(t0, t1)
+    t0 = (jnp.float32(bmin[1]) - oy) * ivy
+    t1 = (jnp.float32(bmax[1]) - oy) * ivy
+    tlo = jnp.maximum(tlo, jnp.minimum(t0, t1))
+    thi = jnp.minimum(thi, jnp.maximum(t0, t1))
+    t0 = (jnp.float32(bmin[2]) - oz) * ivz
+    t1 = (jnp.float32(bmax[2]) - oz) * ivz
+    tlo = jnp.maximum(tlo, jnp.minimum(t0, t1))
+    thi = jnp.minimum(thi, jnp.maximum(t0, t1))
+    return (tlo <= jnp.minimum(thi, t_bound)) & (thi >= 0.0)
+
+
+def _closest_hit(tri_ref, n_tris, ox, oy, oz, dx, dy, dz, attr_cols,
+                 chunks=None, live=None):
     """Möller-Trumbore fori over the VMEM table carrying (t, best_j); a
     second fori fetches the winner's attributes (only the statically
     needed columns) by j-compare — O(T * |attr_cols|) selects, fine for
@@ -922,6 +1024,27 @@ def _closest_hit(tri_ref, n_tris, ox, oy, oz, dx, dy, dz, attr_cols):
         return jnp.where(upd, t, t_best), jnp.where(upd, j, best)
 
     zeros = jnp.zeros_like(ox)
+    if chunks is not None:
+        ivx, ivy, ivz = _cull_inv(dx, dy, dz)
+
+    def _chunked(carry, step):
+        """Run `step`'s fori over each chunk behind its AABB cond; the
+        slab bound is the carry's current t_best (skips tighten as the
+        closest hit shrinks)."""
+        for lo_i, hi_i, bmin, bmax in chunks:
+            ch = _chunk_box_hit(
+                bmin, bmax, ox, oy, oz, ivx, ivy, ivz, carry[0]
+            )
+            if live is not None:
+                ch = ch & live
+            carry = lax.cond(
+                jnp.any(ch),
+                lambda c, lo=lo_i, hi=hi_i: lax.fori_loop(lo, hi, step, c),
+                lambda c: c,
+                carry,
+            )
+        return carry
+
     if len(attr_cols) <= 12:
         # small attribute set (e.g. pure-lambert scenes): accumulate the
         # winner's attributes inside the intersect loop itself — one pass
@@ -937,10 +1060,16 @@ def _closest_hit(tri_ref, n_tris, ox, oy, oz, dx, dy, dz, attr_cols):
             )
             return (t_new, best_new) + attrs
 
-        out = lax.fori_loop(0, n_tris, body_fused, carry0)
+        if chunks is not None:
+            out = _chunked(carry0, body_fused)
+        else:
+            out = lax.fori_loop(0, n_tris, body_fused, carry0)
         return (out[0],) + out[2:]
 
-    t_best, best = lax.fori_loop(0, n_tris, body, (big, best0))
+    if chunks is not None:
+        t_best, best = _chunked((big, best0), body)
+    else:
+        t_best, best = lax.fori_loop(0, n_tris, body, (big, best0))
     attrs0 = (zeros,) * len(attr_cols)
 
     def fetch(j, attrs):
@@ -950,13 +1079,25 @@ def _closest_hit(tri_ref, n_tris, ox, oy, oz, dx, dy, dz, attr_cols):
             for k, c in enumerate(attr_cols)
         )
 
-    attrs = lax.fori_loop(0, n_tris, fetch, attrs0)
+    if chunks is not None:
+        attrs = attrs0
+        for lo_i, hi_i, _bmin, _bmax in chunks:
+            attrs = lax.cond(
+                jnp.any((best >= lo_i) & (best < hi_i)),
+                lambda a, lo=lo_i, hi=hi_i: lax.fori_loop(lo, hi, fetch, a),
+                lambda a: a,
+                attrs,
+            )
+    else:
+        attrs = lax.fori_loop(0, n_tris, fetch, attrs0)
     return (t_best,) + attrs
 
 
-def _occluded(tri_ref, n_tris, ox, oy, oz, dx, dy, dz, t_max):
+def _occluded(tri_ref, n_tris, ox, oy, oz, dx, dy, dz, t_max, chunks=None):
     """Any-hit over the table with unnormalized direction, t in
-    [TRI_EPS, t_max) — shadow_unoccluded semantics."""
+    [TRI_EPS, t_max) — shadow_unoccluded semantics.  chunks: static
+    AABB cull (see _build_tri_chunks); dead lanes carry t_max = 0 so
+    the slab test excludes them automatically."""
 
     def body(j, occ):
         p0x, p0y, p0z = tri_ref[j, 0], tri_ref[j, 1], tri_ref[j, 2]
@@ -982,7 +1123,22 @@ def _occluded(tri_ref, n_tris, ox, oy, oz, dx, dy, dz, t_max):
         # int32 carry: Mosaic miscompiles i1 vectors carried through scf
         return jnp.where(hit, jnp.int32(1), occ)
 
-    occ = lax.fori_loop(0, n_tris, body, jnp.zeros(ox.shape, jnp.int32))
+    occ0 = jnp.zeros(ox.shape, jnp.int32)
+    if chunks is not None:
+        ivx, ivy, ivz = _cull_inv(dx, dy, dz)
+        occ = occ0
+        for lo_i, hi_i, bmin, bmax in chunks:
+            ch = _chunk_box_hit(
+                bmin, bmax, ox, oy, oz, ivx, ivy, ivz, t_max
+            ) & (occ == 0)
+            occ = lax.cond(
+                jnp.any(ch),
+                lambda o, lo=lo_i, hi=hi_i: lax.fori_loop(lo, hi, body, o),
+                lambda o: o,
+                occ,
+            )
+        return occ > 0
+    occ = lax.fori_loop(0, n_tris, body, occ0)
     return occ > 0
 
 
@@ -1235,8 +1391,10 @@ def _occluded_spheres(spheres, ox, oy, oz, dx, dy, dz, t_max):
     return occ
 
 
-def _occluded_all(tri_ref, n_tris, spheres, ox, oy, oz, dx, dy, dz, t_max):
-    occ = _occluded(tri_ref, n_tris, ox, oy, oz, dx, dy, dz, t_max)
+def _occluded_all(tri_ref, n_tris, spheres, ox, oy, oz, dx, dy, dz, t_max,
+                  chunks=None):
+    occ = _occluded(tri_ref, n_tris, ox, oy, oz, dx, dy, dz, t_max,
+                    chunks=chunks)
     if spheres:
         occ = occ | _occluded_spheres(spheres, ox, oy, oz, dx, dy, dz, t_max)
     return occ
@@ -2325,7 +2483,7 @@ def _bounce_loop(
         if bvh_refs is None:
             return _occluded_all(
                 tri_ref, n_tris, spheres, sox, soy, soz, sdx, sdy, sdz,
-                tmax_arr,
+                tmax_arr, chunks=wide.chunks,
             )
         occ = _bvh_occluded(
             bvh_refs, tri_ref, sox, soy, soz, sdx, sdy, sdz,
@@ -2344,7 +2502,8 @@ def _bounce_loop(
     for bounce in range(n_iters):
         if bvh_refs is None:
             out = _closest_hit(
-                tri_ref, n_tris, ox, oy, oz, dx, dy, dz, attr_cols
+                tri_ref, n_tris, ox, oy, oz, dx, dy, dz, attr_cols,
+                chunks=wide.chunks, live=active,
             )
         else:
             out = _bvh_closest_hit(
@@ -2900,7 +3059,8 @@ def _bounce_loop(
             def probe_hit(cx, cy, cz, pdx, pdy, pdz, alive_m):
                 if bvh_refs is None:
                     o2 = _closest_hit(
-                        tri_ref, n_tris, cx, cy, cz, pdx, pdy, pdz, attr_cols
+                        tri_ref, n_tris, cx, cy, cz, pdx, pdy, pdz, attr_cols,
+                        chunks=wide.chunks, live=alive_m,
                     )
                 else:
                     o2 = _bvh_closest_hit(

@@ -174,7 +174,7 @@ def _camera_loop(
     tri_ref, ox, oy, oz, dx, dy, dz, weight, pid, sid,
     n_tris, lights_p, lights_emit, max_depth,
     spp, xs, ys, jitter, seed, kinds_present, max_lobes,
-    bvh_refs=None, max_leaf=None, u_ref=None, hal_slots=None,
+    bvh_refs=None, max_leaf=None, u_ref=None, hal_slots=None, chunks=None,
 ):
     """The sppm.rs:140-260 walk on a ray tile.  Returns (ld (3), vp_*)."""
     sdim = _mk_sdim(pid, sid, spp, xs, ys, jitter, seed, u_ref, hal_slots)
@@ -201,7 +201,8 @@ def _camera_loop(
         dim0 = sppm_dim0(depth)
         if bvh_refs is None:
             out = _closest_hit(
-                tri_ref, n_tris, ox, oy, oz, dx, dy, dz, attr_cols
+                tri_ref, n_tris, ox, oy, oz, dx, dy, dz, attr_cols,
+                chunks=chunks, live=active,
             )
         else:
             out = _bvh_closest_hit(
@@ -323,6 +324,7 @@ def _camera_loop(
             occ = _occluded_all(
                 tri_ref, n_tris, (), sox, soy, soz,
                 lpx - sox, lpy - soy, lpz - soz, t_sh,
+                chunks=chunks,
             )
         else:
             occ = _bvh_occluded(
@@ -438,6 +440,7 @@ def _kernel(
     *rest,
     n_tris, lights_p, lights_emit, max_depth,
     spp, xs, ys, jitter, seed, kinds_present, max_lobes, hal_slots=None,
+    chunks=None,
 ):
     if hal_slots is not None:
         u_ref, outs = rest[0], rest[1:]
@@ -449,7 +452,7 @@ def _kernel(
         w_r[:], pid_r[:], sid_r[:],
         n_tris, lights_p, lights_emit, max_depth,
         spp, xs, ys, jitter, seed, kinds_present, max_lobes,
-        u_ref=u_ref, hal_slots=hal_slots,
+        u_ref=u_ref, hal_slots=hal_slots, chunks=chunks,
     )
     for o_ref, v in zip(outs, vals):
         o_ref[:] = v
@@ -487,14 +490,14 @@ def _kernel_bvh(
     static_argnames=(
         "n_tris", "lights_p", "lights_emit", "max_depth",
         "spp", "xs", "ys", "jitter", "seed", "kinds_present", "max_lobes",
-        "max_leaf", "hal_slots", "interpret",
+        "max_leaf", "hal_slots", "chunks", "interpret",
     ),
 )
 def _run(
     table, nodes_f, nodes_i, ox, oy, oz, dx, dy, dz, w, pid, sid,
     n_tris, lights_p, lights_emit, max_depth,
     spp, xs, ys, jitter, seed, kinds_present, max_lobes,
-    max_leaf=None, u=None, hal_slots=None, interpret=False,
+    max_leaf=None, u=None, hal_slots=None, chunks=None, interpret=False,
 ):
     from .path_megakernel import BVH_TILE_ROWS, _bvh_call_extras
 
@@ -544,7 +547,7 @@ def _run(
         max_depth=max_depth,
         spp=spp, xs=xs, ys=ys, jitter=jitter, seed=seed,
         kinds_present=kinds_present, max_lobes=max_lobes,
-        hal_slots=hal_slots,
+        hal_slots=hal_slots, chunks=chunks,
     )
     return pl.pallas_call(
         kernel,
@@ -609,6 +612,7 @@ def sppm_camera_mega(
         kinds_present=kinds_present, max_lobes=max_lobes,
         max_leaf=max_leaf,
         u=u, hal_slots=hal_slots,
+        chunks=getattr(packed[5], "chunks", None),
         interpret=interpret,
     )
     flat = [x.reshape(-1)[:n] for x in outs]
@@ -635,7 +639,7 @@ def _kernel_cam(
     *rest,
     n_tris, lights_p, lights_emit, max_depth,
     spp, xs, ys, jitter, seed, cam, kinds_present, max_lobes,
-    hal_slots=None,
+    hal_slots=None, chunks=None,
 ):
     """Camera-fused variant: in-kernel lens raygen (_raygen) feeds the
     walk — the host raygen + its HBM ray round trip cost ~5 ms per
@@ -654,7 +658,7 @@ def _kernel_cam(
         tri_ref, ox, oy, oz, dx, dy, dz, weight, pid, sid,
         n_tris, lights_p, lights_emit, max_depth,
         spp, xs, ys, jitter, seed, kinds_present, max_lobes,
-        u_ref=u_ref, hal_slots=hal_slots,
+        u_ref=u_ref, hal_slots=hal_slots, chunks=chunks,
     )
     for o_ref, v in zip(outs, vals):
         o_ref[:] = v
@@ -696,14 +700,14 @@ def _kernel_bvh_cam(
     static_argnames=(
         "n_tris", "lights_p", "lights_emit", "max_depth",
         "spp", "xs", "ys", "jitter", "seed", "cam", "kinds_present",
-        "max_lobes", "max_leaf", "hal_slots", "interpret",
+        "max_lobes", "max_leaf", "hal_slots", "chunks", "interpret",
     ),
 )
 def _run_cam(
     table, nodes_f, nodes_i, px, py, pv, pid, sid,
     n_tris, lights_p, lights_emit, max_depth,
     spp, xs, ys, jitter, seed, cam, kinds_present, max_lobes,
-    max_leaf=None, u=None, hal_slots=None, interpret=False,
+    max_leaf=None, u=None, hal_slots=None, chunks=None, interpret=False,
 ):
     from .path_megakernel import BVH_TILE_ROWS, _bvh_call_extras
 
@@ -752,7 +756,7 @@ def _run_cam(
         max_depth=max_depth,
         spp=spp, xs=xs, ys=ys, jitter=jitter, seed=seed, cam=cam,
         kinds_present=kinds_present, max_lobes=max_lobes,
-        hal_slots=hal_slots,
+        hal_slots=hal_slots, chunks=chunks,
     )
     return pl.pallas_call(
         kernel,
@@ -827,6 +831,7 @@ def sppm_camera_mega_cam(
         kinds_present=kinds_present, max_lobes=max_lobes,
         max_leaf=max_leaf,
         u=u, hal_slots=hal_slots,
+        chunks=getattr(packed[5], "chunks", None),
         interpret=interpret,
     )
     flat = [x.reshape(-1)[:n] for x in outs]
@@ -1246,7 +1251,7 @@ def deposit_mega(
 def _photon_loop(
     tri_ref, ox, oy, oz, dx, dy, dz, br, bg, bb, act, u_ref,
     n_tris, max_depth, kinds_present, max_lobes,
-    bvh_refs=None, max_leaf=None,
+    bvh_refs=None, max_leaf=None, chunks=None,
 ):
     has_full = _has_full(kinds_present)
     mixed = len(kinds_present) > 1
@@ -1261,7 +1266,8 @@ def _photon_loop(
     for depth in range(max_depth):
         if bvh_refs is None:
             out = _closest_hit(
-                tri_ref, n_tris, ox, oy, oz, dx, dy, dz, attr_cols
+                tri_ref, n_tris, ox, oy, oz, dx, dy, dz, attr_cols,
+                chunks=chunks, live=active,
             )
         else:
             out = _bvh_closest_hit(
@@ -1385,13 +1391,14 @@ def _photon_loop(
 def _photon_kernel(
     tri_ref, ox_r, oy_r, oz_r, dx_r, dy_r, dz_r, br_r, bg_r, bb_r, a_r,
     u_r, *outs,
-    n_tris, max_depth, kinds_present, max_lobes,
+    n_tris, max_depth, kinds_present, max_lobes, chunks=None,
 ):
     vals = _photon_loop(
         tri_ref,
         ox_r[:], oy_r[:], oz_r[:], dx_r[:], dy_r[:], dz_r[:],
         br_r[:], bg_r[:], bb_r[:], a_r[:], u_r,
         n_tris, max_depth, kinds_present, max_lobes,
+        chunks=chunks,
     )
     for o_ref, v in zip(outs, vals):
         o_ref[:] = v
@@ -1420,12 +1427,12 @@ def _photon_kernel_bvh(
 @functools.partial(
     jax.jit,
     static_argnames=("n_tris", "max_depth", "kinds_present", "max_lobes",
-                     "max_leaf", "interpret"),
+                     "max_leaf", "chunks", "interpret"),
 )
 def _photon_run(
     table, nodes_f, nodes_i, ox, oy, oz, dx, dy, dz, br, bg, bb, act, u,
     n_tris, max_depth, kinds_present, max_lobes, max_leaf=None,
-    interpret=False,
+    chunks=None, interpret=False,
 ):
     from .path_megakernel import BVH_TILE_ROWS, _bvh_call_extras
 
@@ -1468,6 +1475,7 @@ def _photon_run(
         _photon_kernel,
         n_tris=n_tris, max_depth=max_depth,
         kinds_present=kinds_present, max_lobes=max_lobes,
+        chunks=chunks,
     )
     return pl.pallas_call(
         kernel,
@@ -1514,6 +1522,7 @@ def sppm_photon_mega(
         n_tris=int(table.shape[0]), max_depth=int(max_depth),
         kinds_present=kinds_present, max_lobes=max_lobes,
         max_leaf=max_leaf,
+        chunks=getattr(packed[5], "chunks", None),
         interpret=interpret,
     )
     flat = [x.reshape(-1)[:n] for x in outs]

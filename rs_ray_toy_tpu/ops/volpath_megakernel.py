@@ -488,7 +488,8 @@ def _vol_bounce_loop(
     def occluded_all(sox, soy, soz, sdx, sdy, sdz, tmax_arr):
         if bvh_refs is None:
             return _occluded(
-                tri_ref, n_tris, sox, soy, soz, sdx, sdy, sdz, tmax_arr
+                tri_ref, n_tris, sox, soy, soz, sdx, sdy, sdz, tmax_arr,
+                chunks=getattr(wide, "chunks", None),
             )
         return _bvh_occluded(
             bvh_refs, tri_ref, sox, soy, soz, sdx, sdy, sdz,
@@ -499,7 +500,8 @@ def _vol_bounce_loop(
         dim0 = volpath_dim0(bounce)
         if bvh_refs is None:
             out = _closest_hit(
-                tri_ref, n_tris, ox, oy, oz, dx, dy, dz, attr_cols
+                tri_ref, n_tris, ox, oy, oz, dx, dy, dz, attr_cols,
+                chunks=getattr(wide, "chunks", None), live=active,
             )
         else:
             out = _bvh_closest_hit(

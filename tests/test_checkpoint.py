@@ -13,7 +13,9 @@ import numpy as np
 def _scene(path_dir):
     cfg = json.load(open("/root/reference/samples/scene.json"))
     cfg["Film"]["xres"], cfg["Film"]["yres"] = 40, 24
-    cfg["Integrator"] = {"integrator_type": "Path", "max_depth": 3}
+    # depth 2 keeps the fast tier quick (the test pins resume cursor
+    # arithmetic + film re-blocking, not transport depth)
+    cfg["Integrator"] = {"integrator_type": "Path", "max_depth": 2}
     shutil.copy("/root/reference/samples/cube.obj", path_dir)
     p = os.path.join(path_dir, "s.json")
     json.dump(cfg, open(p, "w"))
