@@ -841,9 +841,13 @@ def render_sppm(ctx: SceneCtx, cam, sampler, film_spec, spec, write_image_fn=Non
         )
 
     # AOT-compile + zero-iteration warm-up (program upload only), so the
-    # timed region measures iteration throughput, not compilation
+    # timed region measures iteration throughput, not compilation.  Warm
+    # through force_ready so the readback's own jit programs compile
+    # outside the clock (utils/observability.force_ready CAUTION note).
+    from ..utils.observability import force_ready as _force_ready
+
     compiled = run_range.lower(state, jnp.int32(0), jnp.int32(0)).compile()
-    jax.block_until_ready(compiled(state, jnp.int32(0), jnp.int32(0)))
+    _force_ready(compiled(state, jnp.int32(0), jnp.int32(0)))
     if time_stats is not None:
         import time as _time
 

@@ -657,8 +657,11 @@ def render_job(
     ).compile()
     # zero-pass warm-up: loads the executable + scene constants onto the
     # device without running a single sample pass, so the timed region
-    # measures render throughput, not one-time program upload
-    jax.block_until_ready(compiled(film0, _i32(0), _i32(0), *batch_args))
+    # measures render throughput, not one-time program upload.  Ends at
+    # force_ready so the readback's own tiny jit programs (reshape +
+    # slice, ~0.9 s of remote compile on first use) also land OUTSIDE
+    # the timed region.
+    force_ready(compiled(film0, _i32(0), _i32(0), *batch_args))
     s_end = spp if stop_at_spp is None else min(int(stop_at_spp), spp)
     # only whole k_spp passes execute; record the truly-rendered cursor
     s_end = (s_end // k_spp) * k_spp if s_end < spp else spp

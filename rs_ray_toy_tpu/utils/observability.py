@@ -79,6 +79,14 @@ def force_ready(tree):
     Reading real bytes back to the host cannot return early — all leaves
     are outputs of one XLA execution, so one buffer's readback proves the
     whole program completed.  Every timed region must end HERE.
+
+    CAUTION: the scalar extraction below jit-compiles two tiny programs
+    (reshape + slice) on FIRST use in a process — ~0.9 s through the
+    remote-compile tunnel, which silently lands inside the first timed
+    region (the round-5 fog row measured 3.6 instead of ~40 Mrays/s).
+    Every timed region's warm-up must call force_ready too, so the
+    readback programs compile OUTSIDE the clock (render.py's zero-pass
+    warm-up and the SPPM warm-up iteration both do).
     """
     tree = jax.block_until_ready(tree)
     arrs = [
