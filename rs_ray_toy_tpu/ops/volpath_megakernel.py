@@ -485,11 +485,19 @@ def _vol_bounce_loop(
     # per-lane RNG chain for the medium draws (li_volpath:158)
     state = rngmod.hash_combine(pid, sid)
 
+    # chunk culling is a measured LOSS in this kernel (fog 34.2 -> 31.1
+    # Mrays/s): medium-scattering lanes never die and scatter
+    # isotropically, so a 16K-lane tile virtually never skips a chunk
+    # and the per-cond carry traffic is pure overhead.  The path/direct/
+    # SPPM kernels keep it (env 43.2 -> 56.9 — escaped/dead lanes and
+    # coherent shadow targets make tiles actually skip).
+    chunks = None
+
     def occluded_all(sox, soy, soz, sdx, sdy, sdz, tmax_arr):
         if bvh_refs is None:
             return _occluded(
                 tri_ref, n_tris, sox, soy, soz, sdx, sdy, sdz, tmax_arr,
-                chunks=getattr(wide, "chunks", None),
+                chunks=chunks,
             )
         return _bvh_occluded(
             bvh_refs, tri_ref, sox, soy, soz, sdx, sdy, sdz,
@@ -501,7 +509,7 @@ def _vol_bounce_loop(
         if bvh_refs is None:
             out = _closest_hit(
                 tri_ref, n_tris, ox, oy, oz, dx, dy, dz, attr_cols,
-                chunks=getattr(wide, "chunks", None), live=active,
+                chunks=chunks, live=active,
             )
         else:
             out = _bvh_closest_hit(
